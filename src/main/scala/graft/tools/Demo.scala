@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Hand-runnable demo of the public Column API over the driver testdata:
+  *   sbt "runMain graft.tools.Demo [sfDir]"
+  * Prints sample rows and the physical plan (whole-stage codegen check).
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val out = orders
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        col("o_totalprice"))
+      .withColumn("bdays_to_2024", bday_count(col("d"), lit("2024-01-02").cast("date")))
+      .withColumn("bdays_reversed", bday_count(lit("2024-01-02").cast("date"), col("d")))
+      .withColumn("settle_t2", bday_add(col("d"), lit(2)))
+      .withColumn("is_bday", is_bday(col("d")))
+      .withColumn("price_trunc2", truncate(col("o_totalprice"), 2))
+      .withColumn("parsed", parse_date_br(lit("05-07-2024")))
+      .orderBy("o_orderkey")
+    out.show(8, truncate = false)
+    out.explain("formatted")
+
+    // null propagation through the custom expressions
+    spark.sql("select 1").selectExpr("cast(null as date) as d")
+      .select(bday_count(col("d"), lit("2024-01-02").cast("date")).as("null_in"),
+              bday_add(col("d"), lit(1)).as("null_shift"))
+      .show()
+    spark.stop()
+  }
+}
