@@ -1,0 +1,395 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dedup.DedupOps
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** Training-data pipeline operators over documents/embeddings/events —
+  * dedup family, similarity search, text analysis, event windows,
+  * multimodal plumbing — each with an exact DuckDB oracle.
+  */
+object Pipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+  import Tables._
+
+  /** Normalized text (shared subexpression of the oracles). */
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  // ------------------------------------------------------------------- q30
+  private val q30: Q = (s, d) =>
+    DedupOps.exactDedup(documents(s, d), "text", "doc_id")
+      .orderBy(col("fingerprint"))
+
+  private val q30Sql = s"""
+    SELECT md5($normSql) AS fingerprint,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1 ORDER BY fingerprint"""
+
+  // ------------------------------------------------------------------- q31
+  private val K = 5          // shingle width
+  private val NumHashes = 8
+
+  private val q31: Q = (s, d) => {
+    val sig = DedupOps.minhashSignature(col("text"), K, NumHashes)
+    sig.foldLeft(documents(s, d).select(col("doc_id"), col("text"))) {
+      case (df, (n, c)) => df.withColumn(n, c)
+    }.drop("text").orderBy(col("doc_id"))
+  }
+
+  private def minhashSql(seed: Int): String =
+    s"""list_min(list_transform(
+          list_distinct(list_transform(
+            generate_series(1, greatest(length(n) - ${K - 1}, 1)),
+            i -> substr(n, i, $K))),
+          x -> substr(md5('$seed' || '|' || x), 1, 8)))"""
+
+  private lazy val q31Sql = {
+    val cols = (0 until NumHashes)
+      .map(i => s"${minhashSql(i)} AS m$i").mkString(",\n           ")
+    s"""
+    WITH nd AS (SELECT doc_id, $normSql AS n FROM documents)
+    SELECT doc_id,
+           $cols
+    FROM nd ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------------- q32
+  // LSH candidate pairs: 4 bands x 2 rows; pairs sharing any band.
+  // Spark side explodes bands and equi-joins on the band key (the shape
+  // that scales — no OR-join / no cross product).
+  private val q32: Q = (s, d) => {
+    val sigCols = DedupOps.minhashSignature(col("text"), K, NumHashes)
+    val sig = sigCols.foldLeft(documents(s, d).select(col("doc_id"), col("text"))) {
+      case (df, (n, c)) => df.withColumn(n, c)
+    }.drop("text")
+    val sigRef = (0 until NumHashes).map(i => col(s"m$i"))
+    val bands = (0 until NumHashes / 2).map(b =>
+      DedupOps.bandKey(sigRef, b, 2))
+    val exploded = sig.withColumn("band", explode(array(bands: _*)))
+      .select(col("doc_id"), col("band"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private lazy val q32Sql = {
+    val sigSelect = (0 until NumHashes)
+      .map(i => s"${minhashSql(i)} AS m$i").mkString(", ")
+    val bandSelects = (0 until NumHashes / 2).map { bnd =>
+      val x = bnd * 2; val y = bnd * 2 + 1
+      s"SELECT doc_id, md5('$bnd' || '|' || m$x || '|' || m$y) AS band FROM sig"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH nd AS (SELECT doc_id, $normSql AS n FROM documents),
+    sig AS (SELECT doc_id, $sigSelect FROM nd),
+    bands AS (
+      $bandSelects)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b"""
+  }
+
+  // ------------------------------------------------------------------- q33
+  private val q33: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), DedupOps.simhash16(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private lazy val q33Sql = {
+    val bits = (0 until 16).map { j =>
+      s"""(CASE WHEN 2 * len(list_filter(hs,
+             h -> substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f')))
+           > len(ws) THEN ${1 << j} ELSE 0 END)"""
+    }.mkString(" + ")
+    s"""
+    WITH nd AS (SELECT doc_id, $normSql AS n FROM documents),
+    t AS (SELECT doc_id, list_distinct(string_split(n, ' ')) AS ws FROM nd),
+    h AS (SELECT doc_id, ws, list_transform(ws, w -> md5(w)) AS hs FROM t)
+    SELECT doc_id, CAST($bits AS INTEGER) AS simhash
+    FROM h ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------------- q34
+  // n-gram Jaccard on a deterministic pair sample (i, i+250).
+  private val q34: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    a.join(b, col("id_b") === col("id_a") + 250)
+      .select(col("id_a"), col("id_b"),
+        DedupOps.ngramJaccard(col("text_a"), col("text_b"), 3).as("jaccard3"))
+      .orderBy(col("id_a"))
+  }
+
+  private val gramsSql =
+    """list_distinct(list_transform(
+         generate_series(0, greatest(len(w) - 3, 0)),
+         i -> array_to_string(w[i+1:i+3], ' ')))"""
+
+  private lazy val q34Sql = s"""
+    WITH nd AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+    g AS (SELECT doc_id, $gramsSql AS gr FROM nd)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN (len(a.gr) + len(b.gr)
+                   - len(list_filter(a.gr, x -> list_contains(b.gr, x)))) > 0
+             THEN CAST(len(list_filter(a.gr, x -> list_contains(b.gr, x)))
+                       AS DOUBLE)
+                  / CAST(len(a.gr) + len(b.gr)
+                    - len(list_filter(a.gr, x -> list_contains(b.gr, x)))
+                    AS DOUBLE)
+             ELSE 0.0 END, 6) AS jaccard3
+    FROM g a JOIN g b ON b.doc_id = a.doc_id + 250
+    ORDER BY id_a"""
+
+  // ------------------------------------------------------------------- q35
+  // Brute-force cosine top-5 for query vectors (vec_id < 10).
+  private val q35: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.topK(queries, emb, 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private val dotSql =
+    """list_sum(list_transform(generate_series(1, 64),
+         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"""
+  private val normSqlA =
+    """sqrt(list_sum(list_transform(q.embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
+  private val normSqlB =
+    """sqrt(list_sum(list_transform(c.embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
+
+  private lazy val q35Sql = s"""
+    WITH sims AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+             round($dotSql / ($normSqlA * $normSqlB), 6) AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10),
+    ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM sims)
+    SELECT q_id, vec_id, sim, rnk FROM ranked
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  // ------------------------------------------------------------------- q36
+  // IVF-style: candidates restricted to the query's coarse cell (label).
+  private val q36: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label"))
+    Similarity.topKWithinCell(queries, emb, 5, "label")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private lazy val q36Sql = s"""
+    WITH sims AS (
+      SELECT q.vec_id AS q_id, q.label AS label, c.vec_id AS vec_id,
+             round($dotSql / ($normSqlA * $normSqlB), 6) AS sim
+      FROM embeddings q JOIN embeddings c
+        ON q.label = c.label AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10),
+    ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM sims)
+    SELECT q_id, label, vec_id, sim, rnk FROM ranked
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  // ------------------------------------------------------------------- q37
+  private val q37: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private lazy val q37Sql = {
+    def cnt(pat: String, src: String = "lower(text)") =
+      s"len(regexp_extract_all($src, '$pat'))"
+    val en = cnt(TextOps.EnPat)
+    val de = cnt(TextOps.DePat)
+    val es = cnt(TextOps.EsPat)
+    val fr = cnt(TextOps.FrPat)
+    val zh = cnt(TextOps.CjkPat, "text")
+    s"""
+    WITH sc AS (
+      SELECT doc_id, lang, $en AS en, $de AS de, $es AS es, $fr AS fr,
+             $zh AS zh
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN zh > 0 THEN 'zh'
+                WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+                WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+                WHEN fr >= de AND fr > 0 THEN 'fr'
+                WHEN de > 0 THEN 'de'
+                ELSE 'und' END AS lang_pred
+    FROM sc ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------------- q38
+  private val q38: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.tokenCountWs(col("text")).as("n_tokens_ws"),
+        TextOps.tokenCountBpe(col("text")).as("n_tokens_bpe"))
+      .orderBy(col("doc_id"))
+
+  private lazy val q38Sql = {
+    val bpe = TextOps.BpePattern
+    s"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS len,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS nws,
+             len(regexp_extract_all(text, '$bpe')) AS nbpe
+      FROM documents)
+    SELECT doc_id,
+           round(
+             (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) * 0.5
+             + (CASE WHEN (CASE WHEN nws > 0 THEN alpha / nws ELSE 0.0 END)
+                       BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END) * 0.3
+             + (CASE WHEN (CASE WHEN len > 0 THEN punct / len ELSE 0.0 END)
+                       <= 0.1 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality,
+           CAST(nws AS BIGINT) AS n_tokens_ws,
+           CAST(nbpe AS BIGINT) AS n_tokens_bpe
+    FROM t ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------------- q39
+  private val q39: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.sortedWordFingerprint(col("text")).as("sorted_fp"))
+      .orderBy(col("doc_id"))
+
+  private val q39Sql = s"""
+    WITH nd AS (SELECT doc_id, $normSql AS n FROM documents)
+    SELECT doc_id, md5(n) AS fp,
+           md5(array_to_string(list_sort(string_split(n, ' ')), ' '))
+             AS sorted_fp
+    FROM nd ORDER BY doc_id"""
+
+  // ------------------------------------------------------------------- q40
+  // Tumbling 5-minute event windows (batch form of the streaming agg).
+  private val q40: Q = (s, d) =>
+    eventsMicros(s, d)
+      .withColumn("win_start_us",
+        col("ts_us") - (col("ts_us") % lit(300000000L)))
+      .groupBy(col("win_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("win_start_us"), col("event_type"))
+
+  private val q40Sql = """
+    SELECT epoch_us(ts) - (epoch_us(ts) % 300000000) AS win_start_us,
+           event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type"""
+
+  // ------------------------------------------------------------------- q41
+  // Sessionization: per-user sessions split on gaps > 30 min.
+  private val q41: Q = (s, d) => {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventsMicros(s, d)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val q41Sql = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+    flags AS (
+      SELECT *,
+        CASE WHEN lag(ts_us) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+             OR ts_us - lag(ts_us) OVER
+               (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+      FROM e),
+    sess AS (
+      SELECT *, sum(new_sess) OVER
+        (PARTITION BY user_id ORDER BY ts_us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flags)
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts_us) AS start_us, max(ts_us) AS end_us
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id"""
+
+  // ------------------------------------------------------------------- q42
+  // Multimodal plumbing: binary payloads decoded partition-locally via the
+  // Dataset mapPartitions stub.
+  private val q42: Q = (s, d) => {
+    val withPayload = documents(s, d)
+      .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))
+    Multimodal.decodeMeta(s, withPayload, "doc_id", "payload")
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val q42Sql = """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_hash,
+           CAST(1 + octet_length(encode(text)) % 1024 AS INTEGER) AS width,
+           CAST(1 + (octet_length(encode(text)) * 7) % 768 AS INTEGER) AS height,
+           CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
+    FROM documents ORDER BY doc_id"""
+
+  val queries: Map[String, Q] = Map(
+    "q30_exact_dedup" -> q30,
+    "q31_minhash_signature" -> q31,
+    "q32_lsh_candidate_pairs" -> q32,
+    "q33_simhash" -> q33,
+    "q34_ngram_jaccard" -> q34,
+    "q35_cosine_topk" -> q35,
+    "q36_ann_ivf_label" -> q36,
+    "q37_lang_id" -> q37,
+    "q38_text_quality" -> q38,
+    "q39_fingerprint" -> q39,
+    "q40_events_tumbling" -> q40,
+    "q41_events_sessionize" -> q41,
+    "q42_multimodal_decode" -> q42)
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_exact_dedup" -> q30Sql,
+    "q31_minhash_signature" -> q31Sql,
+    "q32_lsh_candidate_pairs" -> q32Sql,
+    "q33_simhash" -> q33Sql,
+    "q34_ngram_jaccard" -> q34Sql,
+    "q35_cosine_topk" -> q35Sql,
+    "q36_ann_ivf_label" -> q36Sql,
+    "q37_lang_id" -> q37Sql,
+    "q38_text_quality" -> q38Sql,
+    "q39_fingerprint" -> q39Sql,
+    "q40_events_tumbling" -> q40Sql,
+    "q41_events_sessionize" -> q41Sql,
+    "q42_multimodal_decode" -> q42Sql)
+}

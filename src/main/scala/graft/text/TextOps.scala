@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID (n-gram/stopword heuristic), quality scoring, token
+  * counting, and document fingerprinting. All pure Column expressions
+  * (native Spark functions + higher-order array functions) — no UDFs, so
+  * they stay distributed and partition-local: at 100 TB each is a single
+  * scan-projection with no shuffle.
+  */
+object TextOps {
+
+  /** Lowercase + collapse runs of whitespace + trim. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace token count. */
+  def tokenCountWs(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L))
+      .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+
+  /** BPE-ish token count: alpha runs, single digits, punctuation marks.
+    * Approximates subword tokenizers' pre-tokenization split.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def tokenCountBpe(c: Column): Column =
+    regexp_count(c, lit(BpePattern)).cast("long")
+
+  // Stopword alternations per language (tiny, high-precision markers).
+  val EnPat = "\\b(the|and|of|to|is|in|that|it|with|for)\\b"
+  val DePat = "\\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\\b"
+  val EsPat = "\\b(el|la|los|las|es|y|en|que|de|un|una|por)\\b"
+  val FrPat = "\\b(le|la|les|et|est|dans|que|une|des|du|pour)\\b"
+  val CjkPat = "[\\x{4e00}-\\x{9fff}]"
+
+  def scoreEn(c: Column): Column = regexp_count(lower(c), lit(EnPat))
+  def scoreDe(c: Column): Column = regexp_count(lower(c), lit(DePat))
+  def scoreEs(c: Column): Column = regexp_count(lower(c), lit(EsPat))
+  def scoreFr(c: Column): Column = regexp_count(lower(c), lit(FrPat))
+  def scoreCjk(c: Column): Column = regexp_count(c, lit(CjkPat))
+
+  /** Heuristic language ID with a fixed precedence tie-break
+    * (zh > en > es > fr > de > und). Deterministic by construction.
+    */
+  def langId(c: Column): Column = {
+    val (en, de, es, fr, zh) =
+      (scoreEn(c), scoreDe(c), scoreEs(c), scoreFr(c), scoreCjk(c))
+    when(zh > 0, "zh")
+      .when(en >= es && en >= fr && en >= de && en > 0, "en")
+      .when(es >= fr && es >= de && es > 0, "es")
+      .when(fr >= de && fr > 0, "fr")
+      .when(de > 0, "de")
+      .otherwise("und")
+  }
+
+  /** Quality score in [0,1]: blends alpha ratio, whitespace sanity, mean
+    * word length band and punctuation density. All integer/regexp counts +
+    * IEEE arithmetic — reproducible in any engine.
+    */
+  def qualityScore(c: Column): Column = {
+    val len = length(c).cast("double")
+    val alpha = regexp_count(c, lit("[A-Za-z]")).cast("double")
+    val punct = regexp_count(c, lit("[.,;:!?]")).cast("double")
+    val words = tokenCountWs(c).cast("double")
+    val alphaRatio = when(len > 0, alpha / len).otherwise(lit(0.0))
+    val punctRatio = when(len > 0, punct / len).otherwise(lit(0.0))
+    val meanWord = when(words > 0, alpha / words).otherwise(lit(0.0))
+    val wordBand = when(meanWord >= 3 && meanWord <= 10, lit(1.0))
+      .otherwise(lit(0.0))
+    val punctOk = when(punctRatio <= 0.1, lit(1.0)).otherwise(lit(0.0))
+    round(alphaRatio * 0.5 + wordBand * 0.3 + punctOk * 0.2, 6)
+  }
+
+  /** Exact content fingerprint: md5 of the normalized text. */
+  def fingerprint(c: Column): Column = md5(to_binary(normalize(c), lit("utf-8")))
+
+  /** Order-insensitive fingerprint: md5 over the sorted word multiset —
+    * catches shuffled near-duplicates.
+    */
+  def sortedWordFingerprint(c: Column): Column =
+    md5(to_binary(array_join(array_sort(split(normalize(c), " ")), " "),
+      lit("utf-8")))
+}
