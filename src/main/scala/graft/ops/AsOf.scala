@@ -62,21 +62,23 @@ object AsOf {
     // Backward: right rows sort BEFORE left rows at equal key (tag asc) so an
     // exact-key match is inside the (-inf, 0] frame. Forward: right rows sort
     // AFTER left rows (tag desc) so the exact match is inside [0, +inf).
+    // Both directions use the RUNNING frame (unboundedPreceding, currentRow),
+    // which Spark evaluates in O(n) streaming fashion; the forward variant
+    // simply reverses the sort. An (currentRow, unboundedFollowing) frame
+    // with first(ignoreNulls) degrades to O(n^2) per partition — measured
+    // 100x slower at sf0.1 — so it is deliberately avoided.
     val w =
       if (forward)
         Window.partitionBy(by.map(col): _*)
-          .orderBy(col(keyCol).asc_nulls_last, col(tagCol).desc)
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+          .orderBy(col(keyCol).desc_nulls_last, col(tagCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       else
         Window.partitionBy(by.map(col): _*)
           .orderBy(col(keyCol).asc_nulls_last, col(tagCol).asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val resolved = outNames.foldLeft(unioned) { (df, n) =>
-      val picked =
-        if (forward) first(col(n + "_r"), ignoreNulls = true).over(w)
-        else last(col(n + "_r"), ignoreNulls = true).over(w)
-      df.withColumn(n, picked)
+      df.withColumn(n, last(col(n + "_r"), ignoreNulls = true).over(w))
     }
 
     resolved

@@ -34,12 +34,15 @@ object Pipeline {
   private val K = 5          // shingle width
   private val NumHashes = 8
 
-  private val q31: Q = (s, d) => {
-    val sig = DedupOps.minhashSignature(col("text"), K, NumHashes)
-    sig.foldLeft(documents(s, d).select(col("doc_id"), col("text"))) {
-      case (df, (n, c)) => df.withColumn(n, c)
-    }.drop("text").orderBy(col("doc_id"))
-  }
+  // documents arrive as one parquet file = one partition; spread the
+  // hash-heavy signature computation across cores first (at 100 TB the
+  // scan has many splits and this repartition is unnecessary).
+  private val q31: Q = (s, d) =>
+    DedupOps.withMinhashSignature(
+        documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism), "text",
+        K, NumHashes)
+      .drop("text").orderBy(col("doc_id"))
 
   private def minhashSql(seed: Int): String =
     s"""list_min(list_transform(
@@ -63,10 +66,10 @@ object Pipeline {
   // Spark side explodes bands and equi-joins on the band key (the shape
   // that scales — no OR-join / no cross product).
   private val q32: Q = (s, d) => {
-    val sigCols = DedupOps.minhashSignature(col("text"), K, NumHashes)
-    val sig = sigCols.foldLeft(documents(s, d).select(col("doc_id"), col("text"))) {
-      case (df, (n, c)) => df.withColumn(n, c)
-    }.drop("text")
+    val sig = DedupOps.withMinhashSignature(
+      documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism), "text",
+      K, NumHashes).drop("text")
     val sigRef = (0 until NumHashes).map(i => col(s"m$i"))
     val bands = (0 until NumHashes / 2).map(b =>
       DedupOps.bandKey(sigRef, b, 2))
@@ -101,9 +104,9 @@ object Pipeline {
 
   // ------------------------------------------------------------------- q33
   private val q33: Q = (s, d) =>
-    documents(s, d)
-      .select(col("doc_id"), DedupOps.simhash16(col("text")).as("simhash"))
-      .orderBy(col("doc_id"))
+    DedupOps.withSimhash16(
+        documents(s, d).select(col("doc_id"), col("text")), "text", "simhash")
+      .drop("text").orderBy(col("doc_id"))
 
   private lazy val q33Sql = {
     val bits = (0 until 16).map { j =>
@@ -122,12 +125,14 @@ object Pipeline {
   // ------------------------------------------------------------------- q34
   // n-gram Jaccard on a deterministic pair sample (i, i+250).
   private val q34: Q = (s, d) => {
-    val docs = documents(s, d).select(col("doc_id"), col("text"))
-    val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
-    val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    val docs = documents(s, d)
+      .select(col("doc_id"), split(TextOps.normalize(col("text")), " ").as("_w"))
+      .select(col("doc_id"), DedupOps.ngramsOfWords(col("_w"), 3).as("grams"))
+    val a = docs.select(col("doc_id").as("id_a"), col("grams").as("ga"))
+    val b = docs.select(col("doc_id").as("id_b"), col("grams").as("gb"))
     a.join(b, col("id_b") === col("id_a") + 250)
       .select(col("id_a"), col("id_b"),
-        DedupOps.ngramJaccard(col("text_a"), col("text_b"), 3).as("jaccard3"))
+        DedupOps.jaccardOfGrams(col("ga"), col("gb")).as("jaccard3"))
       .orderBy(col("id_a"))
   }
 
