@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Domain.queries ++
-      graft.queries.Pipeline.queries
+      graft.queries.Pipeline.queries ++
+      graft.queries.BondQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
       graft.queries.Domain.oracleSql ++
-      graft.queries.Pipeline.oracleSql
+      graft.queries.Pipeline.oracleSql ++
+      graft.queries.BondQueries.oracleSql
 }

@@ -18,16 +18,15 @@ object Num {
     JBigDecimal.valueOf(x).setScale(decimals, RoundingMode.DOWN).doubleValue()
   }
 
-  /** Round half away from zero at d places (Polars/Python-style `round` is
-    * half-to-even on the decimal repr; Polars `Series.round` uses
-    * half-away-from-zero on the shortest repr — the reference's pinned
-    * goldens (PV rounded to 12 dp, ntnb.py:311) are reproduced by
-    * HALF_EVEN on the shortest decimal representation, same as Python's
-    * round(). Use roundHalfEven for parity.
+  /** Round-half-to-even at d places on the EXACT binary value of the
+    * double — the semantics of Python's round() and of Polars/Rust
+    * round_ties_even, which the reference uses for the PV rounding steps
+    * (e.g. 12 dp at ntnb.py:311). Note the deliberate asymmetry with
+    * [[truncar]], which operates on the shortest decimal representation.
     */
   def roundHalfEven(x: Double, decimals: Int): Double = {
     if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return x
-    JBigDecimal.valueOf(x).setScale(decimals, RoundingMode.HALF_EVEN).doubleValue()
+    new JBigDecimal(x).setScale(decimals, RoundingMode.HALF_EVEN).doubleValue()
   }
 
   /** STN rate normalization: truncate the decimal rate at 8 places
