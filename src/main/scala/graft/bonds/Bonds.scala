@@ -187,7 +187,7 @@ object NtnF {
     if (fluxos.isEmpty) return Double.NaN
     val soma = fluxos.map { case (d, v) =>
       val anos = Bonds.anosTruncados(liq, d)
-      Num.roundHalfEven(v / math.pow(1 + t, anos), 9)
+      Num.roundPolars(v / math.pow(1 + t, anos), 9)
     }.sum
     Num.truncar(soma, 6)
   }
@@ -238,7 +238,7 @@ object NtnB {
     if (fluxos.isEmpty) return Double.NaN
     val soma = fluxos.map { case (d, v) =>
       val anos = Bonds.anosTruncados(liq, d)
-      Num.roundHalfEven(v / math.pow(1 + t, anos), 12)
+      Num.roundPolars(v / math.pow(1 + t, anos), 12)
     }.sum
     Num.truncar(soma, 6)
   }
@@ -296,7 +296,7 @@ object NtnC {
     if (fluxos.isEmpty) return Double.NaN
     val soma = fluxos.map { case (d, v) =>
       val anos = Bonds.anosTruncados(liq, d)
-      Num.roundHalfEven(v / math.pow(1 + t, anos), 12)
+      Num.roundPolars(v / math.pow(1 + t, anos), 12)
     }.sum
     Num.truncar(soma, 6)
   }

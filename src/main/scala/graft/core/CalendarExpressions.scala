@@ -97,3 +97,25 @@ case class TruncateDecimal(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): TruncateDecimal =
     copy(left = newLeft, right = newRight)
 }
+
+/** Round-half-to-even on the EXACT binary double (Python round / Polars
+  * round_ties_even semantics) — Spark's own `round` is HALF_UP on the
+  * shortest decimal representation and differs on values like x.xx5.
+  */
+case class RoundHalfEvenBinary(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "round_even"
+
+  override protected def nullSafeEval(x: Any, d: Any): Any =
+    Num.roundPolars(x.asInstanceOf[Double], d.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, d) => s"graft.core.Num.roundPolars($x, $d)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RoundHalfEvenBinary =
+    copy(left = newLeft, right = newRight)
+}

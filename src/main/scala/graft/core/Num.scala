@@ -29,6 +29,19 @@ object Num {
     new JBigDecimal(x).setScale(decimals, RoundingMode.HALF_EVEN).doubleValue()
   }
 
+  /** Polars/Rust-style round: scale by 10^d in double arithmetic, round
+    * ties-to-even (Math.rint), scale back. Differs from [[roundHalfEven]]
+    * exactly at tie edges where the scaling multiply itself rounds (e.g.
+    * 470198680.075*100 -> 47019868007.5 exactly -> ties-even up, while the
+    * exact binary value sits below the tie). The reference's Series.round
+    * calls follow THIS semantic; Python's round() follows roundHalfEven.
+    */
+  def roundPolars(x: Double, decimals: Int): Double = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return x
+    val p = math.pow(10.0, decimals)
+    Math.rint(x * p) / p
+  }
+
   /** STN rate normalization: truncate the decimal rate at 8 places
     * (6 places in percent terms) — reference
     * /root/reference/pyield/tpf/titulos/_utils.py:195-197.

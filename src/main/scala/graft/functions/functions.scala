@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 import org.apache.spark.sql.functions._
-import graft.core.{AddBusinessDays, BusinessDayCount, IsBusinessDay, TruncateDecimal}
+import graft.core.{AddBusinessDays, BusinessDayCount, IsBusinessDay, RoundHalfEvenBinary, TruncateDecimal}
 
 /** Column-expression surface of the engine — the Spark analogue of the
   * reference's `*_expr` family (pl.Expr factories). Every function returns a
@@ -42,6 +42,13 @@ object functions {
   def truncate(x: Column, decimals: Int): Column =
     column(TruncateDecimal(expression(x.cast("double")),
                            expression(lit(decimals))))
+
+  /** Round-half-to-even on the exact binary double (Python/Polars round
+    * semantics; Spark's round is HALF_UP on the shortest decimal repr).
+    */
+  def round_even(x: Column, decimals: Int): Column =
+    column(RoundHalfEvenBinary(expression(x.cast("double")),
+                               expression(lit(decimals))))
 
   /** Plain float truncation `sign(x)*floor(|x|*10^d)/10^d` computed with IEEE
     * double ops only — for oracle-checked relational queries where the DuckDB
