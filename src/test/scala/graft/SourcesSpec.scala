@@ -57,6 +57,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(titulos == Set("LTN", "NTN-F"))
   }
 
+  for (nome <- Seq("SPRD230202", "SPRD250203", "SPRD260112")) {
+    test(s"B3 price report XML reader matches stdlib-ET oracle ($nome)") {
+      val got = graft.sources.B3Boletim.ler(spark,
+        s"/root/reference/tests/b3/data/$nome.zip")
+      val oracle = spark.read.parquet(
+        getClass.getResource(s"/boletim_oracle/$nome.parquet").getPath)
+      // oracle keeps raw strings; type it identically for comparison
+      import org.apache.spark.sql.functions.{col, to_date}
+      val want = oracle.select(graft.sources.B3Boletim.Colunas.map {
+        case ("TradDt", _) => to_date(col("TradDt"), "yyyy-MM-dd").as("TradDt")
+        case (n, t)        => col(n).cast(t).as(n)
+      }: _*).orderBy(col("TckrSymb"))
+      assertFrameEqual(got, want)
+    }
+
+    test(s"B3 price report prefix/length filter ($nome)") {
+      val di1 = graft.sources.B3Boletim.ler(spark,
+        s"/root/reference/tests/b3/data/$nome.zip",
+        prefixoTicker = Seq("DI1"), comprimentoTicker = Some(6))
+      import spark.implicits._
+      val ticks = di1.select("TckrSymb").as[String].collect()
+      assert(ticks.nonEmpty && ticks.forall(t => t.startsWith("DI1") && t.length == 6))
+    }
+  }
+
   for (nome <- Seq("tpf_mensal_200306", "tpf_mensal_202501", "tpf_mensal_202606")) {
     test(s"secundario mensal silver+gold matches golden ($nome)") {
       val silver = SecundarioMensal.lerZip(spark, s"$tpfData/$nome.zip")
