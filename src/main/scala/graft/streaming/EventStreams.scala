@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the events stream.
+  *
+  * The reference has no streaming engine (its "intraday" is polled REST
+  * snapshots, SURVEY §2.10); these demonstrate that every relational
+  * operator used by the intraday paths — and the two batch event queries
+  * q40/q41 — run identically as streams: watermarked tumbling windows for
+  * the aggregation, and flatMapGroupsWithState for gap-based sessionization
+  * (the stateful shape a 100 TB pipeline would run on a real event bus).
+  */
+object EventStreams {
+
+  /** events.parquet physical schema (ts is TIMESTAMP(NANOS) stored as
+    * int64; read via nanosAsLong and converted to micros).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked 5-minute tumbling counts per event type — the streaming
+    * twin of batch query q40.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_t", "10 minutes")
+      .groupBy(window(col("ts_t"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Ev(user_id: Long, ts_us: Long, value: Double,
+                ts_t: java.sql.Timestamp)
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Gap-based sessionization (30-minute inactivity) with explicit state:
+    * closed sessions emit when the event-time watermark passes the gap.
+    */
+  def sessionize(events: DataFrame): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val GapUs = 30L * 60 * 1000000
+
+    def update(userId: Long, rows: Iterator[Ev],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        // watermark moved past end + gap with no new events: close it
+        val s = state.get
+        state.remove()
+        return Iterator.single(Session(userId, s.start, s.end, s.n))
+      }
+      val sorted = rows.toSeq.sortBy(_.ts_us)
+      var closed = List.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts_us - s.end <= GapUs =>
+            cur = Some(SessionState(s.start, e.ts_us, s.n + 1))
+          case Some(s) =>
+            closed ::= Session(userId, s.start, s.end, s.n)
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+          case None =>
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp((s.end + GapUs) / 1000)
+      }
+      closed.reverseIterator
+    }
+
+    // the watermark column must survive into the grouped Dataset, so the
+    // row type carries it (a .map dropping it would disable event-time
+    // timeouts)
+    events
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"),
+        timestamp_micros(expr("ts div 1000")).as("ts_t"))
+      .withWatermark("ts_t", "1 minute")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

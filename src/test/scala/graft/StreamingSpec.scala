@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** Streaming ⇄ batch equivalence: the streaming operators must produce the
+  * same answers as their batch twins (q40/q41) over the same events data.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def stageDir(): String = {
+    val dir = Files.createTempDirectory("events_stream")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("tumbling window counts: streaming == batch (q40 twin)") {
+    val dir = stageDir()
+    val stream = EventStreams.tumblingCounts(
+      EventStreams.readEvents(spark, dir))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling")
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+      val want = graft.queries.Pipeline
+        .queries("q40_events_tumbling")(spark, "/root/testdata/sf0.001")
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on watermark (q41 twin)") {
+    import spark.implicits._
+    val dir = stageDir()
+    // second batch: one far-future event per user pushes the watermark past
+    // every real session's gap so flatMapGroupsWithState closes them all
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = spark.read.parquet(s"$dir/part-0.parquet")
+    val sentinelTs = base.select(max(col("ts"))).head().getLong(0) +
+      30L * 24 * 3600 * 1000000000L
+    base.select(col("user_id")).distinct()
+      .withColumn("event_id", lit(-1L))
+      .withColumn("ts", lit(sentinelTs))
+      .withColumn("event_type", lit("sentinel"))
+      .withColumn("value", lit(0.0))
+      .withColumn("props", lit(""))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(dir)
+
+    val sessions = EventStreams.sessionize(
+      EventStreams.readEvents(spark, dir))
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .filter(col("start_us") < sentinelTs / 1000) // drop sentinel sessions
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      val want = graft.queries.Pipeline
+        .queries("q41_events_sessionize")(spark, "/root/testdata/sf0.001")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0,
+        "per-user session counts differ between stream and batch")
+    } finally q.stop()
+  }
+}
