@@ -27,6 +27,11 @@ object BondColumns {
     nanToNull(NtnF.pu(liq, venc, taxa)))
   private val ntnfTaxaUdf = udf((liq: LocalDate, venc: LocalDate, pu: Double) =>
     nanToNull(NtnF.taxa(liq, venc, pu)))
+  private val ntnfDurationUdf = udf((liq: LocalDate, venc: LocalDate, taxa: Double) =>
+    nanToNull(NtnF.duration(liq, venc, taxa)))
+  private val ntnfDv01Udf = udf(
+    (liq: LocalDate, venc: LocalDate, taxa: Double, pu: Double) =>
+      nanToNull(NtnF.dv01(liq, venc, taxa, pu)))
   private val ntnbCotacaoUdf = udf((liq: LocalDate, venc: LocalDate, taxa: Double) =>
     nanToNull(NtnB.cotacao(liq, venc, taxa)))
   private val ntnbPuUdf = udf((vna: Double, cot: Double) =>
@@ -54,6 +59,10 @@ object BondColumns {
     ntnfPuUdf(liq, venc, taxa)
   def ntnf_taxa(liq: Column, venc: Column, pu: Column): Column =
     ntnfTaxaUdf(liq, venc, pu)
+  def ntnf_duration(liq: Column, venc: Column, taxa: Column): Column =
+    ntnfDurationUdf(liq, venc, taxa)
+  def ntnf_dv01(liq: Column, venc: Column, taxa: Column, pu: Column): Column =
+    ntnfDv01Udf(liq, venc, taxa, pu)
   def ntnb_cotacao(liq: Column, venc: Column, taxa: Column): Column =
     ntnbCotacaoUdf(liq, venc, taxa)
   def ntnb_pu(vna: Column, cot: Column): Column = ntnbPuUdf(vna, cot)
