@@ -63,21 +63,32 @@ object functions {
   // ------------------------------------------------------------- BR numbers
   // Reference: /root/reference/pyield/_internal/br_numbers.py:10-53
 
-  /** "1.234,56" → 1234.56 (drop '.' thousands separators, ',' → '.'). */
+  /** "1.234,56" → 1234.56 (drop '.' thousands separators, ',' → '.').
+    * try_cast: unparseable/empty strings are null, not ANSI errors.
+    */
   def float_br(c: Column): Column =
-    regexp_replace(regexp_replace(c, "\\.", ""), ",", ".").cast("double")
+    regexp_replace(regexp_replace(trim(c), "\\.", ""), ",", ".")
+      .try_cast("double")
 
-  /** BR percent string → decimal rate, rounded to 10 places. */
-  def taxa_br(c: Column): Column = round(float_br(c) / lit(100), 10)
+  /** BR percent string → decimal rate, rounded (Polars ties-even
+    * semantics) to 10 places.
+    */
+  def taxa_br(c: Column): Column = round_even(float_br(c) / lit(100), 10)
 
   /** Percent number → decimal rate, rounded to 10 places
     * (pct_para_decimal, br_numbers.py:10-16).
     */
-  def pct_para_decimal(c: Column): Column = round(c / lit(100), 10)
+  def pct_para_decimal(c: Column): Column = round_even(c / lit(100), 10)
 
-  /** "1.234" → 1234L (thousands-dotted integer). */
+  /** BR-formatted number → integer: parse as float, round ties-even at 0
+    * places, cast (br_numbers.py:43-49 — "406.559,43" → 406559).
+    */
   def inteiro_br(c: Column): Column =
-    regexp_replace(c, "\\.", "").cast("long")
+    round_even(float_br(c), 0).try_cast("long")
+
+  /** BR number in thousands → integer units (br_numbers.py:52-54). */
+  def inteiro_m(c: Column): Column =
+    round_even(float_br(c) * 1000, 0).try_cast("long")
 
   // ----------------------------------------------------------- date parsing
 
