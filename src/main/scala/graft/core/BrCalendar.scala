@@ -41,7 +41,8 @@ object BrCalendar {
         .map(_.trim)
         .filter(l => l.nonEmpty && !l.startsWith("#"))
         .map(l => LocalDate.parse(l, fmt).toEpochDay.toInt)
-        .toArray.sorted
+        .toArray.distinct.sorted // source data repeats 21/04/2079; counting
+                                 // needs unique sorted days
     } finally src.close()
   }
 
