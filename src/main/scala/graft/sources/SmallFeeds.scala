@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.ops.Dedup
+
+/** Remaining small schema-first feeds (SURVEY §2.1):
+  * SGS series (S6), COPOM calendar (S19), LFT VNA fixed-width text (S12),
+  * Tesouro benchmarks (S9), IBGE IPCA (S17). Acquisition is pluggable
+  * (callers pass raw payloads); parsing mirrors the reference contracts.
+  */
+object SmallFeeds {
+
+  // -------------------------------------------------------------- SGS (S6)
+
+  /** BCB SGS series payload `[{"data":"dd/mm/yyyy","valor":"..."}]` →
+    * (data Date, valor Double) frame (reference bc/sgs.py:83-97).
+    */
+  def sgsParse(spark: SparkSession, json: String): DataFrame = {
+    import spark.implicits._
+    spark.read.json(spark.createDataset(Seq(json)))
+      .select(to_date(col("data"), "dd/MM/yyyy").as("data"),
+        col("valor").try_cast("double").as("valor"))
+  }
+
+  /** Range splitting for the API's ~10-year window limit: [start, end]
+    * becomes 10-year blocks (reference bc/sgs.py:99-125).
+    */
+  def sgsRanges(inicio: java.time.LocalDate,
+                fim: java.time.LocalDate): Seq[(java.time.LocalDate, java.time.LocalDate)] = {
+    val LimiteDias = 3470 // ~9.5y, the reference's safe window
+    if (java.time.temporal.ChronoUnit.DAYS.between(inicio, fim) < LimiteDias)
+      Seq(inicio -> fim)
+    else {
+      Iterator.iterate(inicio)(_.plusYears(10)).takeWhile(!_.isAfter(fim))
+        .map { ini =>
+          val f = ini.plusYears(10)
+          ini -> (if (f.isAfter(fim)) fim else f)
+        }.toSeq
+    }
+  }
+
+  /** Concat + dedup-first by date + sort — the merge step after fetching
+    * each block.
+    */
+  def sgsMerge(blocks: Seq[DataFrame]): DataFrame = {
+    val all = blocks.reduce(_ unionByName _)
+    Dedup.keepFirst(all, Seq("data"), Seq(col("valor"))).orderBy(col("data"))
+  }
+
+  // ------------------------------------------------------------ COPOM (S19)
+
+  /** Past (API/fixture) + future (announced) meetings → deduped calendar
+    * with ExpiryDate = next business day after the meeting end
+    * (reference selic/copom.py:118-183).
+    */
+  def copomCalendar(past: DataFrame, future: DataFrame): DataFrame = {
+    val merged = past.unionByName(future, allowMissingColumns = true)
+    Dedup.keepFirst(merged, Seq("EndDate"), Seq(col("StartDate")))
+      .withColumn("ExpiryDate", bday_add(col("EndDate").cast("date"), lit(1)))
+      .orderBy(col("EndDate"))
+  }
+
+  def copomNextMeeting(calendar: DataFrame, reference: java.sql.Date): DataFrame =
+    calendar.filter(col("EndDate").cast("date") >= lit(reference))
+      .orderBy(col("EndDate")).limit(1)
+
+  // ---------------------------------------------------------- LFT VNA (S12)
+
+  /** Fixed-width `{date}APC238` text: slice the section between the
+    * markers, whitespace-split, keep código 210100 rows, all values must
+    * agree → scalar (reference bc/lft.py:30-117).
+    */
+  def lftVnaParse(texto: String): Double = {
+    val inicio = texto.indexOf("EMISSAO")
+    val fim = texto.indexOf("TOTAL")
+    require(inicio >= 0 && fim > inicio, "estrutura inesperada do APC238")
+    val linhas = texto.substring(inicio, fim).split("\r?\n").drop(1)
+    val valores = linhas
+      .map(_.trim.split("\\s+"))
+      .filter(campos => campos.length >= 2 && campos(0) == "210100")
+      .map(campos => campos.last.replace(".", "").replace(",", ".").toDouble)
+    require(valores.nonEmpty, "nenhuma linha 210100 no APC238")
+    require(valores.distinct.length == 1,
+      "valores de VNA divergentes no APC238")
+    valores.head
+  }
+
+  // ------------------------------------------------ benchmarks/IPCA (S9/S17)
+
+  /** Tesouro benchmarks payload (list of dicts) → trimmed typed frame
+    * (reference tpf/benchmark.py:38-124).
+    */
+  def benchmarksParse(spark: SparkSession, json: String): DataFrame = {
+    import spark.implicits._
+    spark.read.json(spark.createDataset(Seq(json)))
+      .select(
+        trim(col("benchmark")).as("benchmark"),
+        trim(col("tipo_titulo")).as("titulo"),
+        to_date(col("data_vencimento")).as("data_vencimento"))
+      .orderBy(col("titulo"), col("data_vencimento"))
+  }
+
+  /** IBGE IPCA period payload `[{"periodo":"YYYYMM","valor":...}]` →
+    * (competencia Date, valor Double) (reference ipca/historico.py:35-258).
+    */
+  def ipcaParse(spark: SparkSession, json: String): DataFrame = {
+    import spark.implicits._
+    spark.read.json(spark.createDataset(Seq(json)))
+      .select(
+        to_date(concat(col("periodo"), lit("01")), "yyyyMMdd")
+          .as("competencia"),
+        col("valor").try_cast("double").as("valor"))
+      .orderBy(col("competencia"))
+  }
+}

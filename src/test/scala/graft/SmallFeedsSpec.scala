@@ -1,0 +1,93 @@
+package graft
+
+import java.time.LocalDate
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{DerivativosIntradia, SmallFeeds}
+
+class SmallFeedsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("derivativos intradia JSON fixtures parse with dotted paths") {
+    for (c <- Seq("DOL", "DAP", "IND", "FRO")) {
+      val df = DerivativosIntradia.ler(spark,
+        s"/root/reference/tests/b3/data/derivativos_intradia_20260310_$c.json")
+      assert(df.columns.toSeq == DerivativosIntradia.Colunas.map(_._2))
+      assert(df.count() > 0)
+      assert(df.filter(col("codigo_negociacao").isNull).count() == 0)
+      assert(df.filter(col("data_vencimento").isNotNull).count() > 0)
+    }
+  }
+
+  test("SGS parse + 10y range split + merge") {
+    val df = SmallFeeds.sgsParse(spark,
+      """[{"data":"02/01/2024","valor":"4.8413"},
+          {"data":"03/01/2024","valor":"4.9051"}]""")
+    assert(df.collect().map(_.getDouble(1)).toSeq == Seq(4.8413, 4.9051))
+
+    val ranges = SmallFeeds.sgsRanges(LocalDate.parse("2000-01-01"),
+      LocalDate.parse("2024-06-01"))
+    assert(ranges.length == 3)
+    assert(ranges.head._1 == LocalDate.parse("2000-01-01"))
+    assert(ranges.last._2 == LocalDate.parse("2024-06-01"))
+    assert(SmallFeeds.sgsRanges(LocalDate.parse("2024-01-01"),
+      LocalDate.parse("2024-06-01")) ==
+      Seq(LocalDate.parse("2024-01-01") -> LocalDate.parse("2024-06-01")))
+
+    val merged = SmallFeeds.sgsMerge(Seq(df, df))
+    assert(merged.count() == 2)
+  }
+
+  test("COPOM calendar from fixture + announced meetings; expiry is next bday") {
+    val past = spark.read.parquet(
+      "/root/reference/tests/copom/data/copom_calendar.parquet")
+      .drop("ExpiryDate")
+    val future = past.limit(0)
+    val cal = SmallFeeds.copomCalendar(past, future)
+    assert(cal.count() == past.count())
+    // expiry strictly after end and is a business day
+    assert(cal.filter(col("ExpiryDate") <= col("EndDate")).count() == 0)
+    assert(cal.filter(!graft.functions.is_bday(col("ExpiryDate"))).count() == 0)
+    val next = SmallFeeds.copomNextMeeting(cal,
+      java.sql.Date.valueOf("2025-01-15"))
+    assert(next.count() == 1)
+    assert(next.select(col("EndDate").cast("string")).head().getString(0)
+      == "2025-01-29")
+  }
+
+  test("LFT VNA fixed-width parse (bc/lft.py format)") {
+    val texto =
+      """SELIC - APC238
+        |EMISSAO   CODIGO   VNA
+        |  x       210100   16.295,471273
+        |  y       210100   16.295,471273
+        |TOTAL
+        |""".stripMargin
+    assert(SmallFeeds.lftVnaParse(texto) == 16295.471273)
+    intercept[IllegalArgumentException] { // no 210100 rows at all
+      SmallFeeds.lftVnaParse(texto.replace("210100", "999999"))
+    }
+    intercept[IllegalArgumentException] { // conflicting VNA values
+      SmallFeeds.lftVnaParse(texto.replaceFirst("16\\.295,471273", "1,0"))
+    }
+  }
+
+  test("benchmarks + IPCA payload parse") {
+    val b = SmallFeeds.benchmarksParse(spark,
+      """[{"benchmark":" LTN 12 meses ","tipo_titulo":"LTN",
+          "data_vencimento":"2026-10-01"}]""")
+    assert(b.head().getString(0) == "LTN 12 meses")
+
+    val i = SmallFeeds.ipcaParse(spark,
+      """[{"periodo":"202401","valor":0.42},{"periodo":"202402","valor":0.83}]""")
+    assert(i.collect().map(r => (r.getDate(0).toString, r.getDouble(1))).toSeq
+      == Seq(("2024-01-01", 0.42), ("2024-02-01", 0.83)))
+  }
+}
