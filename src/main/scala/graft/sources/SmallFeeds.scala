@@ -68,19 +68,21 @@ object SmallFeeds {
 
   // ---------------------------------------------------------- LFT VNA (S12)
 
-  /** Fixed-width `{date}APC238` text: slice the section between the
-    * markers, whitespace-split, keep código 210100 rows, all values must
-    * agree → scalar (reference bc/lft.py:30-117).
+  /** `{date}APC238` text: slice between "EMISSAO" and the "99999999*"
+    * trailer, drop the header line, keep rows whose 4th field is código
+    * 210100, take the last field as the VNA (comma decimal); all values
+    * must agree → scalar (reference bc/lft.py:44-80).
     */
   def lftVnaParse(texto: String): Double = {
     val inicio = texto.indexOf("EMISSAO")
-    val fim = texto.indexOf("TOTAL")
+    val fim = texto.indexOf("99999999*")
     require(inicio >= 0 && fim > inicio, "estrutura inesperada do APC238")
-    val linhas = texto.substring(inicio, fim).split("\r?\n").drop(1)
+    val linhas = texto.substring(inicio, fim)
+      .split("\r?\n").map(_.trim).filter(_.nonEmpty).drop(1)
     val valores = linhas
-      .map(_.trim.split("\\s+"))
-      .filter(campos => campos.length >= 2 && campos(0) == "210100")
-      .map(campos => campos.last.replace(".", "").replace(",", ".").toDouble)
+      .map(_.split("\\s+"))
+      .filter(campos => campos.length > 3 && campos(3) == "210100")
+      .map(campos => campos.last.replace(",", ".").toDouble)
     require(valores.nonEmpty, "nenhuma linha 210100 no APC238")
     require(valores.distinct.length == 1,
       "valores de VNA divergentes no APC238")

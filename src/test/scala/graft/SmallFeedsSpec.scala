@@ -65,12 +65,13 @@ class SmallFeedsSpec extends AnyFunSuite {
   test("LFT VNA fixed-width parse (bc/lft.py format)") {
     val texto =
       """SELIC - APC238
-        |EMISSAO   CODIGO   VNA
-        |  x       210100   16.295,471273
-        |  y       210100   16.295,471273
-        |TOTAL
+        |EMISSAO DT-VENC QTDE CODIGO VNA
+        |20200101 20260301 10 210100 14903,01148
+        |20210101 20270901 20 210100 14903,01148
+        |20210101 20270901 20 100000 999,99
+        |99999999*
         |""".stripMargin
-    assert(SmallFeeds.lftVnaParse(texto) == 16295.471273)
+    assert(SmallFeeds.lftVnaParse(texto) == 14903.01148)
     intercept[IllegalArgumentException] { // no 210100 rows at all
       SmallFeeds.lftVnaParse(texto.replace("210100", "999999"))
     }
