@@ -76,7 +76,7 @@ class SmallFeedsSpec extends AnyFunSuite {
       SmallFeeds.lftVnaParse(texto.replace("210100", "999999"))
     }
     intercept[IllegalArgumentException] { // conflicting VNA values
-      SmallFeeds.lftVnaParse(texto.replaceFirst("16\\.295,471273", "1,0"))
+      SmallFeeds.lftVnaParse(texto.replaceFirst("14903,01148", "1,0"))
     }
   }
 
