@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+      graft.queries.Relational2.queries ++
       graft.queries.Domain.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.BondQueries.queries
@@ -29,6 +30,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
+      graft.queries.Relational2.oracleSql ++
       graft.queries.Domain.oracleSql ++
       graft.queries.Pipeline.oracleSql ++
       graft.queries.BondQueries.oracleSql

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second batch of relational coverage: wide→long unpivot (the RMD report
+  * shape, SURVEY S15), rollup aggregation, exact distinct counts.
+  */
+object Relational2 {
+
+  type Q = (SparkSession, String) => DataFrame
+  import Tables._
+
+  // q26 — unpivot/melt (wide month-columns → long rows, RMD style)
+  private val q26: Q = (s, d) =>
+    part(s, d)
+      .select(col("p_partkey"),
+        col("p_retailprice").as("retail_price"),
+        col("p_size").cast("double").as("size_units"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("retail_price"), col("size_units")),
+        "metric", "value")
+      .orderBy(col("p_partkey"), col("metric"))
+
+  private val q26Sql = """
+    SELECT p_partkey, 'retail_price' AS metric, p_retailprice AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'size_units' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    ORDER BY p_partkey, metric"""
+
+  // q27 — rollup: revenue per (returnflag, linestatus) with subtotals
+  private val q27: Q = (s, d) =>
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("revenue"), col("n"))
+      .orderBy(col("flag"), col("status"))
+
+  private val q27Sql = """
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY flag, status"""
+
+  // q28 — exact distinct counts per group
+  private val q28: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_part"))
+      .orderBy(col("l_returnflag"))
+
+  private val q28Sql = """
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  val queries: Map[String, Q] = Map(
+    "q26_unpivot_long" -> q26,
+    "q27_rollup" -> q27,
+    "q28_distinct_counts" -> q28)
+
+  val oracleSql: Map[String, String] = Map(
+    "q26_unpivot_long" -> q26Sql,
+    "q27_rollup" -> q27Sql,
+    "q28_distinct_counts" -> q28Sql)
+}
