@@ -138,8 +138,8 @@ object BcLeiloes {
   }
 
   def comPtax(df0: DataFrame, ptax: DataFrame): DataFrame = {
-    var df = AsOf.join(df0, ptax.select(col("data_ref"), col("ptax")),
-      by = Seq.empty, leftOn = "data_leilao", rightOn = "data_ref",
+    var df = AsOf.joinBroadcast(df0, ptax.select(col("data_ref"), col("ptax")),
+      leftOn = "data_leilao", rightOn = "data_ref",
       payload = Seq("ptax" -> "ptax"))
     Seq("dv01_1v", "dv01_2v", "dv01_total").foreach { c =>
       df = df.withColumn(s"${c}_usd", round_even(col(c) / col("ptax"), 2))

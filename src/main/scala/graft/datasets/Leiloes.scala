@@ -184,8 +184,11 @@ object Leiloes {
         round_even(col("_dv01u") * col("quantidade_aceita_total"), 2))
       .drop("_dv01u")
 
+    // PTAX is a broadcast-sized published series: the zero-shuffle
+    // binary-search as-of beats funneling the fact table through the
+    // single partition an ungrouped window would need
     val ptaxPrep = ptax.select(col("data_ref"), col("ptax"))
-    df = AsOf.join(df, ptaxPrep, by = Seq.empty,
+    df = AsOf.joinBroadcast(df, ptaxPrep,
       leftOn = "data_1v", rightOn = "data_ref",
       payload = Seq("ptax" -> "ptax"))
     Seq("dv01_1v", "dv01_2v", "dv01_total").foreach { c =>

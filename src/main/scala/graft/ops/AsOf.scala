@@ -18,6 +18,94 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** As-of join against a BROADCAST-sized right side (a published series, a
+    * calendar): zero shuffle — the sorted right table ships to executors
+    * and each left row resolves its bracket by binary search. This is the
+    * right tool when `by` would be empty: the windowed form would funnel
+    * every row through one partition, while this stays embarrassingly
+    * parallel at any left-side scale.
+    *
+    * Keys are compared on their underlying long encoding (epoch day for
+    * dates, epoch micros for timestamps, the value itself for integers).
+    */
+  def joinBroadcast(left: DataFrame, right: DataFrame,
+                    leftOn: String, rightOn: String,
+                    payload: Seq[(String, String)],
+                    forward: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = left.sparkSession
+
+    val keyType = right.schema(rightOn).dataType
+    def keyExpr(c: Column) = keyType match {
+      case DateType => unix_date(c.cast("date")).cast("long")
+      case TimestampType | TimestampNTZType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+
+    val rows = right.select((keyExpr(col(rightOn)) +:
+        payload.map { case (rc, _) => col(rc) }): _*)
+      .filter(col(rightOn).isNotNull)
+      .collect()
+      .sortBy(_.getLong(0))
+    val keys = rows.map(_.getLong(0))
+    val bcKeys = spark.sparkContext.broadcast(keys)
+
+    // resolve the matched row index with a binary-search UDF, then pull the
+    // payload columns via broadcast lookup
+    val values: Seq[Array[Any]] = payload.indices.map { i =>
+      rows.map(r => r.get(i + 1)): Array[Any]
+    }
+    val bcValues = spark.sparkContext.broadcast(values)
+    val fwd = forward
+    val idxUdf = udf((k: java.lang.Long) => {
+      if (k == null) -1
+      else {
+        val ks = bcKeys.value
+        var i = java.util.Arrays.binarySearch(ks, k.longValue())
+        if (i >= 0) {
+          // ties: backward wants the last equal, forward the first equal
+          if (fwd) { while (i > 0 && ks(i - 1) == k) i -= 1 }
+          else { while (i < ks.length - 1 && ks(i + 1) == k) i += 1 }
+          i
+        } else {
+          val ins = -(i + 1)
+          if (fwd) (if (ins < ks.length) ins else -1)
+          else ins - 1
+        }
+      }
+    })
+
+    val withIdx = left.withColumn("_asof_idx", idxUdf(keyExpr(col(leftOn))))
+    val out = payload.zipWithIndex.foldLeft(withIdx) {
+      case (df, ((rc, outName), i)) =>
+        // lookup UDFs need a concrete return type per payload column
+        val lookup: Column = right.schema(rc).dataType match {
+          case DoubleType =>
+            udf((idx: Int) => if (idx < 0) None
+              else Option(bcValues.value(i)(idx)).map(_.asInstanceOf[Double]))
+              .apply(col("_asof_idx"))
+          case LongType | IntegerType =>
+            udf((idx: Int) => if (idx < 0) None
+              else Option(bcValues.value(i)(idx)).map(_.toString.toLong))
+              .apply(col("_asof_idx"))
+          case StringType =>
+            udf((idx: Int) => if (idx < 0) None
+              else Option(bcValues.value(i)(idx)).map(_.toString))
+              .apply(col("_asof_idx"))
+          case DateType =>
+            udf((idx: Int) => if (idx < 0) None
+              else Option(bcValues.value(i)(idx))
+                .map(_.asInstanceOf[java.sql.Date].toLocalDate))
+              .apply(col("_asof_idx"))
+          case other =>
+            throw new IllegalArgumentException(
+              s"unsupported broadcast as-of payload type: $other")
+        }
+        df.withColumn(outName, lookup)
+    }
+    out.drop("_asof_idx")
+  }
+
   /** Attach to each `left` row the payload of the matching `right` row.
     *
     * @param by        equality group columns (present in both sides)
