@@ -20,6 +20,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // absorb JVM/codegen/session warmup so per-query numbers reflect
+    // steady-state execution rather than first-query startup
+    try SparkEntry.queries.head._2(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
