@@ -11,6 +11,25 @@ import graft.core.{AddBusinessDays, BusinessDayCount, IsBusinessDay, RoundHalfEv
   */
 object functions {
 
+  /** Registers the custom Catalyst expressions for SQL use
+    * (`SELECT bday_count(a, b) FROM ...`), mirroring how a
+    * SparkSessionExtensions-based deployment would inject them.
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.core._
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("bday_count",
+      es => BusinessDayCount(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("is_bday",
+      es => IsBusinessDay(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("add_bdays",
+      es => AddBusinessDays(es.head, es(1), rollForward = true), "scala_udf")
+    reg.createOrReplaceTempFunction("truncate_dec",
+      es => TruncateDecimal(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("round_even",
+      es => RoundHalfEvenBinary(es.head, es(1)), "scala_udf")
+  }
+
   // ---------------------------------------------------------------- calendar
 
   /** Business days in [start, end) with Brazilian holidays, per-row dual
@@ -33,6 +52,14 @@ object functions {
     */
   def is_bday(date: Column): Column =
     column(IsBusinessDay(expression(date.cast("date"))))
+
+  /** Business days in [start, end] as an array column — the Column form of
+    * du.gerar (sequence + filter on the business-day predicate; reference
+    * pyield/du/core.py:499-556 maps a date_range the same way).
+    */
+  def bday_range(start: Column, end: Column): Column =
+    filter(sequence(start.cast("date"), end.cast("date")),
+      d => is_bday(d))
 
   // --------------------------------------------------------------- numerics
 
