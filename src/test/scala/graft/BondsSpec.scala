@@ -93,6 +93,14 @@ class BondsSpec extends AnyFunSuite {
       == 0.00123443)
   }
 
+  test("NTN-F duration + dv01 goldens (ntnf.py:850-856,924-930)") {
+    assert(NtnF.duration(d("2024-09-02"), d("2035-01-01"), 0.121785)
+      == 6.32854218039796)
+    val pu = NtnF.pu(d("2025-03-26"), d("2035-01-01"), 0.151375)
+    assert(NtnF.dv01(d("2025-03-26"), d("2035-01-01"), 0.151375, pu)
+      == 0.3902520000000325)
+  }
+
   test("calcular_pv golden (_utils.py:227-233)") {
     val pv = Bonds.calcularPv(Seq(100, 100, 1100), Seq(0.08, 0.08, 0.08),
       Seq(1.0, 2.0, 3.0))

@@ -75,6 +75,28 @@ class CurveSpec extends AnyFunSuite {
     assert(rowsX(3).getDouble(1) == 0.13)
   }
 
+  test("forwards null cascade doctests (fwd.py:294-329)") {
+    import spark.implicits._
+    // null du affects only its own row (nulls sort last)
+    val withNullDu = Seq((Some(230L), Some(0.0943)), (Some(415L), Some(0.084099)),
+      (Some(730L), Some(0.079052)), (None: Option[Long], Some(0.1)),
+      (Some(914L), Some(0.077134)))
+      .toDF("du", "tx")
+      .withColumn("fwd", round(Curve.forwards(col("du"), col("tx"), lit(0)), 6))
+      .orderBy(col("du").asc_nulls_last).collect()
+    assert(withNullDu.map(r => if (r.isNullAt(2)) null else r.getDouble(2)).toSeq
+      == Seq(0.0943, 0.071549, 0.072439, 0.069558, null))
+
+    // null tx cascades exactly one row downstream
+    val withNullTx = Seq((230L, Some(0.0943)), (415L, None: Option[Double]),
+      (730L, Some(0.079052)), (914L, Some(0.077134)))
+      .toDF("du", "tx")
+      .withColumn("fwd", round(Curve.forwards(col("du"), col("tx"), lit(0)), 6))
+      .orderBy("du").collect()
+    assert(withNullTx.map(r => if (r.isNullAt(2)) null else r.getDouble(2)).toSeq
+      == Seq(0.0943, null, null, 0.069558))
+  }
+
   test("forwards doctest incl. spot and duplicate-vertex null cascade") {
     import spark.implicits._
     // fwd.py:74-99 two-curve example
