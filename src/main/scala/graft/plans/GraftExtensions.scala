@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.core._
+import graft.dedup.MinHashSig
+
+/** SparkSessionExtensions entry point: injects the engine's custom
+  * Catalyst expressions so any session created with
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   // or spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * can use them from SQL — the deployment shape for a shared cluster
+  * (SURVEY §7 "custom Catalyst" item; spark.sql.extensions is how the
+  * jar's operators reach notebooks and JDBC sessions that never touch the
+  * Scala API).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("bday_count"),
+      info("bday_count", "business days in [start, end), Brazilian dual-regime calendar"),
+      (es: Seq[Expression]) => BusinessDayCount(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("add_bdays"),
+      info("add_bdays", "roll to business day then add n business days"),
+      (es: Seq[Expression]) => AddBusinessDays(es.head, es(1), rollForward = true)))
+    e.injectFunction((FunctionIdentifier("is_bday"),
+      info("is_bday", "weekday and not a holiday of the date's own regime"),
+      (es: Seq[Expression]) => IsBusinessDay(es.head)))
+    e.injectFunction((FunctionIdentifier("truncate_dec"),
+      info("truncate_dec", "STN truncation toward zero on the shortest decimal repr"),
+      (es: Seq[Expression]) => TruncateDecimal(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("round_even"),
+      info("round_even", "Polars-style scaled ties-to-even rounding"),
+      (es: Seq[Expression]) => RoundHalfEvenBinary(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "one-pass MinHash signature array of a text column"),
+      (es: Seq[Expression]) => MinHashSig(es.head, k = 5, numHashes = 8)))
+  }
+}
