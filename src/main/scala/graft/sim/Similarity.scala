@@ -16,6 +16,38 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** IVF coarse quantization: fit KMeans centroids (the inverted-file
+    * cell structure) and assign every vector to its cell. `assignCells`
+    * can then probe the query's nearest `nprobe` cells — the standard
+    * recall/speed dial of IVF indexes.
+    */
+  def kmeansCells(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L)
+      : (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    import org.apache.spark.sql.functions.udf
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    val feat = df.withColumn("_features", toVec(col(vecCol)))
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("_features").setPredictionCol("_cell").fit(feat)
+    val assigned = model.transform(feat)
+      .withColumn("cell", col("_cell")).drop("_features", "_cell")
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Cell ids of the `nprobe` nearest centroids for one query vector. */
+  def probeCells(vec: Seq[Float], centroids: Array[Array[Double]],
+                 nprobe: Int): Seq[Int] = {
+    val v = vec.map(_.toDouble).toArray
+    centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+      (d, i)
+    }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+  }
+
   /** Sequential-fold dot product in double precision. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Salt
+
+/** Scale-mechanics evidence: salted aggregation equals the plain groupBy
+  * on skewed data, and bucketed tables join without an Exchange.
+  */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("salted aggregation == plain groupBy on a skewed key") {
+    import spark.implicits._
+    // 90% of rows share one key — the classic hot-key shape
+    val skewed = spark.range(100000)
+      .select(when(col("id") % 10 === 0, concat(lit("k"), col("id") % 7))
+        .otherwise(lit("HOT")).as("k"),
+        (col("id") % 1000).cast("double").as("v"))
+
+    val plain = skewed.groupBy("k")
+      .agg(sum("v").as("total"), count("v").as("n"))
+    val salted = Salt.saltedAgg(skewed, Seq("k"),
+      Seq(("v", "sum", "total"), ("v", "count", "n")))
+
+    assert(plain.count() == salted.count())
+    assert(plain.exceptAll(salted).count() == 0 &&
+      salted.exceptAll(plain).count() == 0)
+  }
+
+  test("bucketed tables join with zero shuffle (co-located join)") {
+    // tables land in the default ./spark-warehouse (gitignored)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_b")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      // bucketing pre-partitions both sides: no Exchange under the join
+      assert(!plan.contains("Exchange"),
+        s"expected shuffle-free co-located join, got:\n$plan")
+      assert(joined.count() ==
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").count())
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}
