@@ -36,9 +36,16 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join with zero shuffle (co-located join)") {
-    // tables land in the default ./spark-warehouse (gitignored)
+    // tables land in the default ./spark-warehouse (gitignored); a fresh
+    // in-memory catalog doesn't know leftover locations from earlier runs,
+    // so clear them on disk too
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
+    for (t <- Seq("li_b", "o_b")) {
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists())
+        scala.reflect.io.Directory(dir).deleteRecursively()
+    }
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_b")
