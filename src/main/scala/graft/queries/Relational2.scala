@@ -68,12 +68,30 @@ object Relational2 {
            count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // q29 — salted aggregation over the (skewed in real data) order-status
+  // key: the two-phase salt must be invisible in the result
+  private val q29: Q = (s, d) =>
+    graft.ops.Salt.saltedAgg(
+        orders(s, d).select(col("o_orderstatus"), col("o_totalprice")),
+        Seq("o_orderstatus"),
+        Seq(("o_totalprice", "sum", "total_raw"), ("o_totalprice", "count", "n")))
+      .select(col("o_orderstatus"), round(col("total_raw"), 2).as("total"),
+        col("n"))
+      .orderBy(col("o_orderstatus"))
+
+  private val q29Sql = """
+    SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total,
+           count(o_totalprice) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val queries: Map[String, Q] = Map(
+    "q29_salted_agg" -> q29,
     "q26_unpivot_long" -> q26,
     "q27_rollup" -> q27,
     "q28_distinct_counts" -> q28)
 
   val oracleSql: Map[String, String] = Map(
+    "q29_salted_agg" -> q29Sql,
     "q26_unpivot_long" -> q26Sql,
     "q27_rollup" -> q27Sql,
     "q28_distinct_counts" -> q28Sql)
