@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Relational2.queries ++
       graft.queries.Domain.queries ++
       graft.queries.Pipeline.queries ++
-      graft.queries.BondQueries.queries
+      graft.queries.BondQueries.queries ++
+      graft.queries.Pipeline2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.Relational2.oracleSql ++
       graft.queries.Domain.oracleSql ++
       graft.queries.Pipeline.oracleSql ++
-      graft.queries.BondQueries.oracleSql
+      graft.queries.BondQueries.oracleSql ++
+      graft.queries.Pipeline2.oracleSql
 }

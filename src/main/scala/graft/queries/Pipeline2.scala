@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.DedupOps
+
+/** Final pipeline-extension batch: SimHash near-dup pairs via Hamming
+  * distance, hopping event windows, multimodal frame sampling.
+  */
+object Pipeline2 {
+
+  type Q = (SparkSession, String) => DataFrame
+  import Tables._
+
+  // q43 — simhash near-dup candidate pairs: 16-bit signatures within
+  // Hamming distance <= 2 (bit_count(xor) in both engines)
+  private val q43: Q = (s, d) => {
+    val sig = DedupOps.withSimhash16(
+      documents(s, d).select(col("doc_id"), col("text")), "text", "simhash")
+      .drop("text")
+    val a = sig.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sig.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 2)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private lazy val q43Sql = {
+    val bits = (0 until 16).map { j =>
+      s"""(CASE WHEN 2 * len(list_filter(hs,
+             h -> substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f')))
+           > len(ws) THEN ${1 << j} ELSE 0 END)"""
+    }.mkString(" + ")
+    s"""
+    WITH nd AS (SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+         FROM documents),
+    t AS (SELECT doc_id, list_distinct(string_split(n, ' ')) AS ws FROM nd),
+    h AS (SELECT doc_id, ws, list_transform(ws, w -> md5(w)) AS hs FROM t),
+    sig AS (SELECT doc_id, CAST($bits AS INTEGER) AS simhash FROM h)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    ORDER BY id_a, id_b"""
+  }
+
+  // q44 — hopping windows: 10-minute windows sliding every 5 minutes
+  // (each event lands in two buckets — explode of the two window starts)
+  private val q44: Q = (s, d) => {
+    val slideUs = 300000000L // 5 min
+    val ev = eventsMicros(s, d)
+      .withColumn("b0", col("ts_us") - (col("ts_us") % lit(slideUs)))
+    ev.withColumn("win_start_us",
+        explode(array(col("b0") - lit(slideUs), col("b0"))))
+      .groupBy(col("win_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("win_start_us"), col("event_type"))
+  }
+
+  private val q44Sql = """
+    WITH e AS (
+      SELECT event_type, value,
+             epoch_us(ts) - (epoch_us(ts) % 300000000) AS b0
+      FROM events),
+    exploded AS (
+      SELECT event_type, value, b0 - 300000000 AS win_start_us FROM e
+      UNION ALL
+      SELECT event_type, value, b0 AS win_start_us FROM e)
+    SELECT win_start_us, event_type, count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM exploded GROUP BY win_start_us, event_type
+    ORDER BY win_start_us, event_type"""
+
+  // q45 — multimodal frame sampling: fixed-stride byte slices of the
+  // binary payload (the shape of video frame extraction), hex-encoded
+  private val q45: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("hx", lower(hex(col("payload"))))
+      .withColumn("frames",
+        transform(sequence(lit(0L), least(((col("n_bytes") - 1) / 32).cast("long"), lit(7L))),
+          i => substring(col("hx"), (i * 64 + 1).cast("int"), lit(16))))
+      .select(col("doc_id"), col("n_bytes"), size(col("frames")).as("n_frames"),
+        col("frames"))
+      .orderBy(col("doc_id"))
+
+  private val q45Sql = """
+    WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+               FROM documents)
+    SELECT doc_id, n_bytes,
+           CAST(len(list_transform(
+             generate_series(0, least((n_bytes - 1) // 32, 7)),
+             i -> substring(hx, CAST(i * 64 + 1 AS INTEGER), 16)))
+             AS INTEGER) AS n_frames,
+           list_transform(
+             generate_series(0, least((n_bytes - 1) // 32, 7)),
+             i -> substring(hx, CAST(i * 64 + 1 AS INTEGER), 16)) AS frames
+    FROM p ORDER BY doc_id"""
+
+  val queries: Map[String, Q] = Map(
+    "q43_simhash_hamming_pairs" -> q43,
+    "q44_hopping_windows" -> q44,
+    "q45_multimodal_framesample" -> q45)
+
+  val oracleSql: Map[String, String] = Map(
+    "q43_simhash_hamming_pairs" -> q43Sql,
+    "q44_hopping_windows" -> q44Sql,
+    "q45_multimodal_framesample" -> q45Sql)
+}
