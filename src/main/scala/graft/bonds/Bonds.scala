@@ -308,6 +308,16 @@ object NtnC {
   * (reference lft.py).
   */
 object Lft {
+
+  /** Profitability over DI: (f_lft*f_di - 1)/(f_di - 1) with daily factors
+    * (lft.py:207-232; golden 1.008594331960501). Note the DIFFERENT
+    * formula from the prefixed families' daily-rate ratio.
+    */
+  def rentabilidade(taxaLft: Double, taxaDi: Double): Double = {
+    val fatorLft = math.pow(taxaLft + 1, 1.0 / 252)
+    val fatorDi = math.pow(taxaDi + 1, 1.0 / 252)
+    (fatorLft * fatorDi - 1) / (fatorDi - 1)
+  }
   /** cotacao = trunc6(1/(1+r)^trunc14(du/252)); goldens lft.py:131-147. */
   def cotacao(liq: LocalDate, venc: LocalDate, taxa0: Double): Double = {
     val t = Num.normalizarTaxa(taxa0)

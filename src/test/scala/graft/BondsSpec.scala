@@ -101,6 +101,17 @@ class BondsSpec extends AnyFunSuite {
       == 0.3902520000000325)
   }
 
+  test("NTN-C cotacao/pu goldens incl. the 2031 12% coupon rule (ntnc.py:251-254,309-310)") {
+    assert(NtnC.cotacao(d("2025-03-21"), d("2031-01-01"), 0.067626) == 1.264958)
+    assert(NtnC.cotacao(d("2008-05-21"), d("2011-03-01"), 0.069000009) == 0.990981)
+    assert(NtnC.pu(6598.913723, 1.264958) == 8347.348705)
+  }
+
+  test("LFT rentabilidade golden (lft.py:220-225)") {
+    assert(Lft.rentabilidade(0.001124, 0.13967670224373396)
+      == 1.008594331960501)
+  }
+
   test("calcular_pv golden (_utils.py:227-233)") {
     val pv = Bonds.calcularPv(Seq(100, 100, 1100), Seq(0.08, 0.08, 0.08),
       Seq(1.0, 2.0, 3.0))
