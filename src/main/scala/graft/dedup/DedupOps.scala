@@ -85,11 +85,21 @@ object DedupOps {
   /** Adds a 16-bit SimHash column from word unigrams: bit j is set when
     * the count of words whose j-th md5 hex digit has its high bit set
     * exceeds half the words. Engine-portable (hex-digit test instead of
-    * integer hashing). df-level so the word-hash array is materialized
-    * once instead of 16 times (see withMinhashSignature note).
+    * integer hashing). Native one-pass Catalyst expression ([[SimHashSig]]);
+    * the HOF twin below is kept as a semantic cross-check.
     */
   def withSimhash16(df: DataFrame, textCol: String,
                     outCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    df.withColumn(outCol, column(SimHashSig(expression(col(textCol)))))
+  }
+
+  /** Composed-expression form of [[withSimhash16]] (16 HOF filter passes
+    * over the word-hash array; ~10x slower than the native expression but
+    * useful as a cross-check of its semantics).
+    */
+  def withSimhash16Hof(df: DataFrame, textCol: String,
+                       outCol: String): DataFrame = {
     val tmpWs = "_sh_ws"
     val tmpHs = "_sh_hs"
     val prep = df

@@ -1,0 +1,84 @@
+package graft.dedup
+
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass 16-bit SimHash as a native Catalyst expression.
+  *
+  * Semantically identical to the composed higher-order-function form in
+  * [[DedupOps.withSimhash16Hof]] (normalize → distinct space-split words →
+  * bit j set when the count of words whose j-th md5 hex digit has its high
+  * bit set exceeds half the words) but computes all 16 bits in one pass
+  * over the word set with a single reused MessageDigest, instead of 16
+  * interpreted `filter` lambdas re-scanning the word-hash array
+  * (measured ~10x at sf0.1). Per-row CodegenFallback cost is irrelevant
+  * (one call per row).
+  *
+  * Reference behavior: SimHash near-dup fingerprinting as used by the
+  * dedup family (SURVEY §2, LLM-pipeline ops).
+  */
+case class SimHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_sig"
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  // one digest per thread: expression instances are shared across the
+  // concurrent tasks of local[n] / executor cores.
+  @transient private lazy val md =
+    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String]
+    // normalize: lower + collapse whitespace runs + trim — same ops as the
+    // lower/regexp_replace/trim expression chain in TextOps.normalize.
+    val normalized = UTF8String.fromString(
+      ws.matcher(raw.toLowerCase.toString).replaceAll(" ")).trim().toString
+
+    // distinct words of split(normalized, " "): normalized has single
+    // spaces only, so a plain split matches the split() expression
+    // (including the [""] result for empty input).
+    val words = new java.util.LinkedHashSet[String]()
+    var start = 0
+    var idx = normalized.indexOf(' ')
+    while (idx >= 0) {
+      words.add(normalized.substring(start, idx))
+      start = idx + 1
+      idx = normalized.indexOf(' ', start)
+    }
+    words.add(normalized.substring(start))
+
+    val nWords = words.size
+    val ones = new Array[Int](16)
+    val digest = md.get()
+    val it = words.iterator()
+    while (it.hasNext) {
+      digest.reset()
+      val d = digest.digest(it.next().getBytes("UTF-8"))
+      // hex digit j = nibble j of the digest; "high bit set" = nibble >= 8.
+      var j = 0
+      while (j < 16) {
+        val nibble =
+          if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf else d(j >> 1) & 0xf
+        if (nibble >= 8) ones(j) += 1
+        j += 1
+      }
+    }
+
+    var sig = 0
+    var j = 0
+    while (j < 16) {
+      if (ones(j) * 2 > nWords) sig |= (1 << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}

@@ -339,9 +339,12 @@ object Pipeline {
              THEN 1 ELSE 0 END AS new_sess
       FROM e),
     sess AS (
-      SELECT *, sum(new_sess) OVER
+      -- DuckDB's windowed SUM yields HUGEINT; cast so the typed value-hash
+      -- matches Spark's BIGINT session_id.
+      SELECT *, CAST(sum(new_sess) OVER
         (PARTITION BY user_id ORDER BY ts_us, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS session_id
       FROM flags)
     SELECT user_id, session_id, count(*) AS n_events,
            min(ts_us) AS start_us, max(ts_us) AS end_us

@@ -13,17 +13,37 @@ object Pipeline2 {
   import Tables._
 
   // q43 — simhash near-dup candidate pairs: 16-bit signatures within
-  // Hamming distance <= 2 (bit_count(xor) in both engines)
+  // Hamming distance <= 2 (bit_count(xor) in both engines).
+  //
+  // Scale plan: pigeonhole banding, NOT an all-pairs join. The 16 bits are
+  // split into 3 bands (6+5+5); two signatures within Hamming distance 2
+  // differ in at most 2 bands, so at least one band matches exactly —
+  // candidates come from a hash-shuffle equi-join on (band, band_value)
+  // (the same LSH shape as q32), then the exact bit_count(xor) <= 2 verify
+  // runs on candidates only. distinct() dedups pairs that collide in more
+  // than one band. No BroadcastNestedLoopJoin anywhere in the plan.
   private val q43: Q = (s, d) => {
     val sig = DedupOps.withSimhash16(
       documents(s, d).select(col("doc_id"), col("text")), "text", "simhash")
       .drop("text")
-    val a = sig.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-    val b = sig.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    // band values: bits 0-5, 6-10, 11-15
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(
+        col("simhash").bitwiseAND(lit(0x3f)),
+        shiftright(col("simhash"), 6).bitwiseAND(lit(0x1f)),
+        shiftright(col("simhash"), 11).bitwiseAND(lit(0x1f)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bv")
+    val a = banded.select(col("band"), col("bv"),
+      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("bv"),
+      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= 2)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -75,7 +95,10 @@ object Pipeline2 {
     ORDER BY win_start_us, event_type"""
 
   // q45 — multimodal frame sampling: fixed-stride byte slices of the
-  // binary payload (the shape of video frame extraction), hex-encoded
+  // binary payload (the shape of video frame extraction), hex-encoded.
+  // The frames array is fingerprinted (md5 over a ','-join) so the output
+  // stays scalar-typed — the driver's checker sorts column values and an
+  // array column is unsortable there.
   private val q45: Q = (s, d) =>
     documents(s, d)
       .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))
@@ -85,22 +108,21 @@ object Pipeline2 {
         transform(sequence(lit(0L), least(((col("n_bytes") - 1) / 32).cast("long"), lit(7L))),
           i => substring(col("hx"), (i * 64 + 1).cast("int"), lit(16))))
       .select(col("doc_id"), col("n_bytes"), size(col("frames")).as("n_frames"),
-        col("frames"))
+        md5(array_join(col("frames"), ",")).as("frames_fp"))
       .orderBy(col("doc_id"))
 
   private val q45Sql = """
     WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
                       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-               FROM documents)
-    SELECT doc_id, n_bytes,
-           CAST(len(list_transform(
-             generate_series(0, least((n_bytes - 1) // 32, 7)),
-             i -> substring(hx, CAST(i * 64 + 1 AS INTEGER), 16)))
-             AS INTEGER) AS n_frames,
+               FROM documents),
+    f AS (SELECT doc_id, n_bytes,
            list_transform(
              generate_series(0, least((n_bytes - 1) // 32, 7)),
              i -> substring(hx, CAST(i * 64 + 1 AS INTEGER), 16)) AS frames
-    FROM p ORDER BY doc_id"""
+          FROM p)
+    SELECT doc_id, n_bytes, CAST(len(frames) AS INTEGER) AS n_frames,
+           md5(array_to_string(frames, ',')) AS frames_fp
+    FROM f ORDER BY doc_id"""
 
   val queries: Map[String, Q] = Map(
     "q43_simhash_hamming_pairs" -> q43,

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.DedupOps
+
+/** Native Catalyst dedup expressions vs their composed-HOF twins, and the
+  * pigeonhole-banded SimHash pair join vs the brute-force all-pairs form
+  * (which the banding must reproduce exactly for Hamming <= 2).
+  */
+class DedupParitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+  test("native SimHashSig equals the HOF-composed simhash") {
+    val native = DedupOps.withSimhash16(docs, "text", "sh").select("doc_id", "sh")
+    val hof = DedupOps.withSimhash16Hof(docs, "text", "sh").select("doc_id", "sh")
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
+  test("native SimHashSig on edge-case strings matches HOF") {
+    import spark.implicits._
+    val edge = Seq("", "   ", "a", "A  a\tA", "word word word", "çãé ÇÃÉ")
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val native = DedupOps.withSimhash16(edge, "text", "sh").select("doc_id", "sh")
+    val hof = DedupOps.withSimhash16Hof(edge, "text", "sh").select("doc_id", "sh")
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
+  test("native MinHashSig equals the HOF-composed signature") {
+    val k = 5; val n = 6
+    val native = DedupOps.withMinhashSignature(docs.limit(300), "text", k, n)
+      .select("doc_id", (0 until n).map(i => s"m$i"): _*)
+    val hof = DedupOps.withMinhashSignatureHof(docs.limit(300), "text", k, n)
+      .select("doc_id", (0 until n).map(i => s"m$i"): _*)
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
+  test("banded hamming<=2 pairs equal the brute-force all-pairs result") {
+    val sig = DedupOps.withSimhash16(docs, "text", "simhash").drop("text")
+
+    // brute force (test-only oracle; O(n^2), fine at sf0.001)
+    val a = sig.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sig.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 2)
+      .select("id_a", "id_b", "hamming")
+
+    // banded (the declared q43 plan)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(
+        col("simhash").bitwiseAND(lit(0x3f)),
+        shiftright(col("simhash"), 6).bitwiseAND(lit(0x1f)),
+        shiftright(col("simhash"), 11).bitwiseAND(lit(0x1f)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val ba = banded.select(col("band"), col("bv"),
+      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val bb = banded.select(col("band"), col("bv"),
+      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val bandedPairs = ba.join(bb, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 2)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+
+    assert(brute.exceptAll(bandedPairs).isEmpty &&
+      bandedPairs.exceptAll(brute).isEmpty)
+    assert(brute.count() > 0, "fixture should contain near-dup pairs")
+  }
+}
