@@ -59,6 +59,28 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Bounded top-k per group via the [[TopKByScore]] native aggregate:
+    * map-side partial k-heaps mean only k rows per map task per group
+    * reach the shuffle, and no single task ever holds a query's full
+    * candidate set (the `row_number` window it replaces funneled each
+    * query's whole candidate list into one task — an OOM at corpus
+    * scale). Emits (groupCols..., cId, sim, rnk) ranked by
+    * (sim desc, cId asc).
+    */
+  private def finishTopK(joined: DataFrame, k: Int, qId: String,
+                         cId: String, extraGroupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val agg = column(TopKByScore(expression(col("sim")),
+      expression(col(cId).cast("long")), k).toAggregateExpression())
+    val groupCols = (qId +: extraGroupCols).map(col)
+    joined.groupBy(groupCols: _*)
+      .agg(agg.as("_top"))
+      .select(groupCols :+ posexplode(col("_top")): _*)
+      .select((groupCols :+ col("col.id").as(cId)
+        :+ col("col.score").as("sim")
+        :+ (col("pos") + 1).cast("int").as("rnk")): _*)
+  }
+
   /** Brute-force top-k cosine neighbors of each query vector.
     * `queries` is expected to be small (broadcast); ties break on
     * neighbor id after rounding, so ranking is engine-reproducible.
@@ -68,10 +90,7 @@ object Similarity {
            qVec: String = "q_vec", cVec: String = "embedding"): DataFrame = {
     val joined = corpus.join(broadcast(queries), col(qId) =!= col(cId))
       .withColumn("sim", round(cosine(col(qVec), col(cVec)), 6))
-    val w = Window.partitionBy(col(qId))
-      .orderBy(col("sim").desc, col(cId).asc)
-    joined.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    finishTopK(joined, k, qId, cId, Nil)
       .select(col(qId), col(cId), col("sim"), col("rnk"))
   }
 
@@ -86,10 +105,7 @@ object Similarity {
     val joined = corpus.join(broadcast(queries), Seq(cell))
       .filter(col(qId) =!= col(cId))
       .withColumn("sim", round(cosine(col(qVec), col(cVec)), 6))
-    val w = Window.partitionBy(col(qId))
-      .orderBy(col("sim").desc, col(cId).asc)
-    joined.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    finishTopK(joined, k, qId, cId, Seq(cell))
       .select(col(qId), col(cell), col(cId), col("sim"), col("rnk"))
   }
 }
