@@ -114,6 +114,44 @@ object DedupOps {
     prep.withColumn(outCol, bits.reduce(_ + _).cast("int")).drop(tmpWs, tmpHs)
   }
 
+  /** All doc pairs whose 16-bit SimHash signatures lie within Hamming
+    * distance `maxDist` (<= 2), with NO all-pairs join and NO banding:
+    * Hamming-ball enumeration over the signature space.
+    *
+    * Why not LSH banding here: a 16-bit signature has at most 2^5..2^6
+    * distinct values per band, so band buckets grow with the corpus and a
+    * band equi-join degrades to ~O(n^2/64). Instead the DISTINCT present
+    * signatures (<= 65536 rows regardless of corpus size) are exploded by
+    * the C(16,0)+C(16,1)+C(16,2)=137 XOR masks of weight <= 2, semi-joined
+    * against the present set to give the exact (s1, s2) signature pairs
+    * within distance 2, and docs join that small pair table by exact
+    * signature — three linear scans + equi-joins, O(65536*137) candidate
+    * work at ANY corpus size. Each unordered doc pair emerges exactly once
+    * ((s1,s2) and (s2,s1) are both present; id_a < id_b keeps one), so no
+    * distinct pass is needed.
+    */
+  def simhashHammingPairs(sig: DataFrame, idCol: String, shCol: String,
+                          maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 2, s"maxDist $maxDist not in [0,2]")
+    val singles = (0 until 16).map(1 << _)
+    val doubles = for { i <- 0 until 16; j <- (i + 1) until 16 }
+      yield (1 << i) | (1 << j)
+    val masks: Seq[Int] = (Seq(0) ++
+      (if (maxDist >= 1) singles else Nil) ++
+      (if (maxDist >= 2) doubles else Nil))
+    val d1 = sig.select(col(shCol).as("s1")).distinct()
+    val variants = d1.select(col("s1"),
+      explode(array(masks.map(m => col("s1").bitwiseXOR(lit(m))): _*)).as("s2"))
+    val sigPairs = variants.join(d1.select(col("s1").as("s2")), Seq("s2"))
+    val a = sig.select(col(idCol).as("id_a"), col(shCol).as("s1"))
+    val b = sig.select(col(idCol).as("id_b"), col(shCol).as("s2"))
+    a.join(sigPairs, Seq("s1"))
+      .join(b, Seq("s2"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Distinct n-gram array over a MATERIALIZED words-array column
     * (a raw text expression here would be re-split per array element —
     * see withMinhashSignature note).

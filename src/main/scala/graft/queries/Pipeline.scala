@@ -75,11 +75,17 @@ object Pipeline {
       DedupOps.bandKey(sigRef, b, 2))
     val exploded = sig.withColumn("band", explode(array(bands: _*)))
       .select(col("doc_id"), col("band"))
-    val a = exploded.as("a")
-    val b = exploded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // Pre-aggregate band -> member list instead of self-joining: the
+    // signature stage (the expensive part) runs ONCE on one scan, and
+    // candidates come from pairs within each bucket. Bucket member lists
+    // are small by LSH construction (only near-identical docs share a
+    // band); the pair count is identical to the self-join's output.
+    exploded.groupBy(col("band"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -15,35 +15,15 @@ object Pipeline2 {
   // q43 — simhash near-dup candidate pairs: 16-bit signatures within
   // Hamming distance <= 2 (bit_count(xor) in both engines).
   //
-  // Scale plan: pigeonhole banding, NOT an all-pairs join. The 16 bits are
-  // split into 3 bands (6+5+5); two signatures within Hamming distance 2
-  // differ in at most 2 bands, so at least one band matches exactly —
-  // candidates come from a hash-shuffle equi-join on (band, band_value)
-  // (the same LSH shape as q32), then the exact bit_count(xor) <= 2 verify
-  // runs on candidates only. distinct() dedups pairs that collide in more
-  // than one band. No BroadcastNestedLoopJoin anywhere in the plan.
+  // Scale plan: Hamming-ball enumeration over DISTINCT signatures — see
+  // DedupOps.simhashHammingPairs. No all-pairs join, no nested-loop join;
+  // candidate generation is bounded by the 2^16 signature space, not the
+  // corpus size.
   private val q43: Q = (s, d) => {
     val sig = DedupOps.withSimhash16(
       documents(s, d).select(col("doc_id"), col("text")), "text", "simhash")
       .drop("text")
-    // band values: bits 0-5, 6-10, 11-15
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array(
-        col("simhash").bitwiseAND(lit(0x3f)),
-        shiftright(col("simhash"), 6).bitwiseAND(lit(0x1f)),
-        shiftright(col("simhash"), 11).bitwiseAND(lit(0x1f)))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bv")
-    val a = banded.select(col("band"), col("bv"),
-      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band"), col("bv"),
-      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= 2)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-      .distinct()
+    DedupOps.simhashHammingPairs(sig, "doc_id", "simhash", maxDist = 2)
       .orderBy(col("id_a"), col("id_b"))
   }
 

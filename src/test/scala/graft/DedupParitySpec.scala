@@ -46,7 +46,7 @@ class DedupParitySpec extends AnyFunSuite {
     assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
   }
 
-  test("banded hamming<=2 pairs equal the brute-force all-pairs result") {
+  test("Hamming-ball pairs equal the brute-force all-pairs result") {
     val sig = DedupOps.withSimhash16(docs, "text", "simhash").drop("text")
 
     // brute force (test-only oracle; O(n^2), fine at sf0.001)
@@ -57,26 +57,13 @@ class DedupParitySpec extends AnyFunSuite {
       .filter(col("hamming") <= 2)
       .select("id_a", "id_b", "hamming")
 
-    // banded (the declared q43 plan)
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array(
-        col("simhash").bitwiseAND(lit(0x3f)),
-        shiftright(col("simhash"), 6).bitwiseAND(lit(0x1f)),
-        shiftright(col("simhash"), 11).bitwiseAND(lit(0x1f)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
-    val ba = banded.select(col("band"), col("bv"),
-      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-    val bb = banded.select(col("band"), col("bv"),
-      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    val bandedPairs = ba.join(bb, Seq("band", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= 2)
-      .select("id_a", "id_b", "hamming")
-      .distinct()
+    // Hamming-ball enumeration (the declared q43 plan)
+    val ball = DedupOps.simhashHammingPairs(sig, "doc_id", "simhash", 2)
 
-    assert(brute.exceptAll(bandedPairs).isEmpty &&
-      bandedPairs.exceptAll(brute).isEmpty)
+    assert(brute.exceptAll(ball).isEmpty && ball.exceptAll(brute).isEmpty)
     assert(brute.count() > 0, "fixture should contain near-dup pairs")
+    // each pair must emerge exactly once (no distinct pass in the plan)
+    assert(ball.groupBy("id_a", "id_b").count()
+      .filter(col("count") > 1).isEmpty)
   }
 }
