@@ -28,10 +28,18 @@ object AsOf {
     * Keys are compared on their underlying long encoding (epoch day for
     * dates, epoch micros for timestamps, the value itself for integers).
     */
+  /** Hard cap on the collected right side of [[joinBroadcast]]: above this
+    * the series is not "broadcast-sized" and the caller should use the
+    * shuffle-based [[join]] instead of silently dragging a large table
+    * through the driver.
+    */
+  val MaxBroadcastRows: Int = 2 << 20 // ~2M rows
+
   def joinBroadcast(left: DataFrame, right: DataFrame,
                     leftOn: String, rightOn: String,
                     payload: Seq[(String, String)],
-                    forward: Boolean = false): DataFrame = {
+                    forward: Boolean = false,
+                    maxRows: Int = MaxBroadcastRows): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = left.sparkSession
 
@@ -42,11 +50,17 @@ object AsOf {
       case _ => c.cast("long")
     }
 
+    // limit(maxRows + 1) bounds what can ever reach the driver; one extra
+    // row distinguishes "right at the cap" from "over it".
     val rows = right.select((keyExpr(col(rightOn)) +:
         payload.map { case (rc, _) => col(rc) }): _*)
       .filter(col(rightOn).isNotNull)
+      .limit(maxRows + 1)
       .collect()
       .sortBy(_.getLong(0))
+    require(rows.length <= maxRows,
+      s"AsOf.joinBroadcast right side exceeds $maxRows rows — it is not " +
+        "broadcast-sized; use AsOf.join (single-shuffle windowed form) instead")
     val keys = rows.map(_.getLong(0))
     val bcKeys = spark.sparkContext.broadcast(keys)
 
@@ -165,8 +179,12 @@ object AsOf {
           .orderBy(col(keyCol).asc_nulls_last, col(tagCol).asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // Null ordering keys must resolve to null payloads (Polars join_asof
+    // null propagation): *_nulls_last would otherwise hand a null-key left
+    // row the payload of the extreme-key right row via the running window.
     val resolved = outNames.foldLeft(unioned) { (df, n) =>
-      df.withColumn(n, last(col(n + "_r"), ignoreNulls = true).over(w))
+      df.withColumn(n, when(col(keyCol).isNull, lit(null))
+        .otherwise(last(col(n + "_r"), ignoreNulls = true).over(w)))
     }
 
     resolved

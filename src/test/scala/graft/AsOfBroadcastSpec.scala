@@ -37,4 +37,36 @@ class AsOfBroadcastSpec extends AnyFunSuite {
         s"forward=$fwd mismatch")
     }
   }
+
+  test("joinBroadcast refuses an over-cap right side") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("id", "k")
+    val right = spark.range(50).select(col("id").as("rk"),
+      (col("id") * 2).as("rv"))
+    val e = intercept[IllegalArgumentException] {
+      AsOf.joinBroadcast(left, right, "k", "rk",
+        Seq("rv" -> "v"), maxRows = 10)
+    }
+    assert(e.getMessage.contains("AsOf.join"))
+  }
+
+  test("null ordering keys resolve to null payloads (both variants)") {
+    import spark.implicits._
+    val left = Seq((1L, Some(100L)), (2L, None), (3L, Some(5L)))
+      .toDF("id", "k")
+    val right = Seq((10L, 1.5), (90L, 2.5)).toDF("rk", "rv")
+    for (fwd <- Seq(false, true)) {
+      val win = AsOf.join(left, right, by = Seq.empty,
+        leftOn = "k", rightOn = "rk",
+        payload = Seq("rv" -> "v"), forward = fwd)
+      val bc = AsOf.joinBroadcast(left, right, "k", "rk",
+        Seq("rv" -> "v"), forward = fwd)
+      for (df <- Seq(win, bc)) {
+        val nullRow = df.filter(col("id") === 2).head()
+        assert(nullRow.isNullAt(nullRow.fieldIndex("v")),
+          s"forward=$fwd: null key must yield null payload")
+      }
+      assert(win.exceptAll(bc).count() == 0 && bc.exceptAll(win).count() == 0)
+    }
+  }
 }
