@@ -95,6 +95,39 @@ object Analytics {
   */
 object Vna {
 
+  /** Decode a Tesouro VNA workbook sheet ("NTNB"/"NTNC") into published
+    * (data, vna) points (reference vna/ntnb.py:18-28 `_processar` over
+    * read_excel(has_header=False)): column 0 parsed as a date (non-strict),
+    * column 1 as float (non-strict), null rows dropped, duplicate dates
+    * keep the LAST occurrence, ascending date order.
+    */
+  def pontosPlanilha(xlsxBytes: Array[Byte], aba: String)
+      : Seq[(LocalDate, Double)] = {
+    val grid = graft.sources.Xlsx.readSheet(xlsxBytes, aba)
+    val parsed = grid.flatMap { row =>
+      for {
+        dRaw <- row.headOption.flatten
+        d <- parsearData(dRaw)
+        vRaw <- row.lift(1).flatten
+        v <- vRaw.toDoubleOption
+      } yield (d, v)
+    }
+    // unique keep-last by date, then sort
+    val keepLast = scala.collection.mutable.LinkedHashMap[LocalDate, Double]()
+    parsed.foreach { case (d, v) => keepLast(d) = v }
+    keepLast.toSeq.sortBy(_._1)
+  }
+
+  /** Non-strict date parse of the sheet's textual first column (Polars
+    * str.to_datetime(strict=False): ISO date or datetime; else null).
+    */
+  private[bonds] def parsearData(s: String): Option[LocalDate] = {
+    val t = s.trim.replace('T', ' ')
+    val head = t.split(' ').headOption.getOrElse("")
+    try Some(LocalDate.parse(head))
+    catch { case _: java.time.format.DateTimeParseException => None }
+  }
+
   def aplicarVariacaoProRata(vnaBase: Double, variacao: Double,
                              expoente: Double): Double = {
     require(vnaBase > 0, "O VNA-base deve ser positivo.")

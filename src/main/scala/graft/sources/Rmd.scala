@@ -13,11 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * section. Output is the long (periodo, grupo, subgrupo, titulo, valor)
   * frame with values scaled to R$ (millions × 1e6, rounded to cents).
   *
-  * The xlsx decode itself is out of scope (no POI in this container): the
-  * input is the raw grid — category labels, period header cells and the
-  * numeric matrix — which a sheet reader produces.
+  * The xlsx decode runs through [[Xlsx]] (ZIP + StAX, no POI): see the
+  * bytes overload of `estruturarDados`.
   */
 object Rmd {
+
+  private val LinhaPeriodos = 2
+  private val LinhaInicioDados = LinhaPeriodos + 1
 
   private val Titulos = Set("LFT", "LTN", "NTN-B", "NTN-B1", "NTN-F",
     "NTN-C", "NTN-D", "Demais")
@@ -91,5 +93,24 @@ object Rmd {
     } yield (java.sql.Date.valueOf(data), grupo, subgrupo, titulo.orNull,
       escalado)
     registros.toDF("periodo", "grupo", "subgrupo", "titulo", "valor")
+  }
+
+  /** End-to-end xlsx path: decode sheet "1.3" with [[Xlsx]] and structure
+    * it (reference _aba_1_3.py:80-107 over read_excel(has_header=False)):
+    * row 2 holds the period headers (column 0 excluded, empty cells
+    * dropped); data rows follow and are kept while column 0 is non-empty;
+    * the numeric matrix is every column from 1 on, non-strict cast.
+    */
+  def estruturarDados(spark: SparkSession, xlsxBytes: Array[Byte]): DataFrame = {
+    val grid = Xlsx.readSheet(xlsxBytes, "1.3")
+    require(grid.length > LinhaInicioDados,
+      s"sheet 1.3 has ${grid.length} rows; expected header at row $LinhaPeriodos")
+    val periodosRaw = grid(LinhaPeriodos).drop(1).flatten
+    val dataRows = grid.drop(LinhaInicioDados)
+      .filter(_.headOption.flatten.exists(_.nonEmpty))
+    val categorias = dataRows.map(_.head.get)
+    val matriz: Seq[Seq[Option[Double]]] =
+      dataRows.map(_.drop(1).map(_.flatMap(_.toDoubleOption)))
+    estruturarDados(spark, categorias, periodosRaw, matriz)
   }
 }
