@@ -89,6 +89,49 @@ object SmallFeeds {
     valores.head
   }
 
+  // ------------------------------------------------------- DI over (S13)
+
+  /** First file date on the CETIP FTP (di_over.py:29). */
+  val DiOverInicio: java.time.LocalDate = java.time.LocalDate.of(2012, 8, 20)
+
+  /** CETIP MediaCDI file payload "00001315" → 1315/10^4 = 0.1315, rounded
+    * to 4 places (di_over.py:40-47: int parse then /1e4).
+    */
+  def diOverParse(conteudo: String): Double =
+    BigDecimal(conteudo.trim.toInt)./(BigDecimal(10000))
+      .setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+
+  /** DI-over rate for a date with the reference's availability contract
+    * (di_over.py:67-100): null/pre-series/non-business dates → NaN without
+    * touching the fetcher; FTP 550 (missing file = holiday artifact) →
+    * NaN; 421 (transient connection cap) retried up to 3 attempts; other
+    * failures surface. `buscar` receives the "yyyyMMdd.txt" file name.
+    */
+  def diOver(data: java.time.LocalDate,
+             buscar: String => String,
+             maxTentativas: Int = 3,
+             espera: Long = 0L): Double = {
+    if (data == null || data.isBefore(DiOverInicio) ||
+        !graft.core.BrCalendar.ehDiaUtil(data)) return Double.NaN
+    val nome = data.format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd")) + ".txt"
+    var tentativa = 1
+    while (true) {
+      try return diOverParse(buscar(nome))
+      catch {
+        case e: java.io.IOException =>
+          val motivo = Option(e.getMessage).getOrElse("")
+          if (motivo.contains("550")) return Double.NaN
+          else if (motivo.contains("421") && tentativa < maxTentativas) {
+            if (espera > 0) Thread.sleep(espera)
+            tentativa += 1
+          } else throw new java.net.ConnectException(
+            s"Falha ao buscar taxa DI via FTP: $motivo")
+      }
+    }
+    Double.NaN // unreachable
+  }
+
   // ------------------------------------------------ benchmarks/IPCA (S9/S17)
 
   /** Tesouro benchmarks payload (list of dicts) → trimmed typed frame

@@ -91,4 +91,51 @@ class SmallFeedsSpec extends AnyFunSuite {
     assert(i.collect().map(r => (r.getDate(0).toString, r.getDouble(1))).toSeq
       == Seq(("2024-01-01", 0.42), ("2024-02-01", 0.83)))
   }
+
+  test("DI over: parse, availability contract, 550/421 handling") {
+    import java.time.LocalDate
+    // doctest golden (di_over.py:84-88): 28/02/2025 -> 0.1315
+    assert(SmallFeeds.diOverParse("00001315") == 0.1315)
+    assert(SmallFeeds.diOverParse("00001315\n") == 0.1315)
+
+    var chamadas = 0
+    def ok(nome: String): String = {
+      chamadas += 1
+      assert(nome == "20250228.txt")
+      "00001315"
+    }
+    assert(SmallFeeds.diOver(LocalDate.of(2025, 2, 28), ok) == 0.1315)
+    assert(chamadas == 1)
+
+    // holiday (01/01/2025) and weekend: NaN WITHOUT touching the fetcher
+    def explode(nome: String): String = fail("fetcher must not be called")
+    assert(SmallFeeds.diOver(LocalDate.of(2025, 1, 1), explode).isNaN)
+    assert(SmallFeeds.diOver(LocalDate.of(2025, 3, 1), explode).isNaN)
+    // pre-series
+    assert(SmallFeeds.diOver(LocalDate.of(2012, 8, 17), explode).isNaN)
+
+    // FTP 550 (missing file) -> NaN
+    assert(SmallFeeds.diOver(LocalDate.of(2025, 2, 27),
+      _ => throw new java.io.IOException("550 no such file")).isNaN)
+
+    // 421 transient: retried, then succeeds
+    var falhas = 0
+    def transiente(nome: String): String = {
+      falhas += 1
+      if (falhas < 3) throw new java.io.IOException("421 too many connections")
+      "00001200"
+    }
+    assert(SmallFeeds.diOver(LocalDate.of(2025, 2, 27), transiente) == 0.12)
+    assert(falhas == 3)
+
+    // 421 beyond max attempts and other errors surface as ConnectException
+    intercept[java.net.ConnectException] {
+      SmallFeeds.diOver(LocalDate.of(2025, 2, 27),
+        _ => throw new java.io.IOException("421 too many connections"))
+    }
+    intercept[java.net.ConnectException] {
+      SmallFeeds.diOver(LocalDate.of(2025, 2, 27),
+        _ => throw new java.io.IOException("timeout"))
+    }
+  }
 }
