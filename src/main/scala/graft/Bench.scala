@@ -19,6 +19,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Verify.silenceIntendedGlobalWindowWarn()
 
     // absorb JVM/codegen/session warmup so per-query numbers reflect
     // steady-state execution rather than first-query startup
@@ -27,6 +28,7 @@ object Bench {
     catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.err.println(s"[bench] running $name")
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
