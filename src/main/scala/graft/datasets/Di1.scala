@@ -25,7 +25,10 @@ object Di1 {
         col("data_referencia").as("data_ref_tpf"),
         bday_add(col("data_vencimento"), lit(0)).as("data_vencimento"))
       val refDates = tpfPrep.select(col("data_ref_tpf")).distinct()
-      df = AsOf.join(df, refDates, by = Seq.empty,
+      // broadcast form: refDates is a distinct-date list (tiny), and the
+      // windowed as-of with no `by` group would funnel the whole DI1
+      // history through one window partition
+      df = AsOf.joinBroadcast(df, refDates,
         leftOn = "data_referencia", rightOn = "data_ref_tpf",
         payload = Seq("data_ref_tpf" -> "data_ref_tpf"))
       df = df.join(tpfPrep, Seq("data_ref_tpf", "data_vencimento"), "left_semi")

@@ -64,12 +64,9 @@ object AsOf {
     val keys = rows.map(_.getLong(0))
     val bcKeys = spark.sparkContext.broadcast(keys)
 
-    // resolve the matched row index with a binary-search UDF, then pull the
-    // payload columns via broadcast lookup
-    val values: Seq[Array[Any]] = payload.indices.map { i =>
-      rows.map(r => r.get(i + 1)): Array[Any]
-    }
-    val bcValues = spark.sparkContext.broadcast(values)
+    // resolve the matched row index with a binary-search UDF; the payload
+    // then arrives through ONE broadcast hash join on that index — no
+    // per-column lookup UDFs, and every payload type is handled natively
     val fwd = forward
     val idxUdf = udf((k: java.lang.Long) => {
       if (k == null) -1
@@ -89,35 +86,20 @@ object AsOf {
       }
     })
 
-    val withIdx = left.withColumn("_asof_idx", idxUdf(keyExpr(col(leftOn))))
-    val out = payload.zipWithIndex.foldLeft(withIdx) {
-      case (df, ((rc, outName), i)) =>
-        // lookup UDFs need a concrete return type per payload column
-        val lookup: Column = right.schema(rc).dataType match {
-          case DoubleType =>
-            udf((idx: Int) => if (idx < 0) None
-              else Option(bcValues.value(i)(idx)).map(_.asInstanceOf[Double]))
-              .apply(col("_asof_idx"))
-          case LongType | IntegerType =>
-            udf((idx: Int) => if (idx < 0) None
-              else Option(bcValues.value(i)(idx)).map(_.toString.toLong))
-              .apply(col("_asof_idx"))
-          case StringType =>
-            udf((idx: Int) => if (idx < 0) None
-              else Option(bcValues.value(i)(idx)).map(_.toString))
-              .apply(col("_asof_idx"))
-          case DateType =>
-            udf((idx: Int) => if (idx < 0) None
-              else Option(bcValues.value(i)(idx))
-                .map(_.asInstanceOf[java.sql.Date].toLocalDate))
-              .apply(col("_asof_idx"))
-          case other =>
-            throw new IllegalArgumentException(
-              s"unsupported broadcast as-of payload type: $other")
-        }
-        df.withColumn(outName, lookup)
-    }
-    out.drop("_asof_idx")
+    val lookupSchema = StructType(
+      StructField("_asof_ridx", IntegerType, nullable = false) +:
+        payload.map { case (rc, outName) =>
+          right.schema(rc).copy(name = outName) })
+    val lookupRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(rows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(
+          i +: payload.indices.map(j => r.get(j + 1)))
+      }: _*)
+    val lookup = spark.createDataFrame(lookupRows, lookupSchema)
+
+    left.withColumn("_asof_idx", idxUdf(keyExpr(col(leftOn))))
+      .join(broadcast(lookup), col("_asof_idx") === col("_asof_ridx"), "left")
+      .drop("_asof_idx", "_asof_ridx")
   }
 
   /** Attach to each `left` row the payload of the matching `right` row.
