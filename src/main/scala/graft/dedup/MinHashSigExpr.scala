@@ -24,7 +24,11 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullIntolerant: Boolean = true
+  // Deliberately NOT null-intolerant: advertising null intolerance lets
+  // constraint inference rebuild this (expensive) expression inside an
+  // isnotnull() Filter below the Project — doubling the per-row signature
+  // cost. Null inputs still yield null (UnaryExpression's default eval).
+  override def nullIntolerant: Boolean = false
   override def prettyName: String = "minhash_sig"
 
   @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")

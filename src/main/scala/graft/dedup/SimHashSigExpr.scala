@@ -24,7 +24,9 @@ case class SimHashSig(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = IntegerType
-  override def nullIntolerant: Boolean = true
+  // NOT null-intolerant — see MinHashSig: keeps constraint inference from
+  // re-evaluating the signature inside an isnotnull() Filter.
+  override def nullIntolerant: Boolean = false
   override def prettyName: String = "simhash_sig"
 
   @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
