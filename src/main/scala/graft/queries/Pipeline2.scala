@@ -104,13 +104,50 @@ object Pipeline2 {
            md5(array_to_string(frames, ',')) AS frames_fp
     FROM f ORDER BY doc_id"""
 
+  // q46 — embedding-cosine near-dup pairs: deterministic hyperplane-sign
+  // sketch (md5-parity planes, engine-portable) → Hamming-ball candidates
+  // over distinct sketches → exact cosine verify on candidates only.
+  private val q46: Q = (s, d) =>
+    graft.sim.Similarity.nearDupPairs(
+      embeddings(s, d).select(col("vec_id"), col("embedding")),
+      threshold = 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private lazy val q46Sql = {
+    val bits = (0 until 16).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(generate_series(1,64),
+            i -> CAST(embedding[i] AS DOUBLE) *
+              (CASE WHEN substr(md5($j || '|' || (i-1)),1,1)
+                 IN ('8','9','a','b','c','d','e','f')
+               THEN 1.0 ELSE -1.0 END))) > 0 THEN ${1 << j} ELSE 0 END)"""
+    }.mkString(" + ")
+    s"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    sk AS (SELECT vec_id, embedding, CAST($bits AS INTEGER) AS sketch FROM e),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             bit_count(xor(a.sketch, b.sketch)) AS hamming,
+             round(list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+      FROM sk a JOIN sk b ON a.vec_id < b.vec_id
+      WHERE bit_count(xor(a.sketch, b.sketch)) <= 2)
+    SELECT id_a, id_b, hamming, sim FROM pairs
+    WHERE sim >= 0.2 ORDER BY id_a, id_b"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q43_simhash_hamming_pairs" -> q43,
     "q44_hopping_windows" -> q44,
-    "q45_multimodal_framesample" -> q45)
+    "q45_multimodal_framesample" -> q45,
+    "q46_embedding_neardup" -> q46)
 
   val oracleSql: Map[String, String] = Map(
     "q43_simhash_hamming_pairs" -> q43Sql,
     "q44_hopping_windows" -> q44Sql,
-    "q45_multimodal_framesample" -> q45Sql)
+    "q45_multimodal_framesample" -> q45Sql,
+    "q46_embedding_neardup" -> q46Sql)
 }

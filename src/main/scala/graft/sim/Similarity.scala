@@ -48,6 +48,49 @@ object Similarity {
     }.sortBy(_._1).take(nprobe).map(_._2).toSeq
   }
 
+  /** Deterministic 16-bit hyperplane-sign sketch of an embedding (the
+    * SimHash construction for the cosine metric): bit j is the sign of the
+    * dot product with hyperplane j, whose components are ±1 from the md5
+    * parity of "j|i" — reproducible in any engine with md5, so the DuckDB
+    * oracle computes the identical sketch. Scan-local (no shuffle).
+    */
+  def hyperplaneSketch16(vecCol: Column, dim: Int): Column = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Double = {
+      md.reset()
+      val d = md.digest(s"$j|$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+    }
+    (0 until 16).map { j =>
+      val plane = array((0 until dim).map(i => lit(sign(j, i))): _*)
+      val dotJ = aggregate(
+        zip_with(vecCol, plane, (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotJ > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+  }
+
+  /** Embedding-cosine near-dup pairs, scale-first: sketch each vector
+    * (scan-local), take candidates from the Hamming-<=2 ball over DISTINCT
+    * sketches ([[graft.dedup.DedupOps.simhashHammingPairs]] — bounded by
+    * the 2^16 sketch space at any corpus size), and verify with the exact
+    * cosine on candidates only. Never an all-pairs join over vectors.
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double, dim: Int = 64,
+                   maxHamming: Int = 2, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val sk = emb.select(col(idCol),
+      hyperplaneSketch16(col(vecCol), dim).as("sketch"))
+    val cand = graft.dedup.DedupOps.simhashHammingPairs(
+      sk, idCol, "sketch", maxHamming)
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("sim", round(cosine(col("_va"), col("_vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("hamming"), col("sim"))
+  }
+
   /** Sequential-fold dot product in double precision. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),

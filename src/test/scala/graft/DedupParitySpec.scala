@@ -46,6 +46,32 @@ class DedupParitySpec extends AnyFunSuite {
     assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
   }
 
+  test("embedding near-dup pairs equal the brute-force sketch+cosine result") {
+    import graft.sim.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+
+    val fast = Similarity.nearDupPairs(emb, threshold = 0.2)
+
+    // brute force: all pairs, same sketch + hamming + cosine semantics
+    val sk = emb.select(col("vec_id"),
+      Similarity.hyperplaneSketch16(col("embedding"), 64).as("sketch"),
+      col("embedding"))
+    val a = sk.select(col("vec_id").as("id_a"), col("sketch").as("ska"),
+      col("embedding").as("va"))
+    val b = sk.select(col("vec_id").as("id_b"), col("sketch").as("skb"),
+      col("embedding").as("vb"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("ska").bitwiseXOR(col("skb"))))
+      .filter(col("hamming") <= 2)
+      .withColumn("sim", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= 0.2)
+      .select("id_a", "id_b", "hamming", "sim")
+
+    assert(brute.exceptAll(fast).isEmpty && fast.exceptAll(brute).isEmpty)
+    assert(fast.count() > 0, "fixture should contain near-dup pairs")
+  }
+
   test("Hamming-ball pairs equal the brute-force all-pairs result") {
     val sig = DedupOps.withSimhash16(docs, "text", "simhash").drop("text")
 
