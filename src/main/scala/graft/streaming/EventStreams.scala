@@ -44,6 +44,18 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Watermarked 10-minute windows sliding every 5 — the streaming twin of
+    * batch query q44 (each event lands in two overlapping buckets).
+    */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_t", "10 minutes")
+      .groupBy(window(col("ts_t"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   case class Ev(user_id: Long, ts_us: Long, value: Double,
                 ts_t: java.sql.Timestamp)
   case class SessionState(start: Long, end: Long, n: Long)

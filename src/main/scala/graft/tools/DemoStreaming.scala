@@ -1,0 +1,42 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Hand-runnable demo of the streaming operators over a staged copy of the
+  * events fixture (file stream → memory sink):
+  *   sbt "runMain graft.tools.DemoStreaming [sfDir]"
+  */
+object DemoStreaming {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]").appName("graft-demo-streaming")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = Files.createTempDirectory("events_demo")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    for ((name, df) <- Seq(
+        "tumbling" -> EventStreams.tumblingCounts(
+          EventStreams.readEvents(spark, dir.toString)),
+        "hopping" -> EventStreams.hoppingCounts(
+          EventStreams.readEvents(spark, dir.toString)))) {
+      val q = df.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      println(s"== $name ==")
+      spark.table(name).orderBy("win_start", "event_type").show(8)
+      q.stop()
+    }
+
+    spark.stop()
+  }
+}

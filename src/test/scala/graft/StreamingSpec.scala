@@ -80,4 +80,22 @@ class StreamingSpec extends AnyFunSuite {
         "per-user session counts differ between stream and batch")
     } finally q.stop()
   }
+
+  test("hopping window counts: streaming == batch (q44 twin)") {
+    val dir = stageDir()
+    val stream = EventStreams.hoppingCounts(
+      EventStreams.readEvents(spark, dir))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("hopping").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hopping")
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+      val want = graft.queries.Pipeline2
+        .queries("q44_hopping_windows")(spark, "/root/testdata/sf0.001")
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0)
+    } finally q.stop()
+  }
 }
