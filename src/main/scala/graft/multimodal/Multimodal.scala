@@ -36,6 +36,43 @@ object Multimodal {
     d.map("%02x".format(_)).mkString
   }
 
+  /** Scan-local byte-level feature extraction over a binary payload — the
+    * feature-extract step of a multimodal pipeline (histogram + entropy
+    * are the decode-free signals used for corruption/format screening).
+    * Pure Column expressions (hex + higher-order functions): no UDF, no
+    * shuffle, engine-portable (the DuckDB oracle reproduces it exactly).
+    *
+    * Appends: n_bytes, h0..h15 (high-nibble histogram — 16 coarse bins
+    * over the byte distribution) and byte_entropy (Shannon entropy over
+    * those bins in bits, rounded 6 for cross-engine log parity).
+    */
+  def withByteFeatures(df: DataFrame, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val hx = lower(hex(col(payloadCol)))
+    val n = (length(hx) / 2).cast("long")
+    val hexChars = "0123456789abcdef"
+    val prepared = df
+      .withColumn("n_bytes", n)
+      // high nibble of byte i = hex char at 1-based position 2i-1
+      .withColumn("_nibbles", transform(sequence(lit(1L), greatest(n, lit(1L))),
+        i => substring(hx, (i * 2 - 1).cast("int"), lit(1))))
+    val withBins = (0 until 16).foldLeft(prepared) { (acc, v) =>
+      acc.withColumn(s"h$v",
+        when(col("n_bytes") === 0, lit(0L)).otherwise(
+          size(filter(col("_nibbles"), c => c === lit(hexChars(v).toString)))
+            .cast("long")))
+    }
+    val entropyTerms: Seq[Column] = (0 until 16).map { v =>
+      val p = col(s"h$v").cast("double") / col("n_bytes").cast("double")
+      when(col(s"h$v") > 0, -p * log(2.0, p)).otherwise(lit(0.0))
+    }
+    withBins
+      .withColumn("byte_entropy",
+        when(col("n_bytes") === 0, lit(0.0))
+          .otherwise(round(entropyTerms.reduce(_ + _), 6)))
+      .drop("_nibbles")
+  }
+
   /** Attach decoded metadata to a binary payload column, partition-local. */
   def decodeMeta(spark: SparkSession, df: DataFrame,
                  idCol: String, payloadCol: String): Dataset[MediaMeta] = {

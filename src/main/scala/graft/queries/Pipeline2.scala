@@ -139,15 +139,52 @@ object Pipeline2 {
     WHERE sim >= 0.2 ORDER BY id_a, id_b"""
   }
 
+  // q47 — multimodal byte-feature extraction: high-nibble histogram and
+  // Shannon entropy per binary payload (decode-free corruption/format
+  // screening), scan-local Column expressions only.
+  private val q47: Q = (s, d) =>
+    graft.multimodal.Multimodal.withByteFeatures(
+      documents(s, d).select(col("doc_id"),
+        to_binary(col("text"), lit("utf-8")).as("payload")), "payload")
+      .drop("payload")
+      .orderBy(col("doc_id"))
+
+  private lazy val q47Sql = {
+    val hexChars = "0123456789abcdef"
+    val bins = (0 until 16).map { v =>
+      s"""CAST(len(list_filter(nib, c -> c = '${hexChars(v)}')) AS BIGINT) AS h$v"""
+    }.mkString(",\n           ")
+    val terms = (0 until 16).map { v =>
+      s"""(CASE WHEN h$v > 0 THEN -(CAST(h$v AS DOUBLE)/n_bytes) * log2(CAST(h$v AS DOUBLE)/n_bytes) ELSE 0.0 END)"""
+    }.mkString(" + ")
+    s"""
+    WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+               FROM documents),
+    nb AS (SELECT doc_id, n_bytes,
+             list_transform(generate_series(1, greatest(CAST(n_bytes AS INTEGER), 1)),
+               i -> substr(hx, i * 2 - 1, 1)) AS nib
+           FROM p),
+    hist AS (SELECT doc_id, n_bytes,
+           $bins
+      FROM nb)
+    SELECT doc_id, n_bytes, ${(0 until 16).map(v => s"h$v").mkString(", ")},
+           CASE WHEN n_bytes = 0 THEN 0.0
+                ELSE round($terms, 6) END AS byte_entropy
+    FROM hist ORDER BY doc_id"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q43_simhash_hamming_pairs" -> q43,
     "q44_hopping_windows" -> q44,
     "q45_multimodal_framesample" -> q45,
-    "q46_embedding_neardup" -> q46)
+    "q46_embedding_neardup" -> q46,
+    "q47_multimodal_bytehist" -> q47)
 
   val oracleSql: Map[String, String] = Map(
     "q43_simhash_hamming_pairs" -> q43Sql,
     "q44_hopping_windows" -> q44Sql,
     "q45_multimodal_framesample" -> q45Sql,
-    "q46_embedding_neardup" -> q46Sql)
+    "q46_embedding_neardup" -> q46Sql,
+    "q47_multimodal_bytehist" -> q47Sql)
 }
