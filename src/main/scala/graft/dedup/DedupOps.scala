@@ -161,6 +161,14 @@ object DedupOps {
       transform(sequence(lit(0), greatest(size(wordsCol) - n, lit(0))),
         i => array_join(slice(wordsCol, i + lit(1), lit(n)), " ")))
 
+  /** One-pass native word-n-gram Jaccard of two raw texts (rounded 6, the
+    * same rounding the HOF twin applies): see [[NGramJaccard]].
+    */
+  def jaccardOfTexts(a: Column, b: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    round(column(NGramJaccard(expression(a), expression(b), n)), 6)
+  }
+
   /** Jaccard similarity of two MATERIALIZED distinct n-gram arrays. */
   def jaccardOfGrams(ga: Column, gb: Column): Column = {
     val inter = size(array_intersect(ga, gb))

@@ -48,6 +48,31 @@ object Multimodal {
     */
   def withByteFeatures(df: DataFrame, payloadCol: String): DataFrame = {
     import org.apache.spark.sql.Column
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val prepared = df
+      .withColumn("n_bytes", octet_length(col(payloadCol)).cast("long"))
+      .withColumn("_hist",
+        column(ByteHistogram16(expression(col(payloadCol)))))
+    val withBins = (0 until 16).foldLeft(prepared) { (acc, v) =>
+      acc.withColumn(s"h$v", element_at(col("_hist"), v + 1))
+    }
+    val entropyTerms: Seq[Column] = (0 until 16).map { v =>
+      val p = col(s"h$v").cast("double") / col("n_bytes").cast("double")
+      when(col(s"h$v") > 0, -p * log(2.0, p)).otherwise(lit(0.0))
+    }
+    withBins
+      .withColumn("byte_entropy",
+        when(col("n_bytes") === 0, lit(0.0))
+          .otherwise(round(entropyTerms.reduce(_ + _), 6)))
+      .drop("_hist")
+  }
+
+  /** Composed hex + higher-order-function form of [[withByteFeatures]]
+    * (16 filter passes over the nibble array; kept as the semantic
+    * cross-check of the native expression).
+    */
+  def withByteFeaturesHof(df: DataFrame, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.Column
     val hx = lower(hex(col(payloadCol)))
     val n = (length(hx) / 2).cast("long")
     val hexChars = "0123456789abcdef"

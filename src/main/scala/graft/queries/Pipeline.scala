@@ -129,16 +129,17 @@ object Pipeline {
   }
 
   // ------------------------------------------------------------------- q34
-  // n-gram Jaccard on a deterministic pair sample (i, i+250).
+  // n-gram Jaccard on a deterministic pair sample (i, i+250). The join
+  // carries raw texts (smaller than materialized gram arrays) and the
+  // native NGramJaccard expression does normalize -> grams -> Jaccard in
+  // one pass per pair.
   private val q34: Q = (s, d) => {
-    val docs = documents(s, d)
-      .select(col("doc_id"), split(TextOps.normalize(col("text")), " ").as("_w"))
-      .select(col("doc_id"), DedupOps.ngramsOfWords(col("_w"), 3).as("grams"))
-    val a = docs.select(col("doc_id").as("id_a"), col("grams").as("ga"))
-    val b = docs.select(col("doc_id").as("id_b"), col("grams").as("gb"))
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("ta"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("tb"))
     a.join(b, col("id_b") === col("id_a") + 250)
       .select(col("id_a"), col("id_b"),
-        DedupOps.jaccardOfGrams(col("ga"), col("gb")).as("jaccard3"))
+        DedupOps.jaccardOfTexts(col("ta"), col("tb"), 3).as("jaccard3"))
       .orderBy(col("id_a"))
   }
 

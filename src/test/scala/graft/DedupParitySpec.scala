@@ -46,6 +46,46 @@ class DedupParitySpec extends AnyFunSuite {
     assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
   }
 
+  test("native NGramJaccard equals the HOF gram-array form") {
+    import graft.text.TextOps
+    val withW = docs
+      .select(col("doc_id"), col("text"),
+        split(TextOps.normalize(col("text")), " ").as("_w"))
+      .select(col("doc_id"), col("text"),
+        DedupOps.ngramsOfWords(col("_w"), 3).as("grams"))
+    val a = withW.select(col("doc_id").as("id_a"), col("text").as("ta"),
+      col("grams").as("ga"))
+    val b = withW.select(col("doc_id").as("id_b"), col("text").as("tb"),
+      col("grams").as("gb"))
+    val pairs = a.join(b, col("id_b") === col("id_a") + 7)
+    val both = pairs.select(col("id_a"),
+      DedupOps.jaccardOfTexts(col("ta"), col("tb"), 3).as("nativ"),
+      DedupOps.jaccardOfGrams(col("ga"), col("gb")).as("hof"))
+    assert(both.filter(col("nativ") =!= col("hof")).isEmpty)
+    assert(both.count() > 0)
+
+    // edge cases: empty, single word, identical, disjoint
+    import spark.implicits._
+    val edge = Seq(("", ""), ("a", "a"), ("a b", "c d"),
+      ("  x  Y z ", "x y z"), ("um dois tres quatro", "dois tres quatro"))
+      .toDF("ta", "tb")
+    val ew = (c: org.apache.spark.sql.Column) =>
+      DedupOps.ngramsOfWords(split(TextOps.normalize(c), " "), 3)
+    val eboth = edge.select(
+      DedupOps.jaccardOfTexts(col("ta"), col("tb"), 3).as("nativ"),
+      DedupOps.jaccardOfGrams(ew(col("ta")), ew(col("tb"))).as("hof"))
+    assert(eboth.filter(col("nativ") =!= col("hof")).isEmpty)
+  }
+
+  test("native ByteHistogram16 features equal the HOF form") {
+    import graft.multimodal.Multimodal
+    val payloads = docs.select(col("doc_id"),
+      to_binary(col("text"), lit("utf-8")).as("payload"))
+    val nat = Multimodal.withByteFeatures(payloads, "payload").drop("payload")
+    val hof = Multimodal.withByteFeaturesHof(payloads, "payload").drop("payload")
+    assert(nat.exceptAll(hof).isEmpty && hof.exceptAll(nat).isEmpty)
+  }
+
   test("embedding near-dup pairs equal the brute-force sketch+cosine result") {
     import graft.sim.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
