@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.core._
-import graft.dedup.MinHashSig
+import graft.dedup.{MinHashSig, NGramJaccard, SimHashSig}
+import graft.multimodal.ByteHistogram16
+import graft.sim.TopKByScore
 
 /** SparkSessionExtensions entry point: injects the engine's custom
   * Catalyst expressions so any session created with
@@ -42,5 +44,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "one-pass MinHash signature array of a text column"),
       (es: Seq[Expression]) => MinHashSig(es.head, k = 5, numHashes = 8)))
+    e.injectFunction((FunctionIdentifier("simhash_sig"),
+      info("simhash_sig", "one-pass 16-bit SimHash of a text column"),
+      (es: Seq[Expression]) => SimHashSig(es.head)))
+    e.injectFunction((FunctionIdentifier("ngram_jaccard"),
+      info("ngram_jaccard", "one-pass word-3-gram Jaccard of two text columns"),
+      (es: Seq[Expression]) => NGramJaccard(es.head, es(1), n = 3)))
+    e.injectFunction((FunctionIdentifier("byte_histogram16"),
+      info("byte_histogram16", "high-nibble histogram (16 bins) of a binary column"),
+      (es: Seq[Expression]) => ByteHistogram16(es.head)))
+    e.injectFunction((FunctionIdentifier("topk_by_score"),
+      info("topk_by_score", "bounded top-5 (score, id) aggregate with map-side partial merge"),
+      (es: Seq[Expression]) =>
+        TopKByScore(es.head, es(1), k = 5).toAggregateExpression()))
   }
 }

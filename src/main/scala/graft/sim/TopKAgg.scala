@@ -56,12 +56,25 @@ case class TopKByScore(
     }
   }
 
+  // tolerate decimal/float scores and int ids (SQL literals parse as
+  // DECIMAL) instead of requiring exact buffer types from the caller
+  private def asDouble(v: Any): Double = v match {
+    case d: java.lang.Double => d
+    case f: java.lang.Float => f.toDouble
+    case dec: Decimal => dec.toDouble
+    case n: java.lang.Number => n.doubleValue()
+  }
+  private def asLong(v: Any): Long = v match {
+    case l: java.lang.Long => l
+    case n: java.lang.Number => n.longValue()
+  }
+
   override def update(buf: PriorityQueue[Entry], input: InternalRow)
       : PriorityQueue[Entry] = {
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null) {
-      insert(buf, Entry(s.asInstanceOf[Double], i.asInstanceOf[Long]))
+      insert(buf, Entry(asDouble(s), asLong(i)))
     }
     buf
   }

@@ -56,6 +56,16 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup with BOUNDED state: duplicates are dropped only
+    * within the event-time watermark, so state for old keys is evicted —
+    * the shape a 100 TB event-bus dedup actually runs with (unbounded
+    * `dropDuplicates` state would grow forever).
+    */
+  def dedupEvents(events: DataFrame, within: String = "30 days"): DataFrame =
+    events
+      .withWatermark("ts_t", within)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
   case class Ev(user_id: Long, ts_us: Long, value: Double,
                 ts_t: java.sql.Timestamp)
   case class SessionState(start: Long, end: Long, n: Long)

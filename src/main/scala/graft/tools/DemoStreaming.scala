@@ -37,6 +37,17 @@ object DemoStreaming {
       q.stop()
     }
 
+    // watermarked dedup over a re-delivered (doubled) stream
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("part-1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = EventStreams.dedupEvents(
+        EventStreams.readEvents(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+    q.processAllAvailable()
+    println("== dedup == rows=" + spark.table("deduped").count())
+    q.stop()
+
     spark.stop()
   }
 }

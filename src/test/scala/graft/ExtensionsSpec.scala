@@ -26,10 +26,25 @@ class ExtensionsSpec extends AnyFunSuite {
     try {
       val row = spark.sql("""
         SELECT bday_count(DATE'2023-12-15', DATE'2024-01-01') AS c,
-               element_at(minhash_sig('hello graft world'), 1) AS m
+               element_at(minhash_sig('hello graft world'), 1) AS m,
+               simhash_sig('hello graft world') AS sh,
+               ngram_jaccard('a b c d', 'b c d e') AS j,
+               element_at(byte_histogram16(encode('ab', 'utf-8')), 7) AS h6
       """).head()
       assert(row.getLong(0) == 10L)
       assert(row.getString(1).length == 8)
+      assert(row.getInt(2) >= 0 && row.getInt(2) < 65536)
+      // grams {a b c, b c d} vs {b c d, c d e}: inter 1, union 3
+      assert(row.getDouble(3) == 1.0 / 3)
+      assert(row.getLong(4) == 2L) // 'a','b' both have high nibble 6
+
+      val agg = spark.sql("""
+        SELECT topk_by_score(s, i) AS top FROM VALUES
+          (1.0, 10L), (3.0, 30L), (2.0, 20L), (3.0, 25L),
+          (0.5, 5L), (2.5, 26L), (1.5, 15L) AS t(s, i)
+      """).head().getSeq[org.apache.spark.sql.Row](0)
+      assert(agg.map(r => (r.getLong(0), r.getDouble(1))) ==
+        Seq(25L -> 3.0, 30L -> 3.0, 26L -> 2.5, 20L -> 2.0, 15L -> 1.5))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

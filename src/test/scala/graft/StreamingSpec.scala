@@ -81,6 +81,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked streaming dedup drops re-delivered events") {
+    // stage the fixture TWICE: every event is delivered twice, as a
+    // re-delivering event bus would
+    val dir = Files.createTempDirectory("events_dup")
+    for (part <- Seq("part-0", "part-1")) {
+      Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+        dir.resolve(s"$part.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val deduped = EventStreams.dedupEvents(
+      EventStreams.readEvents(spark, dir.toString))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+    try {
+      q.processAllAvailable()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val distinctIds = spark.read
+        .parquet(s"$dir/part-0.parquet")
+        .select("event_id").distinct().count()
+      assert(spark.table("deduped").count() == distinctIds)
+      assert(spark.table("deduped")
+        .groupBy("event_id").count().filter(col("count") > 1).isEmpty)
+    } finally q.stop()
+  }
+
   test("hopping window counts: streaming == batch (q44 twin)") {
     val dir = stageDir()
     val stream = EventStreams.hoppingCounts(
