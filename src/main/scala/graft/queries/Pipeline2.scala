@@ -174,7 +174,73 @@ object Pipeline2 {
     FROM hist ORDER BY doc_id"""
   }
 
+  // q48 — composed curation pipeline (the realistic training-data shape):
+  // language ID + quality scoring + token bounds as scan-local features,
+  // then exact-dedup keep-smallest-id over the survivors. One scan, one
+  // shuffle (the dedup groupBy); every stage reuses the engine's text ops.
+  private val q48: Q = (s, d) => {
+    import graft.text.TextOps
+    val feats = documents(s, d).select(col("doc_id"),
+      TextOps.langId(col("text")).as("lang_pred"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      TextOps.tokenCountWs(col("text")).as("n_tokens"),
+      TextOps.fingerprint(col("text")).as("fp"))
+    val filtered = feats.filter(col("lang_pred") === "en" &&
+      col("quality") >= 0.91 && col("n_tokens") >= 20)
+    val keep = filtered.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+    keep.join(filtered, Seq("fp", "doc_id"))
+      .select(col("doc_id"), col("lang_pred"), col("quality"),
+        col("n_tokens"), col("fp"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q48Sql = {
+    import graft.text.TextOps
+    def cnt(pat: String, src: String = "lower(text)") =
+      s"len(regexp_extract_all($src, '$pat'))"
+    val bpeFree = s"""
+    WITH sc AS (
+      SELECT doc_id, text,
+             ${cnt(TextOps.EnPat)} AS en, ${cnt(TextOps.DePat)} AS de,
+             ${cnt(TextOps.EsPat)} AS es, ${cnt(TextOps.FrPat)} AS fr,
+             ${cnt(TextOps.CjkPat, "text")} AS zh,
+             CAST(length(text) AS DOUBLE) AS len,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS nws
+      FROM documents),
+    feats AS (
+      SELECT doc_id,
+             CASE WHEN zh > 0 THEN 'zh'
+                  WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+                  WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+                  WHEN fr >= de AND fr > 0 THEN 'fr'
+                  WHEN de > 0 THEN 'de' ELSE 'und' END AS lang_pred,
+             round(
+               (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) * 0.5
+               + (CASE WHEN (CASE WHEN nws > 0 THEN alpha / nws ELSE 0.0 END)
+                         BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END) * 0.3
+               + (CASE WHEN (CASE WHEN len > 0 THEN punct / len ELSE 0.0 END)
+                         <= 0.1 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality,
+             CAST(nws AS BIGINT) AS n_tokens,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM sc),
+    filtered AS (
+      SELECT * FROM feats
+      WHERE lang_pred = 'en' AND quality >= 0.91 AND n_tokens >= 20),
+    keep AS (
+      SELECT fp, min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM filtered GROUP BY fp)
+    SELECT f.doc_id, f.lang_pred, f.quality, f.n_tokens, f.fp, k.n_copies
+    FROM keep k JOIN filtered f ON k.fp = f.fp AND k.doc_id = f.doc_id
+    ORDER BY f.doc_id"""
+    bpeFree
+  }
+
   val queries: Map[String, Q] = Map(
+    "q48_curation_pipeline" -> q48,
     "q43_simhash_hamming_pairs" -> q43,
     "q44_hopping_windows" -> q44,
     "q45_multimodal_framesample" -> q45,
@@ -182,6 +248,7 @@ object Pipeline2 {
     "q47_multimodal_bytehist" -> q47)
 
   val oracleSql: Map[String, String] = Map(
+    "q48_curation_pipeline" -> q48Sql,
     "q43_simhash_hamming_pairs" -> q43Sql,
     "q44_hopping_windows" -> q44Sql,
     "q45_multimodal_framesample" -> q45Sql,
