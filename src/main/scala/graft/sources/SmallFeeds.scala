@@ -49,6 +49,30 @@ object SmallFeeds {
     Dedup.keepFirst(all, Seq("data"), Seq(col("valor"))).orderBy(col("data"))
   }
 
+  /** SGS series ids used by the public API (bc/sgs.py:48-53). */
+  val SgsPtaxVenda = 1
+  val SgsSelicMeta = 432
+  val SgsSelicOver = 1178
+
+  /** PTAX shaping (bc/sgs.py:340-350): valor → cotacao rounded to 4
+    * (Polars round = scaled ties-even).
+    */
+  def sgsPtax(df: DataFrame): DataFrame =
+    df.select(col("data"), round_even(col("valor"), 4).as("cotacao"))
+
+  /** Rate-series shaping (bc/sgs.py:146-153): percent → decimal `taxa`. */
+  def sgsTaxa(df: DataFrame): DataFrame =
+    df.select(col("data"), pct_para_decimal(col("valor")).as("taxa"))
+
+  /** Scalar extraction with the NaN-on-empty contract (bc/sgs.py:157-161,
+    * backing `ptax(data)` / `selic_over(data)` / `selic_meta(data)`).
+    */
+  def extrairEscalar(df: DataFrame, coluna: String): Double = {
+    val rows = df.select(col(coluna).cast("double")).limit(1).collect()
+    if (rows.isEmpty || rows(0).isNullAt(0)) Double.NaN
+    else rows(0).getDouble(0)
+  }
+
   // ------------------------------------------------------------ COPOM (S19)
 
   /** Past (API/fixture) + future (announced) meetings → deduped calendar

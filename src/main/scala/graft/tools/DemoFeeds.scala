@@ -30,6 +30,14 @@ object DemoFeeds {
     println("== di_over == " + graft.sources.SmallFeeds.diOver(
       java.time.LocalDate.of(2025, 2, 28), _ => "00001315"))
 
+    // SGS consumer shaping: PTAX doctest payload -> cotacao + scalar
+    val sgs = graft.sources.SmallFeeds.sgsParse(spark,
+      """[{"data":"22/04/2025","valor":"5.7496"}]""")
+    println("== ptax serie ==")
+    graft.sources.SmallFeeds.sgsPtax(sgs).show(false)
+    println("== ptax scalar == " + graft.sources.SmallFeeds.extrairEscalar(
+      graft.sources.SmallFeeds.sgsPtax(sgs), "cotacao"))
+
     println("== URL == " + graft.sources.Urls.olindaMontarUrl(
       "https://olinda.bcb.gov.br/.../leiloes_compromissadas(...)?",
       graft.sources.Urls.compromissadaParametros(

@@ -92,6 +92,27 @@ class SmallFeedsSpec extends AnyFunSuite {
       == Seq(("2024-01-01", 0.42), ("2024-02-01", 0.83)))
   }
 
+  test("SGS consumers: ptax cotacao round4, taxa pct->decimal, scalar NaN") {
+    // doctest golden (bc/sgs.py:366-372): 22-04-2025 -> 5.7496
+    val df = SmallFeeds.sgsParse(spark,
+      """[{"data":"22/04/2025","valor":"5.7496"},
+         {"data":"23/04/2025","valor":"5.66005"}]""")
+    val ptax = SmallFeeds.sgsPtax(df).orderBy("data").collect()
+    assert(ptax(0).getDouble(1) == 5.7496)
+    assert(ptax(1).getDouble(1) == 5.66) // rounded to 4 (ties-even)
+    assert(SmallFeeds.extrairEscalar(
+      SmallFeeds.sgsPtax(df).filter(col("data") === "2025-04-22"),
+      "cotacao") == 5.7496)
+    // empty -> NaN (holiday/weekend/future contract)
+    assert(SmallFeeds.extrairEscalar(
+      SmallFeeds.sgsPtax(df).filter(col("data") === "2025-04-20"),
+      "cotacao").isNaN)
+    // rate series: percent -> decimal
+    val taxa = SmallFeeds.sgsTaxa(SmallFeeds.sgsParse(spark,
+      """[{"data":"22/04/2025","valor":"14.15"}]""")).head()
+    assert(taxa.getDouble(1) == 0.1415)
+  }
+
   test("DI over: parse, availability contract, 550/421 handling") {
     import java.time.LocalDate
     // doctest golden (di_over.py:84-88): 28/02/2025 -> 0.1315
