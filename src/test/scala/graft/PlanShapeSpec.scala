@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gates: the scale properties the engine claims
+  * (no accidental cartesians, no per-query windows in top-k, partial
+  * aggregation, pruned scans) must survive future edits, not just the
+  * round they were built in. Asserted on the OPTIMIZED physical plans of
+  * the declared driver queries at sf0.001.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan
+
+  private def planString(name: String): String = plan(name).toString
+
+  test("banded/ball dedup joins never nest-loop") {
+    for (q <- Seq("q32_lsh_candidate_pairs", "q43_simhash_hamming_pairs",
+        "q46_embedding_neardup")) {
+      val p = planString(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$q must build candidates from equi-joins only")
+    }
+  }
+
+  test("top-k queries use the bounded aggregate, not a per-query window") {
+    for (q <- Seq("q35_cosine_topk", "q36_ann_ivf_label")) {
+      val p = planString(q)
+      assert(!p.contains("Window"), s"$q must not rank via a window")
+      assert(p.contains("topk_by_score"),
+        s"$q must aggregate via TopKByScore")
+    }
+  }
+
+  test("scan-local feature queries stay single-scan with pruned schema") {
+    for ((q, cols) <- Seq(
+        "q33_simhash" -> "struct<doc_id:bigint,text:string>",
+        "q47_multimodal_bytehist" -> "struct<doc_id:bigint,text:string>")) {
+      val p = planString(q)
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$q must scan once")
+      assert(p.contains(cols), s"$q must prune the scan to $cols")
+      assert(!p.contains("Join"), s"$q must not join")
+    }
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val p = planString("q02_filter_project")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_shipdate"),
+      "q02's ship-date filter must be pushed to the scan")
+  }
+
+  test("dimension joins broadcast; fact side never broadcasts") {
+    val p = planString("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"),
+      "q03 dims must broadcast-hash-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("curation pipeline is one shuffle plus broadcast join-back") {
+    val p = planString("q48_curation_pipeline")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "q48's join-back should broadcast at this size")
+    // exactly one aggregation exchange feeding the dedup
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      "q48 must shuffle once (the dedup groupBy)")
+  }
+}
