@@ -44,6 +44,18 @@ object DemoFeeds {
         Some(java.time.LocalDate.of(2025, 8, 21)),
         Some(java.time.LocalDate.of(2025, 8, 21)))))
 
+    // trading-session validation (B3 pregão calendar + intraday gate)
+    val hoje = java.time.LocalDate.of(2026, 3, 10)
+    println("== pregao == 2026-03-09 valid=" +
+      graft.datasets.Pregao.dataNegociacaoValida(
+        java.time.LocalDate.of(2026, 3, 9), hoje) +
+      " 2025-12-24 valid=" +
+      graft.datasets.Pregao.dataNegociacaoValida(
+        java.time.LocalDate.of(2025, 12, 24), hoje) +
+      " intradia@9:16=" + graft.datasets.Pregao.intradiaDisponivel(
+        java.time.ZonedDateTime.of(2026, 3, 10, 9, 16, 0, 0,
+          graft.datasets.Pregao.Brt)))
+
     spark.stop()
   }
 }

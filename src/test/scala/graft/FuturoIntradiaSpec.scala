@@ -41,4 +41,25 @@ class FuturoIntradiaSpec extends AnyFunSuite {
     assert(out.columns.contains("preco_ultimo") &&
       !out.columns.contains("taxa_ultima"))
   }
+
+  test("pregão validation: bdays only, no future, Dec 24/31 closed, 9:16 gate") {
+    import java.time.{LocalDate, ZonedDateTime}
+    import graft.datasets.Pregao
+    val hoje = LocalDate.of(2026, 3, 10) // Tuesday, business day
+    assert(Pregao.dataNegociacaoValida(LocalDate.of(2026, 3, 9), hoje))
+    assert(!Pregao.dataNegociacaoValida(LocalDate.of(2026, 3, 11), hoje)) // future
+    assert(!Pregao.dataNegociacaoValida(LocalDate.of(2026, 3, 8), hoje)) // Sunday
+    assert(!Pregao.dataNegociacaoValida(LocalDate.of(2025, 1, 1), hoje)) // holiday
+    // special closures: Dec 24 (2025: Wednesday) and Dec 31 (Wednesday)
+    assert(!Pregao.dataNegociacaoValida(LocalDate.of(2025, 12, 24), hoje))
+    assert(!Pregao.dataNegociacaoValida(LocalDate.of(2025, 12, 31), hoje))
+
+    def at(h: Int, m: Int) = ZonedDateTime.of(2026, 3, 10, h, m, 0, 0, Pregao.Brt)
+    assert(!Pregao.intradiaDisponivel(at(9, 15)))
+    assert(Pregao.intradiaDisponivel(at(9, 16)))
+    assert(Pregao.intradiaDisponivel(at(17, 0)))
+    // weekend day: never available
+    assert(!Pregao.intradiaDisponivel(
+      ZonedDateTime.of(2026, 3, 8, 12, 0, 0, 0, Pregao.Brt)))
+  }
 }
