@@ -176,8 +176,10 @@ object Pipeline2 {
 
   // q48 — composed curation pipeline (the realistic training-data shape):
   // language ID + quality scoring + token bounds as scan-local features,
-  // then exact-dedup keep-smallest-id over the survivors. One scan, one
-  // shuffle (the dedup groupBy); every stage reuses the engine's text ops.
+  // then exact-dedup keep-smallest-id over the survivors. ONE scan and one
+  // shuffle: min_by carries the kept row's features through the dedup
+  // aggregate, so the regex-heavy feature stage is never computed twice
+  // (a groupBy + join-back form re-ran it on both sides — measured 2x).
   private val q48: Q = (s, d) => {
     import graft.text.TextOps
     val feats = documents(s, d).select(col("doc_id"),
@@ -187,11 +189,13 @@ object Pipeline2 {
       TextOps.fingerprint(col("text")).as("fp"))
     val filtered = feats.filter(col("lang_pred") === "en" &&
       col("quality") >= 0.91 && col("n_tokens") >= 20)
-    val keep = filtered.groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-    keep.join(filtered, Seq("fp", "doc_id"))
-      .select(col("doc_id"), col("lang_pred"), col("quality"),
-        col("n_tokens"), col("fp"), col("n_copies"))
+    filtered.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_copies"),
+        min_by(struct(col("lang_pred"), col("quality"), col("n_tokens")),
+          col("doc_id")).as("_f"))
+      .select(col("doc_id"), col("_f.lang_pred"), col("_f.quality"),
+        col("_f.n_tokens"), col("fp"), col("n_copies"))
       .orderBy(col("doc_id"))
   }
 

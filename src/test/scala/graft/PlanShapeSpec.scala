@@ -70,11 +70,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("curation pipeline is one shuffle plus broadcast join-back") {
+  test("curation pipeline is one scan, one shuffle, no join") {
     val p = planString("q48_curation_pipeline")
-    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
-      "q48's join-back should broadcast at this size")
-    // exactly one aggregation exchange feeding the dedup
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "q48 must compute the feature stage once (min_by carries features)")
+    assert(!p.contains("Join"), "q48 must not join back")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
       "q48 must shuffle once (the dedup groupBy)")
   }
