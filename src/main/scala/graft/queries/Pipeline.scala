@@ -77,9 +77,18 @@ object Pipeline {
       .select(col("doc_id"), col("band"))
     // Pre-aggregate band -> member list instead of self-joining: the
     // signature stage (the expensive part) runs ONCE on one scan, and
-    // candidates come from pairs within each bucket. Bucket member lists
-    // are small by LSH construction (only near-identical docs share a
-    // band); the pair count is identical to the self-join's output.
+    // candidates come from pairs within each bucket; the pair count is
+    // identical to the self-join's output.
+    //
+    // SCALE PRECONDITION: run EXACT dedup first (q30 / the q48 pipeline),
+    // as production MinHash-LSH always does. An exact-duplicate class of m
+    // docs shares every band, so its bucket list holds m ids in one
+    // aggregation row — and no plan survives that input anyway, since the
+    // candidate OUTPUT itself is then m^2 pairs. After exact dedup, bucket
+    // lists hold only near-identical (non-equal) docs and stay small; for
+    // a duplicate-heavy input where m^2 output is genuinely wanted, the
+    // band equi-self-join form distributes the same pairs at the price of
+    // computing the signature on both sides.
     exploded.groupBy(col("band"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)

@@ -113,6 +113,15 @@ object Similarity {
   private def finishTopK(joined: DataFrame, k: Int, qId: String,
                          cId: String, extraGroupCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // the bounded aggregate ranks by a LONG id; fail fast on other id
+    // types instead of letting the cast return nulls (dropping every row)
+    joined.schema(cId).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"topK id column '$cId' must be integral (got $other); map ids to " +
+          "long before ranking")
+    }
     val agg = column(TopKByScore(expression(col("sim")),
       expression(col(cId).cast("long")), k).toAggregateExpression())
     val groupCols = (qId +: extraGroupCols).map(col)

@@ -29,6 +29,8 @@ case class TopKByScore(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[PriorityQueue[TopKByScore.Entry]] {
 
+  require(k >= 1, s"top-k size must be >= 1, got $k")
+
   import TopKByScore.Entry
 
   override def children: Seq[Expression] = Seq(score, id)

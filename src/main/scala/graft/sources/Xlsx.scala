@@ -195,8 +195,10 @@ object Xlsx {
                 colIdx = pendingCol
                 cellType = Option(attr(reader, "t")).getOrElse("")
               case "v" => inV = true; sb.clear()
-              case "is" => inIs = true
-              case "t" if inIs => inT = true; sb.clear()
+              // rich-text runs: accumulate every <t> within the <is> and
+              // emit once at </is> (mirrors parseSharedStrings)
+              case "is" => inIs = true; sb.clear()
+              case "t" if inIs => inT = true
               case _ =>
             }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
@@ -213,8 +215,9 @@ object Xlsx {
                 put(rowIdx, pendingCol, resolved)
               case "t" if inIs =>
                 inT = false
+              case "is" =>
+                inIs = false
                 put(rowIdx, pendingCol, sb.toString)
-              case "is" => inIs = false
               case _ =>
             }
           case _ =>

@@ -143,10 +143,11 @@ class XlsxSpec extends AnyFunSuite {
     put("xl/_rels/workbook.xml.rels",
       """<Relationships><Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>""")
     put("xl/worksheets/sheet1.xml",
-      """<worksheet><sheetData><row><c t="inlineStr"><is><t>oi</t></is></c><c><v>3</v></c></row></sheetData></worksheet>""")
+      """<worksheet><sheetData><row><c t="inlineStr"><is><t>oi</t></is></c><c><v>3</v></c><c t="inlineStr"><is><r><t>IPCA </t></r><r><t>15</t></r></is></c></row></sheetData></worksheet>""")
     zos.close()
     val g = Xlsx.readSheet(bos.toByteArray, "S")
-    assert(g == Vector(Vector(Some("oi"), Some("3"))))
+    // the third cell is inline RICH TEXT (two runs) — runs concatenate
+    assert(g == Vector(Vector(Some("oi"), Some("3"), Some("IPCA 15"))))
   }
 
   test("RMD 1.3 end-to-end from xlsx bytes") {
