@@ -243,8 +243,48 @@ object Pipeline2 {
     bpeFree
   }
 
+  // q49 — rolling-hash document fingerprint: minimum Rabin hash over all
+  // 8-byte windows (the bottom-1 winnowing sketch — robust to shifted /
+  // embedded content where a whole-content digest changes completely).
+  // Scan-local native expression; the oracle mirrors the same 64-bit
+  // arithmetic window by window.
+  private val q49: Q = (s, d) => {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    documents(s, d)
+      .select(col("doc_id"), to_binary(col("text"), lit("utf-8")).as("payload"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        column(graft.text.RollingMinHash(expression(col("payload")),
+          k = 8, base = 31L, mod = 2147483647L)).as("min_rhash"))
+      .withColumn("n_windows", greatest(col("n_bytes") - 7, lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q49Sql = """
+    WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+               FROM documents),
+    b AS (SELECT doc_id, n_bytes,
+            list_transform(generate_series(1, CAST(n_bytes AS INTEGER)),
+              i -> CAST((strpos('0123456789abcdef', substr(hx, i*2-1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hx, i*2, 1)) - 1) AS BIGINT))
+              AS bytes
+          FROM p)
+    SELECT doc_id, n_bytes,
+           CASE WHEN n_bytes >= 8 THEN
+             list_min(list_transform(
+               generate_series(0, CAST(n_bytes AS INTEGER) - 8),
+               i -> (bytes[i+1]*27512614111 + bytes[i+2]*887503681
+                   + bytes[i+3]*28629151 + bytes[i+4]*923521
+                   + bytes[i+5]*29791 + bytes[i+6]*961
+                   + bytes[i+7]*31 + bytes[i+8]) % 2147483647))
+           ELSE NULL END AS min_rhash,
+           greatest(n_bytes - 7, 0) AS n_windows
+    FROM b ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "q48_curation_pipeline" -> q48,
+    "q49_rolling_fingerprint" -> q49,
     "q43_simhash_hamming_pairs" -> q43,
     "q44_hopping_windows" -> q44,
     "q45_multimodal_framesample" -> q45,
@@ -253,6 +293,7 @@ object Pipeline2 {
 
   val oracleSql: Map[String, String] = Map(
     "q48_curation_pipeline" -> q48Sql,
+    "q49_rolling_fingerprint" -> q49Sql,
     "q43_simhash_hamming_pairs" -> q43Sql,
     "q44_hopping_windows" -> q44Sql,
     "q45_multimodal_framesample" -> q45Sql,

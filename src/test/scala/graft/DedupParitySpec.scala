@@ -46,6 +46,25 @@ class DedupParitySpec extends AnyFunSuite {
     assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
   }
 
+  test("rolling min-hash: window math, null under k bytes, shift property") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import spark.implicits._
+    val rh = (c: org.apache.spark.sql.Column) =>
+      column(graft.text.RollingMinHash(expression(c), 8, 31L, 2147483647L))
+    val df = Seq("abcdefgh", "short", "abcdefghi", "XYZabcdefghi")
+      .toDF("t")
+      .select(col("t"), rh(to_binary(col("t"), lit("utf-8"))).as("h"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // exactly one window: the direct polynomial of the 8 bytes
+    val expect = "abcdefgh".getBytes("UTF-8")
+      .foldLeft(0L)((h, b) => h * 31 + (b & 0xff)) % 2147483647L
+    assert(df("abcdefgh").contains(expect))
+    assert(df("short").isEmpty) // < 8 bytes -> null
+    // a shifted superset of windows can only lower the minimum
+    assert(df("XYZabcdefghi").get <= df("abcdefghi").get)
+  }
+
   test("native NGramJaccard equals the HOF gram-array form") {
     import graft.text.TextOps
     val withW = docs
