@@ -79,7 +79,13 @@ object Analytics {
       var s = 0.0
       var i = 0
       while (i < fluxos.length) {
-        s += fluxos(i)._2 / math.pow(1 + di(i) + p, anos(i))
+        // flows beyond the DI curve interpolate to null in the reference
+        // (Interpolador extrapolar=False) and Series.sum() SKIPS them
+        // (ntnf.py:789-794) — mirror by skipping NaN rates instead of
+        // poisoning the whole sum
+        if (!di(i).isNaN) {
+          s += fluxos(i)._2 / math.pow(1 + di(i) + p, anos(i))
+        }
         i += 1
       }
       s - preco

@@ -198,7 +198,9 @@ object NtnF {
     Num.truncar(Bonds.encontrarRaiz(t => pu(liq, venc, t) - pu0), 8)
   }
 
-  /** Macaulay duration (same shape as NTN-B's; ntnf.py:836-900). */
+  /** Macaulay duration — returned RAW (ntnf.py:867 has no truncar,
+    * unlike NTN-B's trunc14 at ntnb.py:747).
+    */
   def duration(liq: LocalDate, venc: LocalDate, taxa0: Double): Double = {
     val fluxos = fluxosCaixa(liq, venc)
     if (fluxos.isEmpty) return Double.NaN
@@ -207,7 +209,7 @@ object NtnF {
       val vp = v / math.pow(1 + taxa0, anos)
       (vp, vp * anos)
     }
-    Num.truncar(termos.map(_._2).sum / termos.map(_._1).sum, 14)
+    termos.map(_._2).sum / termos.map(_._1).sum
   }
 
   def dv01(liq: LocalDate, venc: LocalDate, taxa0: Double, pu0: Double): Double = {

@@ -91,13 +91,19 @@ object Bootstrap {
       } else {
         val tir = interpNtnf(du)
         val datasFluxo = Bonds.gerarDatasPagamento(liq, venc, 6).dropRight(1)
-        val pvCupons = Bonds.calcularPv(
-          datasFluxo.map(_ => NtnF.ValorCupom),
-          datasFluxo.map(spot(_)),
-          datasFluxo.map(d => BrCalendar.contar(liq, d) / 252.0))
-        val preco = NtnF.pu(liq, venc, tir)
-        val fator = NtnF.ValorFinal / (preco - pvCupons)
-        spot(venc) = math.pow(fator, 1 / (du / 252.0)) - 1
+        if (datasFluxo.isEmpty) {
+          // reference guard (ntnf.py:486-492): no prior coupons -> null
+          // vertex (NaN here), cascading into later bonds' PV sums
+          spot(venc) = Double.NaN
+        } else {
+          val pvCupons = Bonds.calcularPv(
+            datasFluxo.map(_ => NtnF.ValorCupom),
+            datasFluxo.map(spot(_)),
+            datasFluxo.map(d => BrCalendar.contar(liq, d) / 252.0))
+          val preco = NtnF.pu(liq, venc, tir)
+          val fator = NtnF.ValorFinal / (preco - pvCupons)
+          spot(venc) = math.pow(fator, 1 / (du / 252.0)) - 1
+        }
       }
     }
 

@@ -72,9 +72,12 @@ object NtnB1 {
   def fluxosCaixa(liq: LocalDate, venc: LocalDate,
                   nome: NomeComercial): Seq[(LocalDate, Double)] = {
     val (amort, amortFinal) = parametros(nome)
-    val venc15 = venc.withDayOfMonth(15)
+    // the reference compares payment dates against the RAW vencimento
+    // (ntnb1.py:182) while the dates themselves are day-15 normalized —
+    // so a non-day-15 maturity never receives the final amortization;
+    // faithfully reproduced (only day-15 maturities exist in practice)
     datasPagamento(liq, venc, nome).map { d =>
-      d -> (if (d == venc15) amortFinal else amort)
+      d -> (if (d == venc) amortFinal else amort)
     }
   }
 
@@ -90,8 +93,11 @@ object NtnB1 {
     Num.truncar(soma, 6)
   }
 
-  /** pu = trunc6(trunc6(vna)*trunc6(cot)) like NTN-B. */
-  def pu(vna: Double, cot: Double): Double = NtnB.pu(vna, cot)
+  /** pu = trunc6(vna*cot) — a SINGLE truncation on the product
+    * (ntnb1.py:409), unlike NTN-B which truncates the inputs first
+    * (ntnb.py:322-324).
+    */
+  def pu(vna: Double, cot: Double): Double = Num.truncar(vna * cot, 6)
 
   /** Macaulay duration (untruncated year fractions, trunc14 result);
     * golden 47.10494386899197.

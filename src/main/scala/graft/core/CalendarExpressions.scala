@@ -98,9 +98,12 @@ case class TruncateDecimal(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Round-half-to-even on the EXACT binary double (Python round / Polars
-  * round_ties_even semantics) — Spark's own `round` is HALF_UP on the
-  * shortest decimal representation and differs on values like x.xx5.
+/** Polars-style round: scale, rint (ties-to-even on the SCALED binary
+  * value), unscale — Spark's own `round` is HALF_UP on the shortest
+  * decimal representation and differs on values like x.xx5. NOTE: this is
+  * NOT Python's round (exact-binary half-even on the unscaled value,
+  * `Num.roundHalfEven`) — the two differ at tie-edge values like
+  * 470198680.075; see Num.scala for the split.
   */
 case class RoundHalfEvenBinary(left: Expression, right: Expression)
     extends BinaryExpression {

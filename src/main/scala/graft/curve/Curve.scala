@@ -73,6 +73,14 @@ object Curve {
     val keyCol = "_ikey"
 
     val tCols = targets.columns.toSeq
+    // working columns would silently overwrite identically-named caller
+    // columns; fail fast instead
+    val reserved = (Seq(tagCol, keyCol, "_cdu", "_ctx", "_arr", "_du_j",
+      "_tx_j", "_du_k", "_tx_k", "_du_min", "_du_max", "_tx_min",
+      "_tx_max") ++ g).toSet
+    val clash = tCols.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"targets contain reserved interpolate working columns: $clash")
 
     val t = groupT.zip(g).foldLeft(targets) { case (df, (src, dst)) =>
       df.withColumn(dst, col(src))
@@ -91,6 +99,15 @@ object Curve {
         col(curveTx).cast("double").as("_ctx")): _*)
       .filter(col("_cdu").isNotNull && col("_ctx").isNotNull &&
         !isnan(col("_ctx")))
+      // duplicate (group, du) vertices keep the LAST arrival (reference
+      // interpolador.py:431 unique(keep="last")); without this the two
+      // window passes could each pick a different duplicate
+      .withColumn("_arr", monotonically_increasing_id())
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy((g :+ "_cdu").map(col): _*)
+          .orderBy(col("_arr").desc)))
+      .filter(col("_rn") === 1)
+      .drop("_arr", "_rn")
 
     val c = c0
       .withColumn(keyCol, col("_cdu"))
@@ -147,9 +164,14 @@ object Curve {
           if (extrapolate) col("_tx_max") else nullD)
         .otherwise(mid)
 
+    // fill_nan(None) (reference interpolador.py:500): NaN produced by the
+    // flat-forward arithmetic (e.g. a -100% vertex) surfaces as null
+    val taxaFilled = when(isnan(taxa), lit(null).cast("double"))
+      .otherwise(taxa)
+
     enriched
       .filter(col(tagCol) === 1)
-      .withColumn(outCol, taxa)
+      .withColumn(outCol, taxaFilled)
       .select((tCols :+ outCol).map(col): _*)
   }
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType}
 import graft.core._
 import graft.dedup.{MinHashSig, NGramJaccard, SimHashSig}
 import graft.multimodal.ByteHistogram16
@@ -26,21 +28,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // SQL arguments arrive with whatever type the caller wrote (bigint
+    // columns, decimal literals); the engine expressions expect exact
+    // types, so coerce at analysis time — the same contract the Scala
+    // Column wrappers in graft.functions enforce with .cast
+    def asDate(x: Expression) = Cast(x, DateType)
+    def asInt(x: Expression) = Cast(x, IntegerType)
+    def asDouble(x: Expression) = Cast(x, DoubleType)
     e.injectFunction((FunctionIdentifier("bday_count"),
       info("bday_count", "business days in [start, end), Brazilian dual-regime calendar"),
-      (es: Seq[Expression]) => BusinessDayCount(es.head, es(1))))
+      (es: Seq[Expression]) => BusinessDayCount(asDate(es.head), asDate(es(1)))))
     e.injectFunction((FunctionIdentifier("add_bdays"),
       info("add_bdays", "roll to business day then add n business days"),
-      (es: Seq[Expression]) => AddBusinessDays(es.head, es(1), rollForward = true)))
+      (es: Seq[Expression]) =>
+        AddBusinessDays(asDate(es.head), asInt(es(1)), rollForward = true)))
     e.injectFunction((FunctionIdentifier("is_bday"),
       info("is_bday", "weekday and not a holiday of the date's own regime"),
-      (es: Seq[Expression]) => IsBusinessDay(es.head)))
+      (es: Seq[Expression]) => IsBusinessDay(asDate(es.head))))
     e.injectFunction((FunctionIdentifier("truncate_dec"),
       info("truncate_dec", "STN truncation toward zero on the shortest decimal repr"),
-      (es: Seq[Expression]) => TruncateDecimal(es.head, es(1))))
+      (es: Seq[Expression]) => TruncateDecimal(asDouble(es.head), asInt(es(1)))))
     e.injectFunction((FunctionIdentifier("round_even"),
       info("round_even", "Polars-style scaled ties-to-even rounding"),
-      (es: Seq[Expression]) => RoundHalfEvenBinary(es.head, es(1))))
+      (es: Seq[Expression]) => RoundHalfEvenBinary(asDouble(es.head), asInt(es(1)))))
     e.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "one-pass MinHash signature array of a text column"),
       (es: Seq[Expression]) => MinHashSig(es.head, k = 5, numHashes = 8)))
@@ -56,6 +66,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("topk_by_score"),
       info("topk_by_score", "bounded top-5 (score, id) aggregate with map-side partial merge"),
       (es: Seq[Expression]) =>
-        TopKByScore(es.head, es(1), k = 5).toAggregateExpression()))
+        TopKByScore(Cast(es.head, DoubleType), Cast(es(1), LongType), k = 5)
+          .toAggregateExpression()))
   }
 }
