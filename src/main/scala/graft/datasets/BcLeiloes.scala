@@ -69,7 +69,12 @@ object BcLeiloes {
         col("quantidadeLiquidadaSegundaRodada").cast("long"))
 
     df = df
-      .withColumn("titulo", MapaTitulos.foldLeft(lit(null).cast("string")) {
+      // replace_strict semantics (reference bc/leiloes.py): an unmapped
+      // security code must FAIL, not flow through as null titulo with
+      // zeroed analytics that look valid downstream
+      .withColumn("titulo", MapaTitulos.foldLeft(
+        raise_error(concat(lit("código SELIC sem título mapeado: "),
+          col("codigo_selic").cast("string"))).cast("string")) {
         case (acc, (codigo, nome)) =>
           when(col("codigo_selic") === codigo, nome).otherwise(acc)
       })

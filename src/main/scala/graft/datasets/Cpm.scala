@@ -95,12 +95,19 @@ object Probabilities {
   /** Single-meeting view: nearest priced meeting or an explicit expiry. */
   def meeting(all: DataFrame, expiry: Option[java.sql.Date] = None): DataFrame = {
     val target = expiry match {
-      case Some(d) => lit(d)
+      case Some(d) => Some(lit(d))
       case None =>
-        lit(all.filter(col("ranking_reuniao") === 1)
-          .select(col("data_expiracao")).head().getDate(0))
+        // no priced contracts (reference returns an empty frame for such
+        // dates) -> empty result instead of head() exploding
+        all.filter(col("ranking_reuniao") === 1)
+          .select(col("data_expiracao")).limit(1).collect()
+          .headOption.map(r => lit(r.getDate(0)))
     }
-    all.filter(col("data_expiracao") === target)
-      .withColumn("ranking_reuniao", lit(1).cast("int"))
+    target match {
+      case Some(t) =>
+        all.filter(col("data_expiracao") === t)
+          .withColumn("ranking_reuniao", lit(1).cast("int"))
+      case None => all.filter(lit(false))
+    }
   }
 }

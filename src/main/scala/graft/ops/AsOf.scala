@@ -161,15 +161,27 @@ object AsOf {
           .orderBy(col(keyCol).asc_nulls_last, col(tagCol).asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // Resolve the matched right ROW as one struct, not each payload column
+    // separately: per-column last(ignoreNulls) would skip a matched row
+    // whose payload value is genuinely null (reaching back to an older
+    // row) and could even stitch together values from different right
+    // rows. The struct is non-null for every right row (even when all its
+    // fields are null), so ignoreNulls skips exactly the left rows.
+    //
     // Null ordering keys must resolve to null payloads (Polars join_asof
     // null propagation): *_nulls_last would otherwise hand a null-key left
     // row the payload of the extreme-key right row via the running window.
-    val resolved = outNames.foldLeft(unioned) { (df, n) =>
-      df.withColumn(n, when(col(keyCol).isNull, lit(null))
-        .otherwise(last(col(n + "_r"), ignoreNulls = true).over(w)))
-    }
+    val payloadStruct = "_asof_payload"
+    val resolved = unioned
+      .withColumn(payloadStruct,
+        when(col(tagCol) === 0, struct(outNames.map(n => col(n + "_r")): _*)))
+      .withColumn(payloadStruct,
+        when(col(keyCol).isNull, lit(null))
+          .otherwise(last(col(payloadStruct), ignoreNulls = true).over(w)))
 
-    resolved
+    outNames.foldLeft(resolved) { (df, n) =>
+        df.withColumn(n, col(s"$payloadStruct.${n}_r"))
+      }
       .filter(col(tagCol) === 1)
       .select((by.map(col) ++ leftCols.filterNot(by.contains).map(col) ++
         outNames.map(col)): _*)

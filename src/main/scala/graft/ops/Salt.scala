@@ -23,9 +23,14 @@ object Salt {
   def saltedAgg(df: DataFrame, keys: Seq[String],
                 aggs: Seq[(String, String, String)],
                 saltBuckets: Int = 16): DataFrame = {
+    // salt DETERMINISTICALLY from the full row content: a nondeterministic
+    // salt (rand / monotonically_increasing_id) re-buckets rows when a map
+    // task is recomputed after a fetch failure, double-counting or
+    // dropping them in the partial aggregate. Identical duplicate rows
+    // land in one bucket, which is correct (and still spreads a hot KEY,
+    // the case salting exists for).
     val salted = df.withColumn("_salt",
-      pmod(hash(col(keys.head), monotonically_increasing_id()),
-        lit(saltBuckets)))
+      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
 
     val partialExprs = aggs.map {
       case (c, "sum", out)   => sum(col(c)).as(s"_p_$out")

@@ -163,7 +163,10 @@ object B3Boletim {
   def lerMany(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
     val rows = spark.createDataset(paths)
-      .repartition(math.min(paths.size, spark.sparkContext.defaultParallelism))
+      // max(1, ...) — repartition(0) throws on an empty path list, which
+      // should simply yield an empty typed frame
+      .repartition(math.max(1,
+        math.min(paths.size, spark.sparkContext.defaultParallelism)))
       .mapPartitions { it =>
         it.flatMap { p =>
           parseRecords(extrairXml(RawFiles.readBytes(p)))

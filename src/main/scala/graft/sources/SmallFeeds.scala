@@ -42,11 +42,17 @@ object SmallFeeds {
   }
 
   /** Concat + dedup-first by date + sort — the merge step after fetching
-    * each block.
+    * each block. Overlapping boundary dates keep the FIRST block's row
+    * (the reference's unique(keep="first") over the concat order), so
+    * each block is tagged with its position before the union.
     */
   def sgsMerge(blocks: Seq[DataFrame]): DataFrame = {
-    val all = blocks.reduce(_ unionByName _)
-    Dedup.keepFirst(all, Seq("data"), Seq(col("valor"))).orderBy(col("data"))
+    val all = blocks.zipWithIndex
+      .map { case (b, i) => b.withColumn("_blk", lit(i)) }
+      .reduce(_ unionByName _)
+    Dedup.keepFirst(all, Seq("data"), Seq(col("_blk")))
+      .drop("_blk")
+      .orderBy(col("data"))
   }
 
   /** SGS series ids used by the public API (bc/sgs.py:48-53). */
@@ -66,9 +72,14 @@ object SmallFeeds {
 
   /** Scalar extraction with the NaN-on-empty contract (bc/sgs.py:157-161,
     * backing `ptax(data)` / `selic_over(data)` / `selic_meta(data)`).
+    * Multi-row inputs take the FIRST row by `data` — Spark frames carry no
+    * row order, so an unordered limit(1) would be nondeterministic where
+    * the reference's item(0) is not.
     */
   def extrairEscalar(df: DataFrame, coluna: String): Double = {
-    val rows = df.select(col(coluna).cast("double")).limit(1).collect()
+    val ordered =
+      if (df.columns.contains("data")) df.orderBy(col("data")) else df
+    val rows = ordered.select(col(coluna).cast("double")).limit(1).collect()
     if (rows.isEmpty || rows(0).isNullAt(0)) Double.NaN
     else rows(0).getDouble(0)
   }

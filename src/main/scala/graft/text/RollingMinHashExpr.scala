@@ -23,6 +23,14 @@ case class RollingMinHash(child: Expression, k: Int, base: Long, mod: Long)
 
   require(k >= 1, s"window size must be >= 1, got $k")
   require(base > 0 && mod > 0, "base and mod must be positive")
+  // the rolling value h stays UNREDUCED (only the snapshot takes % mod):
+  // reject parameters whose worst case overflows Long instead of silently
+  // returning negative/garbage minima. Worst intermediate during the roll
+  // is maxWindowValue * base with maxWindowValue = 255 * (base^k-1)/(base-1).
+  require({
+    val maxWindow = (BigInt(base).pow(k) - 1) / (base - 1) * 255
+    maxWindow * base <= BigInt(Long.MaxValue)
+  }, s"base=$base, k=$k overflow 64-bit rolling arithmetic; shrink them")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true

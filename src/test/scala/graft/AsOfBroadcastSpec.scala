@@ -50,6 +50,27 @@ class AsOfBroadcastSpec extends AnyFunSuite {
     assert(e.getMessage.contains("AsOf.join"))
   }
 
+  test("a matched right row's NULL payload stays null (no reach-back)") {
+    import spark.implicits._
+    val left = Seq((1L, 30L)).toDF("id", "k")
+    val right = Seq((10L, Some(10.0), Some("a")), (20L, None, Some("b")))
+      .toDF("rk", "rv", "rs")
+    // backward match is the key=20 row: rv must be null (its own value),
+    // not 10.0 from the older row; rs must be "b" from the SAME row
+    val win = AsOf.join(left, right, by = Seq.empty,
+      leftOn = "k", rightOn = "rk",
+      payload = Seq("rv" -> "v", "rs" -> "s"))
+    val bc = AsOf.joinBroadcast(left, right, "k", "rk",
+      Seq("rv" -> "v", "rs" -> "s"))
+    for (df <- Seq(win, bc)) {
+      val r = df.head()
+      assert(r.isNullAt(r.fieldIndex("v")),
+        "matched row's null payload must stay null")
+      assert(r.getString(r.fieldIndex("s")) == "b",
+        "all payload columns must come from the SAME matched row")
+    }
+  }
+
   test("null ordering keys resolve to null payloads (both variants)") {
     import spark.implicits._
     val left = Seq((1L, Some(100L)), (2L, None), (3L, Some(5L)))
