@@ -75,11 +75,17 @@ object DedupOps {
   }
 
   /** LSH band key: concatenation of `rowsPerBand` adjacent signature
-    * components, hashed. Rows sharing any band key are near-dup candidates.
+    * components, hashed. Rows sharing any band key are near-dup
+    * candidates. NULL-PROPAGATING concat (not concat_ws, which skips null
+    * components): a null signature must yield a null band — concat_ws
+    * would collapse every null-signature row onto the same key and emit
+    * spurious pairs, where SQL's `||` (the oracle) nulls the band out.
     */
   def bandKey(sig: Seq[Column], band: Int, rowsPerBand: Int): Column = {
     val parts = sig.slice(band * rowsPerBand, (band + 1) * rowsPerBand)
-    md5(to_binary(concat_ws("|", (lit(band.toString) +: parts): _*), lit("utf-8")))
+    val joined = parts.foldLeft(lit(band.toString): Column)(
+      (acc, p) => concat(acc, lit("|"), p))
+    md5(to_binary(joined, lit("utf-8")))
   }
 
   /** Adds a 16-bit SimHash column from word unigrams: bit j is set when

@@ -19,24 +19,11 @@ object BondQueries {
   type Q = (SparkSession, String) => DataFrame
   import Tables._
 
-  /** Old-regime weekday holidays in [1994, 2031) (q25 maturities reach ~2030). */
-  private lazy val holidayListSql: String = {
-    val lo = LocalDate.of(1994, 1, 1).toEpochDay.toInt
-    val hi = LocalDate.of(2031, 1, 1).toEpochDay.toInt
-    BrCalendar.holidaysOld
-      .filter(e => e >= lo && e < hi && BrCalendar.isWeekday(e))
-      .map(e => s"DATE '${LocalDate.ofEpochDay(e.toLong)}'")
-      .mkString("[", ", ", "]")
-  }
-
-  private def wdCountSql(a: String, b: String): String = {
-    def dowCount(w: Int) =
-      s"((date_diff('day', $a, $b) - (($w - (isodow($a) - 1) + 7) % 7) + 6) // 7)"
-    s"(date_diff('day', $a, $b) - ${dowCount(5)} - ${dowCount(6)})"
-  }
-
+  // shared generators (OracleSql); [1994, 2031) window — q25 maturities
+  // reach ~2030
+  private lazy val holidayListSql: String = OracleSql.holidayListSql(1994, 2031)
   private def bdaysSql(a: String, b: String): String =
-    s"(${wdCountSql(a, b)} - len(list_filter($holidayListSql, h -> h >= $a AND h < $b)))"
+    OracleSql.bdaysSql(holidayListSql, a, b)
 
   // ------------------------------------------------------------------- q23
   // Zero-coupon (LTN-shaped) pricing curve: calendar + pow + IEEE trunc.

@@ -32,30 +32,14 @@ object Domain {
       .withColumn("ship_is_bday", is_bday(col("ship_d")))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
-  /** Closed-form weekday count in [a, b) for a <= b:
-    * n - #saturdays - #sundays, where the count of weekday w (0=Mon) is
-    * (n - offset + 6) // 7 with offset = (w - dow(a) + 7) % 7.
-    */
-  private def wdCountSql(a: String, b: String): String = {
-    def dowCount(w: Int) =
-      s"((date_diff('day', $a, $b) - (($w - (isodow($a) - 1) + 7) % 7) + 6) // 7)"
-    s"(date_diff('day', $a, $b) - ${dowCount(5)} - ${dowCount(6)})"
-  }
-
-  /** Old-regime weekday holidays in [1994, 2004) as a SQL list literal —
-    * covers the testdata date range (1995-2001) plus slack.
-    */
-  private lazy val holidayListSql: String = {
-    val lo = LocalDate.of(1994, 1, 1).toEpochDay.toInt
-    val hi = LocalDate.of(2004, 1, 1).toEpochDay.toInt
-    val ds = BrCalendar.holidaysOld
-      .filter(e => e >= lo && e < hi && BrCalendar.isWeekday(e))
-      .map(e => s"DATE '${LocalDate.ofEpochDay(e.toLong)}'")
-    ds.mkString("[", ", ", "]")
-  }
-
+  // shared generators (OracleSql) so the q20 calendar SQL cannot drift
+  // from q23/q25's; the [1994, 2004) window covers the testdata range
+  // (1995-2001) plus slack
+  private def wdCountSql(a: String, b: String): String =
+    OracleSql.wdCountSql(a, b)
+  private lazy val holidayListSql: String = OracleSql.holidayListSql(1994, 2004)
   private def holCountSql(a: String, b: String): String =
-    s"len(list_filter($holidayListSql, h -> h >= $a AND h < $b))"
+    OracleSql.holCountSql(holidayListSql, a, b)
 
   private lazy val q20Sql: String = {
     val fwd = s"(${wdCountSql("order_d", "ship_d")} - ${holCountSql("order_d", "ship_d")})"

@@ -1,0 +1,64 @@
+package graft.queries
+
+import java.time.LocalDate
+import graft.core.BrCalendar
+
+/** Shared DuckDB oracle-SQL fragments. The oracles of different queries
+  * must stay BIT-IDENTICAL where they model the same semantics (q20 vs
+  * q23/q25 business days, q33 vs q43 simhash signatures) — one generator
+  * each, so a fix cannot silently leave a copy stale.
+  */
+private[queries] object OracleSql {
+
+  /** Normalized text: lowercase, collapsed whitespace, trimmed — the SQL
+    * mirror of TextOps.normalize.
+    */
+  val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Closed-form weekday count in [a, b) for a <= b:
+    * n - #saturdays - #sundays, where the count of weekday w (0=Mon) is
+    * (n - offset + 6) // 7 with offset = (w - dow(a) + 7) % 7.
+    */
+  def wdCountSql(a: String, b: String): String = {
+    def dowCount(w: Int) =
+      s"((date_diff('day', $a, $b) - (($w - (isodow($a) - 1) + 7) % 7) + 6) // 7)"
+    s"(date_diff('day', $a, $b) - ${dowCount(5)} - ${dowCount(6)})"
+  }
+
+  /** Old-regime weekday holidays in [loYear, hiYear) as a SQL list
+    * literal; the caller picks a window covering its date range.
+    */
+  def holidayListSql(loYear: Int, hiYear: Int): String = {
+    val lo = LocalDate.of(loYear, 1, 1).toEpochDay.toInt
+    val hi = LocalDate.of(hiYear, 1, 1).toEpochDay.toInt
+    BrCalendar.holidaysOld
+      .filter(e => e >= lo && e < hi && BrCalendar.isWeekday(e))
+      .map(e => s"DATE '${LocalDate.ofEpochDay(e.toLong)}'")
+      .mkString("[", ", ", "]")
+  }
+
+  def holCountSql(holidayList: String, a: String, b: String): String =
+    s"len(list_filter($holidayList, h -> h >= $a AND h < $b))"
+
+  def bdaysSql(holidayList: String, a: String, b: String): String =
+    s"(${wdCountSql(a, b)} - ${holCountSql(holidayList, a, b)})"
+
+  /** The 16 simhash bit terms over word-hash list `hs` and word list `ws`
+    * (bit j set when the count of words whose j-th md5 hex digit has its
+    * high bit set exceeds half the words) — shared by q33 and q43.
+    */
+  val simhashBitsSql: String = (0 until 16).map { j =>
+    s"""(CASE WHEN 2 * len(list_filter(hs,
+           h -> substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f')))
+         > len(ws) THEN ${1 << j} ELSE 0 END)"""
+  }.mkString(" + ")
+
+  /** The `sig` CTE producing (doc_id, simhash) from `documents` — the full
+    * shared prefix of the q33/q43 oracles.
+    */
+  val simhashSigCtes: String = s"""
+    WITH nd AS (SELECT doc_id, $normSql AS n FROM documents),
+    t AS (SELECT doc_id, list_distinct(string_split(n, ' ')) AS ws FROM nd),
+    h AS (SELECT doc_id, ws, list_transform(ws, w -> md5(w)) AS hs FROM t),
+    sig AS (SELECT doc_id, CAST($simhashBitsSql AS INTEGER) AS simhash FROM h)"""
+}

@@ -18,7 +18,7 @@ object Pipeline {
   import Tables._
 
   /** Normalized text (shared subexpression of the oracles). */
-  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val normSql = OracleSql.normSql
 
   // ------------------------------------------------------------------- q30
   private val q30: Q = (s, d) =>
@@ -75,6 +75,9 @@ object Pipeline {
       DedupOps.bandKey(sigRef, b, 2))
     val exploded = sig.withColumn("band", explode(array(bands: _*)))
       .select(col("doc_id"), col("band"))
+      // null bands (null-text docs) never match in the oracle's SQL join;
+      // the groupBy would collect them into one bucket
+      .filter(col("band").isNotNull)
     // Pre-aggregate band -> member list instead of self-joining: the
     // signature stage (the expensive part) runs ONCE on one scan, and
     // candidates come from pairs within each bucket; the pair count is
@@ -123,19 +126,8 @@ object Pipeline {
         documents(s, d).select(col("doc_id"), col("text")), "text", "simhash")
       .drop("text").orderBy(col("doc_id"))
 
-  private lazy val q33Sql = {
-    val bits = (0 until 16).map { j =>
-      s"""(CASE WHEN 2 * len(list_filter(hs,
-             h -> substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f')))
-           > len(ws) THEN ${1 << j} ELSE 0 END)"""
-    }.mkString(" + ")
-    s"""
-    WITH nd AS (SELECT doc_id, $normSql AS n FROM documents),
-    t AS (SELECT doc_id, list_distinct(string_split(n, ' ')) AS ws FROM nd),
-    h AS (SELECT doc_id, ws, list_transform(ws, w -> md5(w)) AS hs FROM t)
-    SELECT doc_id, CAST($bits AS INTEGER) AS simhash
-    FROM h ORDER BY doc_id"""
-  }
+  private lazy val q33Sql = s"""${OracleSql.simhashSigCtes}
+    SELECT doc_id, simhash FROM sig ORDER BY doc_id"""
 
   // ------------------------------------------------------------------- q34
   // n-gram Jaccard on a deterministic pair sample (i, i+250). The join

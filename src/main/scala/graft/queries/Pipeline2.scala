@@ -27,25 +27,12 @@ object Pipeline2 {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  private lazy val q43Sql = {
-    val bits = (0 until 16).map { j =>
-      s"""(CASE WHEN 2 * len(list_filter(hs,
-             h -> substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f')))
-           > len(ws) THEN ${1 << j} ELSE 0 END)"""
-    }.mkString(" + ")
-    s"""
-    WITH nd AS (SELECT doc_id,
-           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
-         FROM documents),
-    t AS (SELECT doc_id, list_distinct(string_split(n, ' ')) AS ws FROM nd),
-    h AS (SELECT doc_id, ws, list_transform(ws, w -> md5(w)) AS hs FROM t),
-    sig AS (SELECT doc_id, CAST($bits AS INTEGER) AS simhash FROM h)
+  private lazy val q43Sql = s"""${OracleSql.simhashSigCtes}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
     ORDER BY id_a, id_b"""
-  }
 
   // q44 — hopping windows: 10-minute windows sliding every 5 minutes
   // (each event lands in two buckets — explode of the two window starts)

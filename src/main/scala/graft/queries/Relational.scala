@@ -142,8 +142,6 @@ object Relational {
 
   // q07 — lag window (§2.5: shift(1).over)
   private val q07: Q = (s, d) => {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
     orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("order_d"))
@@ -249,8 +247,12 @@ object Relational {
     val ev = eventsMicros(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+    // one click row per (user, ts), keeping the max value: equal-timestamp
+    // duplicates would otherwise make BOTH engines pick an arbitrary tie
+    // row and the hash gate flake
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts_us").as("c_ts"), col("value").as("c_value"))
+      .groupBy(col("user_id"), col("ts_us").as("c_ts"))
+      .agg(max(col("value")).as("c_value"))
     AsOf.join(purchases, clicks, by = Seq("user_id"),
         leftOn = "ts_us", rightOn = "c_ts",
         payload = Seq("c_ts" -> "click_ts_us", "c_value" -> "click_value"))
@@ -262,13 +264,12 @@ object Relational {
            (SELECT epoch_us(max(c.ts)) FROM events c
             WHERE c.event_type = 'click' AND c.user_id = p.user_id
               AND c.ts <= p.ts) AS click_ts_us,
-           (SELECT c.value FROM events c
+           (SELECT max(c.value) FROM events c
             WHERE c.event_type = 'click' AND c.user_id = p.user_id
               AND c.ts = (SELECT max(c2.ts) FROM events c2
                           WHERE c2.event_type = 'click'
                             AND c2.user_id = p.user_id
-                            AND c2.ts <= p.ts)
-            LIMIT 1) AS click_value
+                            AND c2.ts <= p.ts)) AS click_value
     FROM events p WHERE p.event_type = 'purchase'
     ORDER BY p.user_id, p.event_id"""
 
@@ -278,8 +279,10 @@ object Relational {
     val ev = eventsMicros(s, d)
     val signups = ev.filter(col("event_type") === "signup")
       .select(col("user_id"), col("event_id"), col("ts_us"))
+    // dedup equal timestamps deterministically (see q12)
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts_us").as("p_ts"), col("value").as("p_value"))
+      .groupBy(col("user_id"), col("ts_us").as("p_ts"))
+      .agg(max(col("value")).as("p_value"))
     AsOf.join(signups, purchases, by = Seq("user_id"),
         leftOn = "ts_us", rightOn = "p_ts",
         payload = Seq("p_ts" -> "purchase_ts_us", "p_value" -> "purchase_value"),
@@ -292,13 +295,12 @@ object Relational {
            (SELECT epoch_us(min(p.ts)) FROM events p
             WHERE p.event_type = 'purchase' AND p.user_id = g.user_id
               AND p.ts >= g.ts) AS purchase_ts_us,
-           (SELECT p.value FROM events p
+           (SELECT max(p.value) FROM events p
             WHERE p.event_type = 'purchase' AND p.user_id = g.user_id
               AND p.ts = (SELECT min(p2.ts) FROM events p2
                           WHERE p2.event_type = 'purchase'
                             AND p2.user_id = g.user_id
-                            AND p2.ts >= g.ts)
-            LIMIT 1) AS purchase_value
+                            AND p2.ts >= g.ts)) AS purchase_value
     FROM events g WHERE g.event_type = 'signup'
     ORDER BY g.user_id, g.event_id"""
 

@@ -93,7 +93,11 @@ object EventStreams {
       sorted.foreach { e =>
         cur match {
           case Some(s) if e.ts_us - s.end <= GapUs =>
-            cur = Some(SessionState(s.start, e.ts_us, s.n + 1))
+            // extend with min/max: a late-but-in-gap event from a later
+            // batch must not move the session end BACKWARD (that would
+            // also shrink the close timeout)
+            cur = Some(SessionState(math.min(s.start, e.ts_us),
+              math.max(s.end, e.ts_us), s.n + 1))
           case Some(s) =>
             closed ::= Session(userId, s.start, s.end, s.n)
             cur = Some(SessionState(e.ts_us, e.ts_us, 1))
@@ -103,7 +107,13 @@ object EventStreams {
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp((s.end + GapUs) / 1000)
+        // a timeout at-or-below the current watermark throws and kills
+        // the query (late events within the allowed lateness can produce
+        // one); clamp just above the watermark so the session closes on
+        // the next watermark advance
+        val targetMs = (s.end + GapUs) / 1000
+        state.setTimeoutTimestamp(
+          math.max(targetMs, state.getCurrentWatermarkMs() + 1))
       }
       closed.reverseIterator
     }
