@@ -118,6 +118,14 @@ object Vna {
         v <- vRaw.toDoubleOption
       } yield (d, v)
     }
+    // a non-empty sheet that parses to ZERO points means an unsupported
+    // encoding (e.g. style-formatted serial-number dates, which this
+    // reader does not interpret) — fail at decode time rather than
+    // handing an empty curve to downstream pro-rata math
+    require(grid.isEmpty || parsed.nonEmpty,
+      s"sheet '$aba' has ${grid.length} rows but no (date, value) row " +
+        "parsed; the workbook likely stores dates as style-formatted " +
+        "serial numbers, which this reader does not interpret")
     // unique keep-last by date, then sort
     val keepLast = scala.collection.mutable.LinkedHashMap[LocalDate, Double]()
     parsed.foreach { case (d, v) => keepLast(d) = v }

@@ -19,18 +19,30 @@ object Salt {
   /** sum/count aggregates over possibly-skewed keys.
     *
     * @param aggs (valueColumn, "sum"|"count", outName)
+    * @param spreadDuplicates mix `spark_partition_id()` into the salt so
+    *   EXACT duplicate rows of a hot key spread across buckets too (a
+    *   content-only salt collapses them into one bucket, regressing the
+    *   skew spread on duplicate-dominated inputs). Still deterministic
+    *   under task retry — a recomputed map task keeps its partition id
+    *   and row content, so every row re-lands in the same bucket. Off by
+    *   default: with it on, bucket assignment depends on the input's
+    *   partitioning, which is fine for aggregation but worth opting into
+    *   consciously.
     */
   def saltedAgg(df: DataFrame, keys: Seq[String],
                 aggs: Seq[(String, String, String)],
-                saltBuckets: Int = 16): DataFrame = {
+                saltBuckets: Int = 16,
+                spreadDuplicates: Boolean = false): DataFrame = {
     // salt DETERMINISTICALLY from the full row content: a nondeterministic
     // salt (rand / monotonically_increasing_id) re-buckets rows when a map
     // task is recomputed after a fetch failure, double-counting or
     // dropping them in the partial aggregate. Identical duplicate rows
-    // land in one bucket, which is correct (and still spreads a hot KEY,
-    // the case salting exists for).
+    // land in one bucket (unless spreadDuplicates), which is correct and
+    // still spreads a hot KEY, the case salting exists for.
+    val saltInputs =
+      df.columns.map(col) ++ (if (spreadDuplicates) Seq(spark_partition_id()) else Nil)
     val salted = df.withColumn("_salt",
-      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
+      pmod(hash(saltInputs: _*), lit(saltBuckets)))
 
     val partialExprs = aggs.map {
       case (c, "sum", out)   => sum(col(c)).as(s"_p_$out")

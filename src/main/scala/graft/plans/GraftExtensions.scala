@@ -58,8 +58,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash_sig", "one-pass 16-bit SimHash of a text column"),
       (es: Seq[Expression]) => SimHashSig(es.head)))
     e.injectFunction((FunctionIdentifier("ngram_jaccard"),
-      info("ngram_jaccard", "one-pass word-3-gram Jaccard of two text columns"),
-      (es: Seq[Expression]) => NGramJaccard(es.head, es(1), n = 3)))
+      info("ngram_jaccard", "one-pass word-3-gram Jaccard of two text columns, rounded to 6 places"),
+      // Round to match the Scala API (DedupOps.jaccardOfTexts rounds to
+      // 6 places) — SQL and Column callers must agree on identical inputs
+      (es: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.Round(
+        NGramJaccard(es.head, es(1), n = 3),
+        org.apache.spark.sql.catalyst.expressions.Literal(6))))
     e.injectFunction((FunctionIdentifier("byte_histogram16"),
       info("byte_histogram16", "high-nibble histogram (16 bins) of a binary column"),
       (es: Seq[Expression]) => ByteHistogram16(es.head)))

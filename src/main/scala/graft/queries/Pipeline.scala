@@ -193,7 +193,7 @@ object Pipeline {
     ranked AS (
       SELECT *, row_number() OVER
         (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
-      FROM sims)
+      FROM sims WHERE sim IS NOT NULL)
     SELECT q_id, vec_id, sim, rnk FROM ranked
     WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
@@ -218,7 +218,7 @@ object Pipeline {
     ranked AS (
       SELECT *, row_number() OVER
         (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
-      FROM sims)
+      FROM sims WHERE sim IS NOT NULL)
     SELECT q_id, label, vec_id, sim, rnk FROM ranked
     WHERE rnk <= 5 ORDER BY q_id, rnk"""
 

@@ -109,9 +109,17 @@ object Similarity {
     * query's whole candidate list into one task — an OOM at corpus
     * scale). Emits (groupCols..., cId, sim, rnk) ranked by
     * (sim desc, cId asc).
+    *
+    * Null-score contract: rows with null `sim` (e.g. cosine of a
+    * zero-norm vector) are EXCLUDED from the ranking — filtered
+    * explicitly here, and the oracle SQL filters identically — so a
+    * group can emit fewer than k rows (never null-score placeholders,
+    * which a nulls-last window would emit when k exceeds the non-null
+    * count).
     */
-  private def finishTopK(joined: DataFrame, k: Int, qId: String,
+  private def finishTopK(in: DataFrame, k: Int, qId: String,
                          cId: String, extraGroupCols: Seq[String]): DataFrame = {
+    val joined = in.filter(col("sim").isNotNull)
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     // the bounded aggregate ranks by a LONG id; fail fast on other id

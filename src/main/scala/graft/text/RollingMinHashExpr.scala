@@ -22,7 +22,9 @@ case class RollingMinHash(child: Expression, k: Int, base: Long, mod: Long)
     extends UnaryExpression with CodegenFallback {
 
   require(k >= 1, s"window size must be >= 1, got $k")
-  require(base > 0 && mod > 0, "base and mod must be positive")
+  // base >= 2: the overflow guard below divides by (base - 1), and a
+  // base-1 hash would be position-blind anyway
+  require(base >= 2 && mod > 0, "base must be >= 2 and mod positive")
   // the rolling value h stays UNREDUCED (only the snapshot takes % mod):
   // reject parameters whose worst case overflows Long instead of silently
   // returning negative/garbage minima. Worst intermediate during the roll

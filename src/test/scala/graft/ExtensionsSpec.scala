@@ -34,8 +34,9 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getLong(0) == 10L)
       assert(row.getString(1).length == 8)
       assert(row.getInt(2) >= 0 && row.getInt(2) < 65536)
-      // grams {a b c, b c d} vs {b c d, c d e}: inter 1, union 3
-      assert(row.getDouble(3) == 1.0 / 3)
+      // grams {a b c, b c d} vs {b c d, c d e}: inter 1, union 3 —
+      // rounded to 6 places, matching DedupOps.jaccardOfTexts
+      assert(row.getDouble(3) == 0.333333)
       assert(row.getLong(4) == 2L) // 'a','b' both have high nibble 6
 
       val agg = spark.sql("""
