@@ -64,6 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.Round(
         NGramJaccard(es.head, es(1), n = 3),
         org.apache.spark.sql.catalyst.expressions.Literal(6))))
+    e.injectFunction((FunctionIdentifier("text_stats"),
+      info("text_stats", "one-pass text feature struct (stopword hits, cjk/alpha/punct counts, token counts)"),
+      (es: Seq[Expression]) => graft.text.TextStats(es.head)))
     e.injectFunction((FunctionIdentifier("byte_histogram16"),
       info("byte_histogram16", "high-nibble histogram (16 bins) of a binary column"),
       (es: Seq[Expression]) => ByteHistogram16(es.head)))

