@@ -189,4 +189,117 @@ object DedupOps {
       .groupBy(col("_fp").as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
+
+  /** LSH candidate pairs (id_a < id_b, distinct) from a MinHash signature
+    * frame: band keys over adjacent signature pairs, then pairs within
+    * each band bucket.
+    *
+    * Plan shape: the signature frame is scanned ONCE — bands explode, and
+    * candidates come from a band -> member-list pre-aggregation (one
+    * shuffle on the short band key) instead of a self-join that would
+    * compute the signature on both sides. The pair output is identical to
+    * the band equi-self-join's.
+    *
+    * SCALE PRECONDITION: run EXACT dedup first (exactDedup / the q48
+    * pipeline), as production MinHash-LSH always does. An exact-duplicate
+    * class of m docs shares every band, so its bucket list holds m ids in
+    * one aggregation row — and no plan survives that input anyway, since
+    * the candidate OUTPUT itself is then m^2 pairs. After exact dedup,
+    * bucket lists hold only near-identical (non-equal) docs and stay
+    * small; for a duplicate-heavy input where the m^2 output is genuinely
+    * wanted, a band equi-self-join distributes the same pairs at the
+    * price of computing the signature twice.
+    */
+  def lshCandidatePairs(sig: DataFrame, idCol: String,
+                        numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val sigRef = (0 until numHashes).map(i => col(s"m$i"))
+    val bands = (0 until numHashes / rowsPerBand).map(b =>
+      bandKey(sigRef, b, rowsPerBand))
+    sig.withColumn("band", explode(array(bands: _*)))
+      .select(col(idCol), col("band"))
+      // null bands (null-text docs) never match in the oracle's SQL join;
+      // the groupBy would collect them into one bucket
+      .filter(col("band").isNotNull)
+      .groupBy(col("band"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+  }
+
+  /** Connected components by iterative min-label propagation: every node
+    * starts labeled with its own id; each round, labels flow across edges
+    * and each node keeps the minimum seen; at fixpoint a component's
+    * label is its smallest member id.
+    *
+    * Scale design: each round is one equi-join of the (symmetrized) edge
+    * list against current labels plus one min-aggregation — O(E) shuffled
+    * work per round, rounds ~ graph diameter, which for near-dup clusters
+    * (dense clique-ish blobs) is 2-4. For adversarial long-chain graphs
+    * the alternating large-star/small-star variant bounds rounds at
+    * O(log n); not needed for the dedup workload this serves. Labels only
+    * ever decrease, so convergence ("no label changed") is monotone and
+    * the per-round `count` action that checks it is exact. The returned
+    * frame (`id`, `cluster_id`) stays persisted — callers streaming it
+    * into further stages should unpersist when done.
+    *
+    * @param nodes one column `id` (every node, including isolated ones)
+    * @param edges columns `a`, `b` (undirected; symmetrized internally)
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    var labels = nodes.select(col("id"), col("id").as("cluster_id")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaEdges = sym.join(labels, sym("b") === labels("id"))
+        .select(sym("a").as("id"), col("cluster_id"))
+      val next = labels.select(col("id"), col("cluster_id"))
+        .unionByName(viaEdges)
+        .groupBy(col("id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "_old"), Seq("id"))
+        .filter(col("cluster_id") < col("_old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "pathological diameter; use a star-contraction variant")
+    labels
+  }
+
+  /** Near-duplicate clustering — the full production dedup shape over a
+    * document corpus: MinHash signatures (scan-local) → banded LSH
+    * candidates (equi-join on band keys) → EXACT n-gram-Jaccard verify on
+    * candidates only → connected components over verified edges →
+    * representative = smallest id per cluster. Returns one row per doc:
+    * (idCol, cluster_id, n_members, is_rep).
+    */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, k: Int = 5, numHashes: Int = 8,
+                      rowsPerBand: Int = 2, nGram: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol), col(textCol))
+    val sig = withMinhashSignature(base, textCol, k, numHashes).drop(textCol)
+    val cand = lshCandidatePairs(sig, idCol, numHashes, rowsPerBand)
+    val edges = cand
+      .join(base.select(col(idCol).as("id_a"), col(textCol).as("_ta")), Seq("id_a"))
+      .join(base.select(col(idCol).as("id_b"), col(textCol).as("_tb")), Seq("id_b"))
+      .filter(jaccardOfTexts(col("_ta"), col("_tb"), nGram) >= threshold)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val cc = connectedComponents(base.select(col(idCol).as("id")), edges)
+    cc.select(col("id").as(idCol), col("cluster_id"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
+      .withColumn("is_rep", col(idCol) === col("cluster_id"))
+  }
 }

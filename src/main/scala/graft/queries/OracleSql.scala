@@ -43,6 +43,53 @@ private[queries] object OracleSql {
   def bdaysSql(holidayList: String, a: String, b: String): String =
     s"(${wdCountSql(a, b)} - ${holCountSql(holidayList, a, b)})"
 
+  /** MinHash signature component `seed` over the normalized text `n`
+    * (char-k-shingles → md5(seed|shingle) prefix min) — the SQL mirror of
+    * DedupOps.minhashOfShingles / MinHashSig. Shared by q31/q32/q50.
+    */
+  def minhashSql(seed: Int, k: Int): String =
+    s"""list_min(list_transform(
+          list_distinct(list_transform(
+            generate_series(1, greatest(length(n) - ${k - 1}, 1)),
+            i -> substr(n, i, $k))),
+          x -> substr(md5('$seed' || '|' || x), 1, 8)))"""
+
+  /** `m0..m{numHashes-1}` select-list fragment over the `nd` CTE. */
+  def minhashSigSelect(numHashes: Int, k: Int): String =
+    (0 until numHashes).map(i => s"${minhashSql(i, k)} AS m$i")
+      .mkString(", ")
+
+  /** The banded `bands` CTE body (UNION ALL of per-band keys over `sig`)
+    * — the SQL mirror of DedupOps.bandKey over adjacent pairs.
+    */
+  def minhashBandsSql(numBands: Int): String =
+    (0 until numBands).map { bnd =>
+      val x = bnd * 2; val y = bnd * 2 + 1
+      s"SELECT doc_id, md5('$bnd' || '|' || m$x || '|' || m$y) AS band FROM sig"
+    }.mkString("\n      UNION ALL\n      ")
+
+  /** Distinct word-3-grams over word list `w` — the SQL mirror of
+    * NGramJaccard's gram construction (final slice clamps, so short texts
+    * yield the whole word list as the single gram). Shared by q34/q50.
+    */
+  val grams3Sql: String =
+    """list_distinct(list_transform(
+         generate_series(0, greatest(len(w) - 3, 0)),
+         i -> array_to_string(w[i+1:i+3], ' ')))"""
+
+  /** Rounded word-3-gram Jaccard over gram lists `$a` and `$b` — the SQL
+    * mirror of DedupOps.jaccardOfTexts (round 6).
+    */
+  def jaccard3Sql(a: String, b: String): String =
+    s"""round(CASE WHEN (len($a) + len($b)
+           - len(list_filter($a, x -> list_contains($b, x)))) > 0
+         THEN CAST(len(list_filter($a, x -> list_contains($b, x)))
+                   AS DOUBLE)
+              / CAST(len($a) + len($b)
+                - len(list_filter($a, x -> list_contains($b, x)))
+                AS DOUBLE)
+         ELSE 0.0 END, 6)"""
+
   /** The 16 simhash bit terms over word-hash list `hs` and word list `ws`
     * (bit j set when the count of words whose j-th md5 hex digit has its
     * high bit set exceeds half the words) — shared by q33 and q43.

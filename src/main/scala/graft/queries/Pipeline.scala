@@ -44,81 +44,39 @@ object Pipeline {
         K, NumHashes)
       .drop("text").orderBy(col("doc_id"))
 
-  private def minhashSql(seed: Int): String =
-    s"""list_min(list_transform(
-          list_distinct(list_transform(
-            generate_series(1, greatest(length(n) - ${K - 1}, 1)),
-            i -> substr(n, i, $K))),
-          x -> substr(md5('$seed' || '|' || x), 1, 8)))"""
-
-  private lazy val q31Sql = {
-    val cols = (0 until NumHashes)
-      .map(i => s"${minhashSql(i)} AS m$i").mkString(",\n           ")
-    s"""
+  private lazy val q31Sql = s"""
     WITH nd AS (SELECT doc_id, $normSql AS n FROM documents)
     SELECT doc_id,
-           $cols
+           ${OracleSql.minhashSigSelect(NumHashes, K)}
     FROM nd ORDER BY doc_id"""
-  }
 
   // ------------------------------------------------------------------- q32
   // LSH candidate pairs: 4 bands x 2 rows; pairs sharing any band.
   // Spark side explodes bands and equi-joins on the band key (the shape
   // that scales — no OR-join / no cross product).
+  // The banding + bucket-pair plan (and its scale preconditions) lives in
+  // DedupOps.lshCandidatePairs; q50 composes the same op into the full
+  // cluster pipeline.
   private val q32: Q = (s, d) => {
     val sig = DedupOps.withMinhashSignature(
       documents(s, d).select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism), "text",
       K, NumHashes).drop("text")
-    val sigRef = (0 until NumHashes).map(i => col(s"m$i"))
-    val bands = (0 until NumHashes / 2).map(b =>
-      DedupOps.bandKey(sigRef, b, 2))
-    val exploded = sig.withColumn("band", explode(array(bands: _*)))
-      .select(col("doc_id"), col("band"))
-      // null bands (null-text docs) never match in the oracle's SQL join;
-      // the groupBy would collect them into one bucket
-      .filter(col("band").isNotNull)
-    // Pre-aggregate band -> member list instead of self-joining: the
-    // signature stage (the expensive part) runs ONCE on one scan, and
-    // candidates come from pairs within each bucket; the pair count is
-    // identical to the self-join's output.
-    //
-    // SCALE PRECONDITION: run EXACT dedup first (q30 / the q48 pipeline),
-    // as production MinHash-LSH always does. An exact-duplicate class of m
-    // docs shares every band, so its bucket list holds m ids in one
-    // aggregation row — and no plan survives that input anyway, since the
-    // candidate OUTPUT itself is then m^2 pairs. After exact dedup, bucket
-    // lists hold only near-identical (non-equal) docs and stay small; for
-    // a duplicate-heavy input where m^2 output is genuinely wanted, the
-    // band equi-self-join form distributes the same pairs at the price of
-    // computing the signature on both sides.
-    exploded.groupBy(col("band"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
-      .orderBy(col("id_a"), col("id_b"))
+    DedupOps.lshCandidatePairs(sig, "doc_id", NumHashes, 2)
+    // no global sort: the candidate-pair set is ~1M rows at sf0.1 (and
+    // unbounded at corpus scale); ordering carries no semantics for a
+    // pair set and the correctness gate sorts rows itself.
   }
 
-  private lazy val q32Sql = {
-    val sigSelect = (0 until NumHashes)
-      .map(i => s"${minhashSql(i)} AS m$i").mkString(", ")
-    val bandSelects = (0 until NumHashes / 2).map { bnd =>
-      val x = bnd * 2; val y = bnd * 2 + 1
-      s"SELECT doc_id, md5('$bnd' || '|' || m$x || '|' || m$y) AS band FROM sig"
-    }.mkString("\n      UNION ALL\n      ")
-    s"""
+  private lazy val q32Sql = s"""
     WITH nd AS (SELECT doc_id, $normSql AS n FROM documents),
-    sig AS (SELECT doc_id, $sigSelect FROM nd),
+    sig AS (SELECT doc_id, ${OracleSql.minhashSigSelect(NumHashes, K)} FROM nd),
     bands AS (
-      $bandSelects)
+      ${OracleSql.minhashBandsSql(NumHashes / 2)})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.doc_id < b.doc_id
     ORDER BY id_a, id_b"""
-  }
 
   // ------------------------------------------------------------------- q33
   private val q33: Q = (s, d) =>
@@ -144,23 +102,11 @@ object Pipeline {
       .orderBy(col("id_a"))
   }
 
-  private val gramsSql =
-    """list_distinct(list_transform(
-         generate_series(0, greatest(len(w) - 3, 0)),
-         i -> array_to_string(w[i+1:i+3], ' ')))"""
-
   private lazy val q34Sql = s"""
     WITH nd AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
-    g AS (SELECT doc_id, $gramsSql AS gr FROM nd)
+    g AS (SELECT doc_id, ${OracleSql.grams3Sql} AS gr FROM nd)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CASE WHEN (len(a.gr) + len(b.gr)
-                   - len(list_filter(a.gr, x -> list_contains(b.gr, x)))) > 0
-             THEN CAST(len(list_filter(a.gr, x -> list_contains(b.gr, x)))
-                       AS DOUBLE)
-                  / CAST(len(a.gr) + len(b.gr)
-                    - len(list_filter(a.gr, x -> list_contains(b.gr, x)))
-                    AS DOUBLE)
-             ELSE 0.0 END, 6) AS jaccard3
+           ${OracleSql.jaccard3Sql("a.gr", "b.gr")} AS jaccard3
     FROM g a JOIN g b ON b.doc_id = a.doc_id + 250
     ORDER BY id_a"""
 

@@ -1,50 +1,40 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import graft.dedup.DedupOps
+import org.apache.spark.sql.SparkSession
 
-/** Scratch profiling main for the q43 simhash-pair pipeline. */
+/** Scratch profiling main: times named SparkEntry queries (default: the
+  * current bench heavies) at SPARK_GRAFT_SF_DIR and prints row counts.
+  */
 object ProfileQ43 {
-  def time[T](label: String)(f: => T): T = {
-    val t0 = System.nanoTime()
-    val r = f
-    println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    r
-  }
-
   def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
+    graft.Verify.silenceIntendedGlobalWindowWarn()
 
-    def run(df: DataFrame): Unit =
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q32_lsh_candidate_pairs", "q22_interpolate_multicurve",
+        "q28_distinct_counts", "q24_stn_pricing", "q03_join_agg",
+        "q35_cosine_topk", "q46_embedding_neardup", "q20_business_days",
+        "q15_string_ops")
+    // warmup
+    graft.SparkEntry.queries(names.head)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    names.foreach { n =>
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
-
-    val docs = spark.read.parquet(s"$d/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    val sig = DedupOps.withSimhash16(docs, "text", "simhash").drop("text")
-
-    time("sig only")(run(sig))
-    val sigC = sig.cache()
-    println("[prof] rows=" + sigC.count())
-    println("[prof] distinct sigs=" + sigC.select("simhash").distinct().count())
-    val pairs = DedupOps.simhashHammingPairs(sigC, "doc_id", "simhash", 2)
-    println("[prof] output pairs=" + time("count pairs")(pairs.count()))
-    time("pairs noop")(run(pairs))
-    time("pairs + orderBy")(run(pairs.orderBy(col("id_a"), col("id_b"))))
-    sigC.unpersist()
-
-    // uncached form exactly as q43 runs it
-    val q43 = DedupOps.simhashHammingPairs(
-      DedupOps.withSimhash16(docs, "text", "simhash").drop("text"),
-      "doc_id", "simhash", 2).orderBy(col("id_a"), col("id_b"))
-    time("full q43 (as benched)")(run(q43))
-    time("full q43 again")(run(q43))
+      val t1 = (System.nanoTime() - t0) / 1e9
+      val t2 = System.nanoTime()
+      val rows = df.count()
+      val t3 = (System.nanoTime() - t2) / 1e9
+      println(f"[prof] $n%-30s noop=$t1%6.2f s  count=$t3%6.2f s  rows=$rows")
+    }
     spark.stop()
   }
 }

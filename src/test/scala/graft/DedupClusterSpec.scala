@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.DedupOps
+
+/** Connected components and the near-dup clustering pipeline: synthetic
+  * graph shapes (chain, cycle, separate components, isolated nodes)
+  * against exact expectations, and the full pipeline on the sf0.001
+  * documents fixture against a driver-side union-find over the same
+  * verified edges.
+  */
+class DedupClusterSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("connectedComponents: chain, cycle, isolated node") {
+    val sp = spark
+    import sp.implicits._
+    // chain 1-2-3-4; cycle 5-6-7; isolated 8; pair 9-10 (reversed edge)
+    val nodes = (1L to 10L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
+      (7L, 5L), (10L, 9L)).toDF("a", "b")
+    val cc = DedupOps.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L, 10L -> 9L))
+    cc // frame persisted by contract; test session is short-lived
+  }
+
+  test("connectedComponents refuses to run past maxIter") {
+    val sp = spark
+    import sp.implicits._
+    // a 6-chain needs ~5 rounds; cap at 2 must throw
+    val nodes = (1L to 6L).toDF("id")
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    assertThrows[IllegalArgumentException] {
+      DedupOps.connectedComponents(nodes, edges, maxIter = 2)
+    }
+  }
+
+  test("nearDupClusters matches driver-side union-find on sf0.001") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    val got = DedupOps.nearDupClusters(docs, "doc_id", "text", threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+
+    // oracle: same candidate + verify stages, then union-find at driver
+    val sig = DedupOps.withMinhashSignature(docs, "text", 5, 8).drop("text")
+    val cand = DedupOps.lshCandidatePairs(sig, "doc_id", 8, 2)
+    val edges = cand
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
+      .filter(DedupOps.jaccardOfTexts(col("ta"), col("tb"), 3) >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val cluster = ids.map(i => i -> find(i)).toMap
+    val sizes = cluster.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+    val want = ids.sorted.map(i =>
+      (i, cluster(i), sizes(cluster(i)), i == cluster(i)))
+    assert(got.toSeq == want.toSeq)
+    // sanity: the fixture actually contains non-trivial clusters
+    assert(got.exists(_._3 > 1), "expected at least one non-singleton cluster")
+  }
+}
