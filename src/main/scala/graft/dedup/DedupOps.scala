@@ -210,8 +210,18 @@ object DedupOps {
     * wanted, a band equi-self-join distributes the same pairs at the
     * price of computing the signature twice.
     */
+  /** Hard cap on an LSH band-bucket member list ([[lshCandidatePairs]]).
+    * A bucket of m ids emits m² candidate pairs, so a bucket past this size
+    * means the exact-dedup precondition was skipped (or the corpus is
+    * adversarial) and the job should fail loudly rather than OOM an
+    * executor on one aggregation row — the [[graft.ops.AsOf.MaxBroadcastRows]]
+    * bounded-structure pattern.
+    */
+  val MaxBucketIds: Int = 10000
+
   def lshCandidatePairs(sig: DataFrame, idCol: String,
-                        numHashes: Int, rowsPerBand: Int): DataFrame = {
+                        numHashes: Int, rowsPerBand: Int,
+                        maxBucket: Int = MaxBucketIds): DataFrame = {
     val sigRef = (0 until numHashes).map(i => col(s"m$i"))
     val bands = (0 until numHashes / rowsPerBand).map(b =>
       bandKey(sigRef, b, rowsPerBand))
@@ -223,6 +233,16 @@ object DedupOps {
       .groupBy(col("band"))
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
+      // assert_true returns NULL when the predicate holds and throws
+      // otherwise, so the isNull filter keeps every valid row while
+      // failing the job loudly on a pathological bucket.
+      .filter(assert_true(size(col("ids")) <= lit(maxBucket),
+        concat(lit("LSH band bucket exceeds maxBucket="), lit(maxBucket),
+          lit(" ids (got "), size(col("ids")),
+          lit("): run EXACT dedup before MinHash-LSH — an exact-duplicate " +
+            "class of m docs shares every band and its m^2 candidate " +
+            "output cannot be computed by any plan; see " +
+            "DedupOps.lshCandidatePairs scaladoc"))).isNull)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
@@ -241,9 +261,20 @@ object DedupOps {
     * the alternating large-star/small-star variant bounds rounds at
     * O(log n); not needed for the dedup workload this serves. Labels only
     * ever decrease, so convergence ("no label changed") is monotone and
-    * the per-round `count` action that checks it is exact. The returned
-    * frame (`id`, `cluster_id`) stays persisted — callers streaming it
-    * into further stages should unpersist when done.
+    * exact; the check is folded into the per-round aggregation (the old
+    * label rides along via a tagged union), so each round costs exactly
+    * ONE action over one join + one aggregation.
+    *
+    * PERSISTENCE CONTRACT: the edge list is persisted here for the
+    * duration of the loop — without that, every round would re-execute the
+    * edges' full upstream lineage (for [[nearDupClusters]], the entire
+    * MinHash→LSH→Jaccard pipeline: measured 32% of total bench time at
+    * sf0.1, and fatal at 100 TB). All intermediates are unpersisted before
+    * returning (also on the non-convergence throw); the returned frame is
+    * `localCheckpoint`ed, so it is self-contained, holds no lock on the
+    * inputs, and its blocks are released by the ContextCleaner once the
+    * caller drops the reference — repeated calls in a long session do not
+    * accumulate caches.
     *
     * @param nodes one column `id` (every node, including isolated ones)
     * @param edges columns `a`, `b` (undirected; symmetrized internally)
@@ -252,29 +283,41 @@ object DedupOps {
                           maxIter: Int = 25): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist()
     var labels = nodes.select(col("id"), col("id").as("cluster_id")).persist()
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
-      val viaEdges = sym.join(labels, sym("b") === labels("id"))
-        .select(sym("a").as("id"), col("cluster_id"))
-      val next = labels.select(col("id"), col("cluster_id"))
-        .unionByName(viaEdges)
-        .groupBy(col("id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
-        .persist()
-      val changed = next
-        .join(labels.withColumnRenamed("cluster_id", "_old"), Seq("id"))
-        .filter(col("cluster_id") < col("_old")).count()
+    try {
+      while (!converged && iter < maxIter) {
+        val viaEdges = sym.join(labels, sym("b") === labels("id"))
+          .select(sym("a").as("id"), col("cluster_id"))
+        // tagged union: each node's own (old) label is flagged so the
+        // aggregation can emit both the new minimum and the old label in
+        // one pass — the convergence check then needs no extra join/action
+        val next = labels.select(col("id"), col("cluster_id"),
+            lit(true).as("_own"))
+          .unionByName(viaEdges.withColumn("_own", lit(false)))
+          .groupBy(col("id"))
+          .agg(min(col("cluster_id")).as("cluster_id"),
+            min(when(col("_own"), col("cluster_id"))).as("_old"))
+          .persist()
+        val changed = next.filter(col("cluster_id") < col("_old")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "pathological diameter; use a star-contraction variant")
+      // self-contained result: cut the lineage (labels is already
+      // materialized by the convergence count) so sym/labels can be
+      // released now and the blocks die with the returned frame.
+      labels.select(col("id"), col("cluster_id")).localCheckpoint()
+    } finally {
       labels.unpersist()
-      labels = next
-      converged = changed == 0
-      iter += 1
+      sym.unpersist()
     }
-    require(converged,
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "pathological diameter; use a star-contraction variant")
-    labels
   }
 
   /** Near-duplicate clustering — the full production dedup shape over a

@@ -19,6 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * String semantics deliberately reuse Spark's own UTF8String operations
   * (toLowerCase, trim, substringSQL) so results are byte-identical to the
   * expression form and to the DuckDB oracle.
+  *
+  * A one-entry per-thread memo (shared across instances in the companion,
+  * keyed by the input's cloned bytes plus (k, numHashes)) absorbs the
+  * repeated-evaluation projection pattern: projecting the signature to N
+  * scalar columns via element_at leaves N copies of this expression in
+  * one collapsed Project, and interpreted projections get no common
+  * subexpression elimination — without the memo the signature was
+  * recomputed N times per row (the round-3 q31 regression).
   */
 case class MinHashSig(child: Expression, k: Int, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
@@ -59,6 +67,9 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val raw = input.asInstanceOf[UTF8String]
+    val m = MinHashSig.memo.get()
+    if (m.k == k && m.numHashes == numHashes &&
+        m.key != null && m.key.equals(raw)) return m.value
     // normalize: lower + collapse whitespace runs + trim (same ops as
     // lower/regexp_replace/trim expressions).
     val lowered = raw.toLowerCase.toString
@@ -88,9 +99,32 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
     val out = new Array[Any](numHashes)
     var j = 0
     while (j < numHashes) { out(j) = UTF8String.fromString(mins(j)); j += 1 }
-    new GenericArrayData(out)
+    val result = new GenericArrayData(out)
+    // clone the key: eval inputs hand out views over reused scan buffers
+    m.key = raw.clone()
+    m.k = k
+    m.numHashes = numHashes
+    m.value = result
+    result
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Shared across expression instances: Catalyst copies expression trees
+    * during optimization (withNewChildInternal), so a per-instance memo
+    * would miss the N element_at copies of the same signature in one
+    * Project. Keying on (bytes, k, numHashes) keeps distinct
+    * parameterizations from colliding.
+    */
+  final class Memo {
+    var key: UTF8String = _
+    var k: Int = -1
+    var numHashes: Int = -1
+    var value: Any = _
+  }
+  private[dedup] val memo: ThreadLocal[Memo] =
+    ThreadLocal.withInitial[Memo](() => new Memo)
 }

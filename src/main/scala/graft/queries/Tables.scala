@@ -20,7 +20,12 @@ object Tables {
     * proper `ts_t` TimestampType column for window/stream operators.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the flag belongs in session setup (Verify/Bench set it at build
+    // time); only mutate the conf as a fallback for ad-hoc sessions —
+    // an unconditional set() per table access is a global side effect
+    // (and invalidates cached plan state) on every query call.
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, d, "events")
   }
 

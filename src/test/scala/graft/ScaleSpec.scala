@@ -35,6 +35,25 @@ class ScaleSpec extends AnyFunSuite {
       salted.exceptAll(plain).count() == 0)
   }
 
+  test("LSH bucket cap fails loudly on a pathological band") {
+    import graft.dedup.DedupOps
+    // 50 exact copies of one text: every band bucket holds all 50 ids —
+    // exactly the input the exact-dedup precondition exists to forbid
+    val dup = spark.range(50).select(col("id").as("doc_id"),
+      lit("same text everywhere for every doc").as("text"))
+    val sig = DedupOps.withMinhashSignature(dup, "text", 5, 8).drop("text")
+    val e = intercept[Exception] {
+      DedupOps.lshCandidatePairs(sig, "doc_id", 8, 2, maxBucket = 10).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("maxBucket") && m.contains("EXACT dedup")),
+      s"expected loud bucket-cap failure, got: ${messages(e).mkString(" | ")}")
+    // under the default cap the same input still computes (50^2 pairs)
+    assert(DedupOps.lshCandidatePairs(sig, "doc_id", 8, 2).count() == 50L * 49 / 2)
+  }
+
   test("bucketed tables join with zero shuffle (co-located join)") {
     // tables land in the default ./spark-warehouse (gitignored); a fresh
     // in-memory catalog doesn't know leftover locations from earlier runs,
