@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType}
 import graft.core._
 import graft.dedup.{MinHashSig, NGramJaccard, SimHashSig}
 import graft.multimodal.ByteHistogram16
-import graft.sim.TopKByScore
+import graft.sim.{DotCosine, TopKByScore}
 
 /** SparkSessionExtensions entry point: injects the engine's custom
   * Catalyst expressions so any session created with
@@ -70,6 +70,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("byte_histogram16"),
       info("byte_histogram16", "high-nibble histogram (16 bins) of a binary column"),
       (es: Seq[Expression]) => ByteHistogram16(es.head)))
+    e.injectFunction((FunctionIdentifier("dot_cosine"),
+      info("dot_cosine", "one-pass cosine similarity of two float-array embeddings"),
+      (es: Seq[Expression]) => DotCosine(es.head, es(1))))
     e.injectFunction((FunctionIdentifier("topk_by_score"),
       info("topk_by_score", "bounded top-5 (score, id) aggregate with map-side partial merge"),
       (es: Seq[Expression]) =>

@@ -1,0 +1,60 @@
+package graft.sim
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Cosine similarity of two float-array embeddings as ONE native pass —
+  * the fused form of the `zip_with`+`aggregate` lambda chain in
+  * [[Similarity.cosineHof]] (kept as the semantic cross-check twin).
+  *
+  * Arithmetic is IDENTICAL to the HOF form and to the DuckDB oracle's
+  * list_transform/list_sum: every float is widened to double (exact), the
+  * three folds (dot, |a|², |b|²) accumulate sequentially left-to-right,
+  * and the result is dot / (sqrt(na) * sqrt(nb)) — so the IEEE result is
+  * bit-identical while skipping the interpreted per-element lambda boxing
+  * (HOF lambdas evaluate via per-element `InterpretedProjection`; at
+  * corpus scale the arithmetic, not the plan, was the entire q35 cost).
+  *
+  * Null contract mirrors the HOF chain: a null array (BinaryExpression
+  * default), a null element anywhere, or a length mismatch (zip_with pads
+  * the shorter side with nulls) each null out the fold, hence the result.
+  * A zero-norm (or empty) vector yields NULL — the DuckDB oracle's
+  * divide-by-zero semantics and the ranking pipeline's documented
+  * null-score contract ([[Similarity.finishTopK]] filters null sims);
+  * the HOF twin instead throws DIVIDE_BY_ZERO under ANSI mode, which is
+  * exactly the production hazard this expression removes.
+  */
+case class DotCosine(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val va = a.asInstanceOf[ArrayData]
+    val vb = b.asInstanceOf[ArrayData]
+    val n = va.numElements()
+    if (vb.numElements() != n) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (va.isNullAt(i) || vb.isNullAt(i)) return null
+      val x = va.getFloat(i).toDouble
+      val y = vb.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotCosine =
+    copy(left = newLeft, right = newRight)
+}

@@ -91,7 +91,19 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("hamming"), col("sim"))
   }
 
-  /** Sequential-fold dot product in double precision. */
+  /** Cosine similarity — native one-pass [[DotCosine]] expression (the
+    * interpreted HOF lambda arithmetic was the entire q35 cost; the fused
+    * loop is bit-identical — see [[DotCosine]]'s scaladoc and the
+    * CosineParitySpec pin).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(DotCosine(expression(a), expression(b)))
+  }
+
+  /** Sequential-fold dot product in double precision (HOF cross-check
+    * twin of [[DotCosine]]'s fused loop).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -100,7 +112,10 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Composed-expression cosine (zip_with + aggregate lambdas; ~10x slower
+    * than [[cosine]] but useful as a semantic cross-check).
+    */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Bounded top-k per group via the [[TopKByScore]] native aggregate:
     * map-side partial k-heaps mean only k rows per map task per group

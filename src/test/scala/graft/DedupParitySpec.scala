@@ -105,6 +105,47 @@ class DedupParitySpec extends AnyFunSuite {
     assert(nat.exceptAll(hof).isEmpty && hof.exceptAll(nat).isEmpty)
   }
 
+  test("native DotCosine equals the HOF-composed cosine (bit-exact)") {
+    import graft.sim.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("id_b") === col("id_a") + 7)
+      .select(Similarity.cosine(col("va"), col("vb")).as("nativ"),
+        Similarity.cosineHof(col("va"), col("vb")).as("hof"))
+    // RAW doubles compared (no rounding): the fused loop must reproduce
+    // the HOF fold bit-for-bit, not merely to 6 places
+    assert(pairs.filter(col("nativ") =!= col("hof")).isEmpty)
+    assert(pairs.filter(col("nativ").isNull =!= col("hof").isNull).isEmpty)
+    assert(pairs.count() > 0)
+  }
+
+  test("native DotCosine edge cases (nulls, mismatch, zero norm)") {
+    import graft.sim.Similarity
+    import spark.implicits._
+    // the zero-norm/empty rows are NOT compared against the HOF twin:
+    // under ANSI mode the HOF divide THROWS on a zero denominator, while
+    // the native expression yields NULL (the DuckDB oracle's semantics
+    // and the ranking null-score contract) — that asymmetry is the point
+    val edge = Seq(
+      (1L, Array(1.0f, 2.0f), Array(3.0f, 4.0f)),   // plain
+      (2L, Array(0.0f, 0.0f), Array(1.0f, 1.0f)),   // zero norm -> null
+      (3L, Array.empty[Float], Array.empty[Float]), // empty -> null
+      (4L, Array(1.0f, 2.0f), Array(1.0f)),         // length mismatch -> null
+      (5L, null, Array(1.0f, 2.0f))                 // null array -> null
+    ).toDF("id", "va", "vb")
+    val nat = edge.select(col("id"),
+      Similarity.cosine(col("va"), col("vb")).as("nativ"))
+    assert(nat.filter(col("id") === 1 && col("nativ").isNull).isEmpty)
+    assert(nat.filter(col("id") > 1 && col("nativ").isNotNull).isEmpty)
+    // well-formed row agrees with the HOF fold bit-for-bit
+    val one = edge.filter(col("id") === 1).select(
+      Similarity.cosine(col("va"), col("vb")).as("nativ"),
+      Similarity.cosineHof(col("va"), col("vb")).as("hof"))
+    assert(one.filter(col("nativ") =!= col("hof")).isEmpty)
+  }
+
   test("embedding near-dup pairs equal the brute-force sketch+cosine result") {
     import graft.sim.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -39,7 +39,24 @@ class TextParitySpec extends AnyFunSuite {
     "word\tword\nwordword\fword\rword",
     "  leading and trailing  ",
     "only.punct!?;:,.",
-    "ab" + "一" * 5 + "cd the and")
+    "ab" + "一" * 5 + "cd the and",
+    // stopwords directly abutting non-ASCII letters: Java \b is
+    // Unicode-aware, so none of these contain a word boundary and the
+    // stopword must NOT count
+    "中文the",
+    "éto",
+    "éto et", // decomposed: combining mark extends the word per \b
+    "́the",    // mark with no base char IS a boundary
+    new String(Character.toChars(0x1D552)) + "the", // astral letter abuts
+    new String(Character.toChars(0x20000)) + "and", // astral CJK abuts
+    "²the ²the",    // superscript two is NOT letterOrDigit -> boundary
+    "‍the",    // zero-width joiner is a boundary
+    // supplementary-plane code points: regexp_count counts per code
+    // point, the char loop must not double-count surrogate pairs
+    "a😀b the", // emoji between letters
+    "😀😀 y",
+    "a\uD83Db",     // lone high surrogate
+    "a\uDE00b")     // lone low surrogate
 
   test("TextStats matches the regex twins on documents + edge cases") {
     val sp = spark
