@@ -284,7 +284,17 @@ object DedupOps {
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .persist()
-    var labels = nodes.select(col("id"), col("id").as("cluster_id")).persist()
+    // Only nodes TOUCHING an edge can ever change label; isolated nodes
+    // (the overwhelming majority of a deduped corpus — every singleton
+    // document) keep their own id. Iterating over the touched subgraph
+    // means each round shuffles O(V_edges) labels, not O(V): after a
+    // near-dup verify the edge-touched set is typically orders of
+    // magnitude smaller than the corpus, and at 100 TB looping over
+    // every document's label per round is the difference between
+    // seconds and hours. (sym is symmetric, so column `a` alone covers
+    // every endpoint.)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id")).persist()
     var iter = 0
     var converged = false
     try {
@@ -310,10 +320,15 @@ object DedupOps {
       require(converged,
         s"connectedComponents did not converge in $maxIter rounds — " +
           "pathological diameter; use a star-contraction variant")
-      // self-contained result: cut the lineage (labels is already
-      // materialized by the convergence count) so sym/labels can be
-      // released now and the blocks die with the returned frame.
-      labels.select(col("id"), col("cluster_id")).localCheckpoint()
+      // stitch isolated nodes back in with their own id as label — ONE
+      // left join outside the loop, not per round
+      val full = nodes.select(col("id"))
+        .join(labels.select(col("id"), col("cluster_id")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      // self-contained result: cut the lineage (the tiny labels frame is
+      // already materialized by the convergence count) so sym/labels can
+      // be released now and the blocks die with the returned frame.
+      full.localCheckpoint()
     } finally {
       labels.unpersist()
       sym.unpersist()
@@ -331,13 +346,22 @@ object DedupOps {
                       threshold: Double, k: Int = 5, numHashes: Int = 8,
                       rowsPerBand: Int = 2, nGram: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val base = docs.select(col(idCol), col(textCol))
     val sig = withMinhashSignature(base, textCol, k, numHashes).drop(textCol)
     val cand = lshCandidatePairs(sig, idCol, numHashes, rowsPerBand)
+    // verify join carries PRECOMPUTED sorted gram arrays (one NGramArray
+    // pass per document, scan-local) and the per-pair check is a linear
+    // merge — a doc in a near-dup corpus sits in many candidate pairs,
+    // so the earlier per-pair normalize→split→gram-set (NGramJaccard on
+    // raw texts) made the verify stage the pipeline's dominant cost
+    val grams = base.select(col(idCol),
+      column(NGramArray(expression(col(textCol)), nGram)).as("_g"))
     val edges = cand
-      .join(base.select(col(idCol).as("id_a"), col(textCol).as("_ta")), Seq("id_a"))
-      .join(base.select(col(idCol).as("id_b"), col(textCol).as("_tb")), Seq("id_b"))
-      .filter(jaccardOfTexts(col("_ta"), col("_tb"), nGram) >= threshold)
+      .join(grams.select(col(idCol).as("id_a"), col("_g").as("_ga")), Seq("id_a"))
+      .join(grams.select(col(idCol).as("id_b"), col("_g").as("_gb")), Seq("id_b"))
+      .filter(round(column(SortedArraysJaccard(
+        expression(col("_ga")), expression(col("_gb")))), 6) >= threshold)
       .select(col("id_a").as("a"), col("id_b").as("b"))
     val cc = connectedComponents(base.select(col(idCol).as("id")), edges)
     cc.select(col("id").as(idCol), col("cluster_id"))

@@ -105,6 +105,26 @@ class DedupParitySpec extends AnyFunSuite {
     assert(nat.exceptAll(hof).isEmpty && hof.exceptAll(nat).isEmpty)
   }
 
+  test("NGramArray + SortedArraysJaccard equals the one-pass NGramJaccard") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import graft.dedup.{NGramArray, SortedArraysJaccard}
+    import spark.implicits._
+    val edge = Seq("", " ", "a", "a b c d e", "A  a\tA", "çé ÇÉ x")
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val both = docs.unionByName(edge.select("doc_id", "text"))
+    val a = both.select(col("doc_id").as("id_a"), col("text").as("ta"),
+      column(NGramArray(expression(col("text")), 3)).as("ga"))
+    val b = both.select(col("doc_id").as("id_b"), col("text").as("tb"),
+      column(NGramArray(expression(col("text")), 3)).as("gb"))
+    val pairs = a.join(b, col("id_b") === col("id_a") + 37)
+      .select(
+        DedupOps.jaccardOfTexts(col("ta"), col("tb"), 3).as("onepass"),
+        round(column(SortedArraysJaccard(
+          expression(col("ga")), expression(col("gb")))), 6).as("merged"))
+    assert(pairs.filter(col("onepass") =!= col("merged")).isEmpty)
+    assert(pairs.count() > 0)
+  }
+
   test("native DotCosine equals the HOF-composed cosine (bit-exact)") {
     import graft.sim.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
