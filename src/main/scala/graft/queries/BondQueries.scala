@@ -58,8 +58,13 @@ object BondQueries {
     FROM du ORDER BY o_orderkey"""
 
   // ------------------------------------------------------------------- q24
-  // STN-exact pricing via the scalar operators (rows-only check: the
-  // decimal-repr truncation chain is not expressible in DuckDB SQL).
+  // STN-exact pricing via the scalar operators. The oracle mirrors the
+  // full decimal chains bit-for-bit: shortest-repr truncation via string
+  // surgery on CAST(DOUBLE AS VARCHAR) (OracleSql.truncSrSql), the Polars
+  // ties-even PV rounding via an explicit rint emulation (rint12Sql), the
+  // +1bp half-even rate bump via exact DECIMAL(18,8) addition, and the
+  // ascending-date flow sums via list_reduce (a left fold — SUM/window
+  // SUM would not reproduce Scala's sequential fold bit-exactly).
   private val q24: Q = (s, d) =>
     orders(s, d)
       .filter(col("o_orderkey") % 10 === 0)
@@ -77,6 +82,73 @@ object BondQueries {
       .withColumn("ntnb_dv01", BondColumns.ntnb_dv01(col("liq"), col("venc"), col("taxa"), col("ntnb_pu")))
       .withColumn("lft_cot", BondColumns.lft_cotacao(col("liq"), col("venc"), col("taxa") / 100))
       .orderBy(col("o_orderkey"))
+
+  private lazy val q24Sql = {
+    import OracleSql.{rint12Sql, truncSrSql}
+    s"""
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS liq,
+             CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+               + to_months(CAST((o_orderkey % 40 + 2) * 6 AS INTEGER)) AS DATE) AS venc,
+             CAST(o_orderkey % 100 AS DOUBLE) / 1000 + 0.03 AS taxa
+      FROM orders WHERE o_orderkey % 10 = 0),
+    rates AS (
+      SELECT *, ${truncSrSql("taxa", 8)} AS t,
+             ${truncSrSql("taxa / 100", 8)} AS t_lft
+      FROM base),
+    -- t1 = roundHalfEven(t + 1bp, 8): t is (the double nearest) an <=8dp
+    -- decimal, so the exact DECIMAL(18,8) sum rounds identically to
+    -- Java's new BigDecimal(t + 1e-4).setScale(8, HALF_EVEN)
+    rates2 AS (
+      SELECT *, ${truncSrSql(
+        "CAST(CAST(t AS DECIMAL(18,8)) + CAST(0.0001 AS DECIMAL(18,8)) AS DOUBLE)", 8)} AS t1
+      FROM rates),
+    duv AS (
+      SELECT *, CAST(${bdaysSql("liq", "venc")} AS BIGINT) AS du_v FROM rates2),
+    anosv AS (
+      SELECT *, ${truncSrSql("CAST(du_v AS DOUBLE) / 252", 14)} AS anos_v FROM duv),
+    scal AS (
+      SELECT o_orderkey,
+             ${truncSrSql("1000.0 / pow(1.0 + t, anos_v)", 6)} AS ltn_pu,
+             ${truncSrSql("1.0 / pow(1.0 + t_lft, anos_v)", 6)} AS lft_cot
+      FROM anosv),
+    flows AS (
+      SELECT r.o_orderkey, r.liq, r.taxa, r.t, r.t1,
+             CAST(r.venc - to_months(CAST(i * 6 AS INTEGER)) AS DATE) AS flow_d,
+             CASE WHEN i = 0 THEN 1.02956301 ELSE 0.02956301 END AS cf
+      FROM rates2 r CROSS JOIN range(0, 62) tt(i)
+      WHERE CAST(r.venc - to_months(CAST(i * 6 AS INTEGER)) AS DATE) > r.liq),
+    fdu AS (
+      SELECT *, CAST(${bdaysSql("liq", "flow_d")} AS BIGINT) AS du FROM flows),
+    fanos AS (
+      SELECT *, ${truncSrSql("CAST(du AS DOUBLE) / 252", 14)} AS anos_t,
+             CAST(du AS DOUBLE) / 252 AS anos_raw
+      FROM fdu),
+    fterm AS (
+      SELECT o_orderkey, flow_d,
+             ${rint12Sql("cf / pow(1.0 + t, anos_t)")} AS pv_t,
+             ${rint12Sql("cf / pow(1.0 + t1, anos_t)")} AS pv_t1,
+             cf / pow(1.0 + taxa, anos_raw) AS vp_raw,
+             (cf / pow(1.0 + taxa, anos_raw)) * anos_raw AS vpa_raw
+      FROM fanos),
+    aggs AS (
+      SELECT o_orderkey,
+             ${truncSrSql("list_reduce(list(pv_t ORDER BY flow_d), (a, b) -> a + b)", 6)} AS ntnb_cot,
+             ${truncSrSql("list_reduce(list(pv_t1 ORDER BY flow_d), (a, b) -> a + b)", 6)} AS cot2,
+             ${truncSrSql("list_reduce(list(vpa_raw ORDER BY flow_d), (a, b) -> a + b)" +
+               " / list_reduce(list(vp_raw ORDER BY flow_d), (a, b) -> a + b)", 14)} AS ntnb_dur
+      FROM fterm GROUP BY o_orderkey),
+    pu AS (
+      SELECT *, ${truncSrSql(s"4000.0 * ${truncSrSql("ntnb_cot", 6)}", 6)} AS ntnb_pu
+      FROM aggs)
+    SELECT b.o_orderkey, b.liq, b.venc, b.taxa,
+           s.ltn_pu, p.ntnb_cot, p.ntnb_pu, p.ntnb_dur,
+           p.ntnb_pu * (1 - p.cot2 / p.ntnb_cot) AS ntnb_dv01,
+           s.lft_cot
+    FROM base b JOIN scal s ON s.o_orderkey = b.o_orderkey
+                JOIN pu p ON p.o_orderkey = b.o_orderkey
+    ORDER BY b.o_orderkey"""
+  }
 
   // ------------------------------------------------------------------- q25
   // Coupon-bond PV: semiannual flow schedule (explode) + business-day
@@ -127,5 +199,6 @@ object BondQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q23_zero_coupon_curve" -> q23Sql,
+    "q24_stn_pricing" -> q24Sql,
     "q25_coupon_bond_pv" -> q25Sql)
 }

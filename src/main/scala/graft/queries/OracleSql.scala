@@ -43,6 +43,40 @@ private[queries] object OracleSql {
   def bdaysSql(holidayList: String, a: String, b: String): String =
     s"(${wdCountSql(a, b)} - ${holCountSql(holidayList, a, b)})"
 
+  /** SQL mirror of [[graft.core.Num.truncar]] — truncation toward zero at
+    * `d` places on the double's SHORTEST DECIMAL REPRESENTATION. DuckDB's
+    * CAST(DOUBLE AS VARCHAR) is shortest-repr (Ryū digits, same unique
+    * digit string Java's Double.toString produces), so string surgery on
+    * the cast reproduces Java's BigDecimal.valueOf(x).setScale(d, DOWN)
+    * exactly; the string form also truncates negatives toward zero for
+    * free. DuckDB only switches to e-notation below 1e-4 — far under the
+    * magnitudes the bond chains truncate — but if it ever appears the
+    * branch fails LOUDLY instead of mis-truncating.
+    */
+  def truncSrSql(x: String, d: Int): String = {
+    val s = s"CAST(($x) AS VARCHAR)"
+    s"""CAST(CASE WHEN contains($s, 'e')
+           THEN error('trunc_sr e-notation: ' || $s)
+         WHEN NOT contains($s, '.') THEN $s
+         ELSE split_part($s, '.', 1) || '.' ||
+              substr(split_part($s, '.', 2), 1, $d)
+       END AS DOUBLE)"""
+  }
+
+  /** SQL mirror of [[graft.core.Num.roundPolars]] at 12 places:
+    * rint(x*1e12)/1e12 with ties-to-even. The scale/divide are plain IEEE
+    * ops (identical in both engines); rint is emulated as floor(y + 0.5)
+    * with an explicit ties-to-even branch. y + 0.5 is EXACT here: the PV
+    * magnitudes keep y < 2^41, so ulp(y) divides 0.5. Positive inputs
+    * only (bond PVs).
+    */
+  def rint12Sql(x: String): String = {
+    val y = s"(($x) * 1000000000000.0)"
+    s"""((CASE WHEN $y - floor($y) = 0.5
+           THEN floor($y) + CAST(CAST(floor($y) AS BIGINT) % 2 AS DOUBLE)
+           ELSE floor($y + 0.5) END) / 1000000000000.0)"""
+  }
+
   /** MinHash signature component `seed` over the normalized text `n`
     * (char-k-shingles → md5(seed|shingle) prefix min) — the SQL mirror of
     * DedupOps.minhashOfShingles / MinHashSig. Shared by q31/q32/q50.
