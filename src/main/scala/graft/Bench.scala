@@ -28,7 +28,14 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name-prefix filter for targeted local runs
+    // (e.g. SPARK_GRAFT_ONLY=q50,q32); absent = full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       System.err.println(s"[bench] running $name")
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -21,13 +21,17 @@ import graft.text.TextOps
 object DedupOps {
 
   /** MinHash signature component `seed` over a MATERIALIZED shingle-array
-    * column: lexicographic min of md5(seed || shingle) — a valid min-hash
-    * family over the md5 order.
+    * column: lexicographic min of an 8-hex-char slice of
+    * md5(digest|shingle), digest = seed/4, slice = seed%4 — a valid
+    * min-hash family over each slice's hex order. Four components share
+    * one digest (distinct 32-bit ranges of md5 give four approximately
+    * independent orderings), so numHashes=8 costs 2 md5 calls per
+    * shingle, not 8.
     */
   def minhashOfShingles(shinglesCol: Column, seed: Int): Column =
     array_min(transform(shinglesCol,
-      x => substring(md5(to_binary(concat(lit(seed.toString), lit("|"), x),
-        lit("utf-8"))), 1, 8)))
+      x => substring(md5(to_binary(concat(lit((seed / 4).toString), lit("|"), x),
+        lit("utf-8"))), (seed % 4) * 8 + 1, 8)))
 
   /** Distinct character k-shingles of the normalized text. */
   def shingleArray(c: Column, k: Int): Column = {
@@ -281,9 +285,13 @@ object DedupOps {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("a"), col("b"))
-      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      .persist()
+    // Persist the DIRECTED edge list and derive the symmetrized view from
+    // the cache: persisting the union instead would materialize both union
+    // branches from source, executing the edges' upstream lineage (for
+    // nearDupClusters, the whole LSH+verify pipeline) TWICE — once per
+    // branch — before any caching kicks in.
+    val e = edges.select(col("a"), col("b")).persist()
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     // Only nodes TOUCHING an edge can ever change label; isolated nodes
     // (the overwhelming majority of a deduped corpus — every singleton
     // document) keep their own id. Iterating over the touched subgraph
@@ -331,7 +339,7 @@ object DedupOps {
       full.localCheckpoint()
     } finally {
       labels.unpersist()
-      sym.unpersist()
+      e.unpersist()
     }
   }
 

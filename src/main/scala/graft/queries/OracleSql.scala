@@ -78,15 +78,20 @@ private[queries] object OracleSql {
   }
 
   /** MinHash signature component `seed` over the normalized text `n`
-    * (char-k-shingles → md5(seed|shingle) prefix min) — the SQL mirror of
-    * DedupOps.minhashOfShingles / MinHashSig. Shared by q31/q32/q50.
+    * (char-k-shingles → lexicographic min of an 8-hex-char slice of
+    * md5(digest|shingle), where digest = seed/4 and the slice is seed%4)
+    * — the SQL mirror of DedupOps.minhashOfShingles / MinHashSig.
+    * Shared by q31/q32/q50. Four signature components share one md5
+    * digest (distinct 32-bit hex ranges give four approximately
+    * independent orderings), quartering the hash work per shingle vs a
+    * digest per seed.
     */
   def minhashSql(seed: Int, k: Int): String =
     s"""list_min(list_transform(
           list_distinct(list_transform(
             generate_series(1, greatest(length(n) - ${k - 1}, 1)),
             i -> substr(n, i, $k))),
-          x -> substr(md5('$seed' || '|' || x), 1, 8)))"""
+          x -> substr(md5('${seed / 4}' || '|' || x), ${(seed % 4) * 8 + 1}, 8)))"""
 
   /** `m0..m{numHashes-1}` select-list fragment over the `nd` CTE. */
   def minhashSigSelect(numHashes: Int, k: Int): String =

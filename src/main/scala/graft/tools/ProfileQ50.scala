@@ -40,9 +40,40 @@ object ProfileQ50 {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     import graft.dedup.{NGramArray, SortedArraysJaccard}
     val base = docs
+    time("sig only count") {
+      DedupOps.withMinhashSignature(base, "text", 5, 8).drop("text")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("bucket lists (pre-explode)") {
+      val sig = DedupOps.withMinhashSignature(base, "text", 5, 8).drop("text")
+      import graft.dedup.DedupOps.bandKey
+      val sigRef = (0 until 8).map(i => col(s"m$i"))
+      val bands = (0 until 4).map(b => bandKey(sigRef, b, 2))
+      sig.withColumn("band", explode(array(bands: _*)))
+        .select(col("doc_id"), col("band"))
+        .filter(col("band").isNotNull)
+        .groupBy(col("band")).agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("pairs no-distinct count") {
+      val sig = DedupOps.withMinhashSignature(base, "text", 5, 8).drop("text")
+      import graft.dedup.DedupOps.bandKey
+      val sigRef = (0 until 8).map(i => col(s"m$i"))
+      val bands = (0 until 4).map(b => bandKey(sigRef, b, 2))
+      val n = sig.withColumn("band", explode(array(bands: _*)))
+        .select(col("doc_id"), col("band"))
+        .filter(col("band").isNotNull)
+        .groupBy(col("band")).agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
+        .filter(col("id_a") < col("id_b")).count()
+      println("  rawPairs=" + n)
+    }
     time("sig+cand count") {
       val sig = DedupOps.withMinhashSignature(base, "text", 5, 8).drop("text")
-      DedupOps.lshCandidatePairs(sig, "doc_id", 8, 2).count()
+      println("  cand=" + DedupOps.lshCandidatePairs(sig, "doc_id", 8, 2).count())
     }
     val edges = {
       val sig = DedupOps.withMinhashSignature(base, "text", 5, 8).drop("text")
