@@ -214,12 +214,15 @@ object DedupOps {
     * wanted, a band equi-self-join distributes the same pairs at the
     * price of computing the signature twice.
     */
-  /** Hard cap on an LSH band-bucket member list ([[lshCandidatePairs]]).
-    * A bucket of m ids emits m² candidate pairs, so a bucket past this size
-    * means the exact-dedup precondition was skipped (or the corpus is
-    * adversarial) and the job should fail loudly rather than OOM an
-    * executor on one aggregation row — the [[graft.ops.AsOf.MaxBroadcastRows]]
-    * bounded-structure pattern.
+  /** Default hard cap on an LSH band-bucket member list
+    * ([[lshCandidatePairs]]). A bucket of m ids emits m² candidate pairs,
+    * so a bucket past this size usually means the exact-dedup
+    * precondition was skipped (or the corpus is adversarial) and the job
+    * should fail loudly rather than OOM an executor on one aggregation
+    * row — the [[graft.ops.AsOf.MaxBroadcastRows]] bounded-structure
+    * pattern. Near-dup-dense corpora with legitimately hot buckets can
+    * raise the cap per call via the `maxBucket` parameter (also exposed
+    * on [[nearDupClusters]]); the thrown message names the knob.
     */
   val MaxBucketIds: Int = 10000
 
@@ -245,7 +248,10 @@ object DedupOps {
           lit(" ids (got "), size(col("ids")),
           lit("): run EXACT dedup before MinHash-LSH — an exact-duplicate " +
             "class of m docs shares every band and its m^2 candidate " +
-            "output cannot be computed by any plan; see " +
+            "output cannot be computed by any plan. If the bucket is " +
+            "legitimately hot (near-dup-dense corpus, already " +
+            "exact-deduped), raise the maxBucket parameter of " +
+            "lshCandidatePairs/nearDupClusters; see " +
             "DedupOps.lshCandidatePairs scaladoc"))).isNull)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
@@ -352,12 +358,13 @@ object DedupOps {
     */
   def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, k: Int = 5, numHashes: Int = 8,
-                      rowsPerBand: Int = 2, nGram: Int = 3): DataFrame = {
+                      rowsPerBand: Int = 2, nGram: Int = 3,
+                      maxBucket: Int = MaxBucketIds): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val base = docs.select(col(idCol), col(textCol))
     val sig = withMinhashSignature(base, textCol, k, numHashes).drop(textCol)
-    val cand = lshCandidatePairs(sig, idCol, numHashes, rowsPerBand)
+    val cand = lshCandidatePairs(sig, idCol, numHashes, rowsPerBand, maxBucket)
     // verify join carries PRECOMPUTED sorted gram arrays (one NGramArray
     // pass per document, scan-local) and the per-pair check is a linear
     // merge — a doc in a near-dup corpus sits in many candidate pairs,

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -27,6 +28,11 @@ case class NGramArray(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "ngram_array"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.simpleString}")
 
   @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
 
@@ -68,6 +74,23 @@ case class SortedArraysJaccard(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sorted_arrays_jaccard"
+
+  // The merge is only correct on SORTED DISTINCT string arrays (the
+  // NGramArray output) — that data-level precondition can't be checked
+  // cheaply per row, but the element type can: anything other than
+  // array<string> would ClassCastException (or silently mis-compare)
+  // inside getUTF8String, so fail at analysis time instead.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<STRING> arguments (sorted distinct, " +
+        s"as produced by ngram_array), got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val va = a.asInstanceOf[ArrayData]

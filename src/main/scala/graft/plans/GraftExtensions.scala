@@ -27,6 +27,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
 
+  // arity gate: a SQL call like dot_cosine(x) must fail with the
+  // analyzer's WRONG_NUM_ARGS error naming the function, not with a bare
+  // IndexOutOfBoundsException from es(1) inside the builder
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n)
+        throw org.apache.spark.sql.graftbridge.ColumnBridge
+          .wrongNumArgs(name, n, es.length)
+      build(es)
+    }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     // SQL arguments arrive with whatever type the caller wrote (bigint
     // columns, decimal literals); the engine expressions expect exact
@@ -37,46 +49,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def asDouble(x: Expression) = Cast(x, DoubleType)
     e.injectFunction((FunctionIdentifier("bday_count"),
       info("bday_count", "business days in [start, end), Brazilian dual-regime calendar"),
-      (es: Seq[Expression]) => BusinessDayCount(asDate(es.head), asDate(es(1)))))
+      arity("bday_count", 2)(es => BusinessDayCount(asDate(es.head), asDate(es(1))))))
     e.injectFunction((FunctionIdentifier("add_bdays"),
       info("add_bdays", "roll to business day then add n business days"),
-      (es: Seq[Expression]) =>
-        AddBusinessDays(asDate(es.head), asInt(es(1)), rollForward = true)))
+      arity("add_bdays", 2)(es =>
+        AddBusinessDays(asDate(es.head), asInt(es(1)), rollForward = true))))
     e.injectFunction((FunctionIdentifier("is_bday"),
       info("is_bday", "weekday and not a holiday of the date's own regime"),
-      (es: Seq[Expression]) => IsBusinessDay(asDate(es.head))))
+      arity("is_bday", 1)(es => IsBusinessDay(asDate(es.head)))))
     e.injectFunction((FunctionIdentifier("truncate_dec"),
       info("truncate_dec", "STN truncation toward zero on the shortest decimal repr"),
-      (es: Seq[Expression]) => TruncateDecimal(asDouble(es.head), asInt(es(1)))))
+      arity("truncate_dec", 2)(es => TruncateDecimal(asDouble(es.head), asInt(es(1))))))
     e.injectFunction((FunctionIdentifier("round_even"),
       info("round_even", "Polars-style scaled ties-to-even rounding"),
-      (es: Seq[Expression]) => RoundHalfEvenBinary(asDouble(es.head), asInt(es(1)))))
+      arity("round_even", 2)(es => RoundHalfEvenBinary(asDouble(es.head), asInt(es(1))))))
     e.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "one-pass MinHash signature array of a text column"),
-      (es: Seq[Expression]) => MinHashSig(es.head, k = 5, numHashes = 8)))
+      arity("minhash_sig", 1)(es => MinHashSig(es.head, k = 5, numHashes = 8))))
     e.injectFunction((FunctionIdentifier("simhash_sig"),
       info("simhash_sig", "one-pass 16-bit SimHash of a text column"),
-      (es: Seq[Expression]) => SimHashSig(es.head)))
+      arity("simhash_sig", 1)(es => SimHashSig(es.head))))
     e.injectFunction((FunctionIdentifier("ngram_jaccard"),
       info("ngram_jaccard", "one-pass word-3-gram Jaccard of two text columns, rounded to 6 places"),
       // Round to match the Scala API (DedupOps.jaccardOfTexts rounds to
       // 6 places) — SQL and Column callers must agree on identical inputs
-      (es: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions.Round(
+      arity("ngram_jaccard", 2)(es => org.apache.spark.sql.catalyst.expressions.Round(
         NGramJaccard(es.head, es(1), n = 3),
-        org.apache.spark.sql.catalyst.expressions.Literal(6))))
+        org.apache.spark.sql.catalyst.expressions.Literal(6)))))
     e.injectFunction((FunctionIdentifier("text_stats"),
       info("text_stats", "one-pass text feature struct (stopword hits, cjk/alpha/punct counts, token counts)"),
-      (es: Seq[Expression]) => graft.text.TextStats(es.head)))
+      arity("text_stats", 1)(es => graft.text.TextStats(es.head))))
     e.injectFunction((FunctionIdentifier("byte_histogram16"),
       info("byte_histogram16", "high-nibble histogram (16 bins) of a binary column"),
-      (es: Seq[Expression]) => ByteHistogram16(es.head)))
+      arity("byte_histogram16", 1)(es => ByteHistogram16(es.head))))
     e.injectFunction((FunctionIdentifier("dot_cosine"),
       info("dot_cosine", "one-pass cosine similarity of two float-array embeddings"),
-      (es: Seq[Expression]) => DotCosine(es.head, es(1))))
+      arity("dot_cosine", 2)(es => DotCosine(es.head, es(1)))))
     e.injectFunction((FunctionIdentifier("topk_by_score"),
       info("topk_by_score", "bounded top-5 (score, id) aggregate with map-side partial merge"),
-      (es: Seq[Expression]) =>
+      arity("topk_by_score", 2)(es =>
         TopKByScore(Cast(es.head, DoubleType), Cast(es(1), LongType), k = 5)
-          .toAggregateExpression()))
+          .toAggregateExpression())))
   }
 }

@@ -1,9 +1,10 @@
 package graft.sim
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Cosine similarity of two float-array embeddings as ONE native pass —
   * the fused form of the `zip_with`+`aggregate` lambda chain in
@@ -31,6 +32,22 @@ case class DotCosine(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_cosine"
+
+  // Strict array<float> gate (ExpectsInputTypes is unusable here:
+  // AbstractDataType is private[sql]): eval reads each slot with
+  // ArrayData.getFloat, which on an unsafe array<double> would read 4 of
+  // the 8 bytes and return silently wrong similarities — misuse must fail
+  // at analysis time, not produce garbage.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val va = a.asInstanceOf[ArrayData]

@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The analyzer's own WRONG_NUM_ARGS AnalysisException (the constructor
+    * and QueryCompilationErrors are `private[sql]`), for injected SQL
+    * function builders to validate arity instead of dying on `es(1)` with
+    * a bare IndexOutOfBoundsException at plan time.
+    */
+  def wrongNumArgs(name: String, expected: Int, actual: Int): Throwable =
+    org.apache.spark.sql.errors.QueryCompilationErrors
+      .wrongNumArgsError(name, Seq(expected), actual)
 }

@@ -46,6 +46,27 @@ class ExtensionsSpec extends AnyFunSuite {
       """).head().getSeq[org.apache.spark.sql.Row](0)
       assert(agg.map(r => (r.getLong(0), r.getDouble(1))) ==
         Seq(25L -> 3.0, 30L -> 3.0, 26L -> 2.5, 20L -> 2.0, 15L -> 1.5))
+
+      // wrong arity fails at analysis with the function named, not with
+      // a builder IndexOutOfBoundsException
+      val arityErr = intercept[Exception] {
+        spark.sql("SELECT dot_cosine(array(1.0F))").collect()
+      }
+      assert(arityErr.getMessage.contains("dot_cosine"))
+      assert(!arityErr.isInstanceOf[IndexOutOfBoundsException])
+
+      // dot_cosine on array<double> must be an analysis error: eval reads
+      // 4 bytes per 8-byte slot and would return silently wrong values
+      val typeErr = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(
+          "SELECT dot_cosine(array(1.0D, 2.0D), array(1.0D, 2.0D))").collect()
+      }
+      assert(typeErr.getMessage.contains("ARRAY<FLOAT>"))
+
+      // the float form still evaluates
+      val cos = spark.sql(
+        "SELECT dot_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F))").head()
+      assert(cos.getDouble(0) == 1.0)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
