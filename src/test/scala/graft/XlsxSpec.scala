@@ -185,6 +185,47 @@ class XlsxSpec extends AnyFunSuite {
       ("2006-12-01", "Emissões", "Vendas", "NTN-B", 3.5e6)))
   }
 
+  test("RMD 2.1 end-to-end from xlsx bytes (hierarchical DPF stock)") {
+    val sheet21 = Seq(
+      Seq(str("Anexo 2.1 - Estoque da DPF")),
+      Seq(),
+      Seq(str("Discriminação"), str("Nov/23"), str("Total"), str("Dez/23")),
+      Seq(str("DPF em Poder do Público¹")),   // transition, non-emitting
+      Seq(str("DPMFi")),                      // transition, non-emitting
+      Seq(str("LFT"), num(111.0)),            // leaf under non-emitting: ignored
+      Seq(str("Tesouro Nacional")),           // emitting: Público/DPMFi/TN
+      Seq(str("LFT"), num(1.234567), num(999.0), None),
+      Seq(str("LTN"), num(2.0), num(999.0), num(0.0)), // Dez ZERO kept (2.1 drops only nulls)
+      Seq(str("Banco Central")),              // emitting: Público/DPMFi/BC
+      Seq(str("NTN-B"), num(3.5)),
+      Seq(str("DPFe")),                       // transition, non-emitting
+      Seq(str("Global"), num(222.0)),         // ignored
+      Seq(str("Dívida  Mobiliária²")),        // run-collapse + footnote -> emitting
+      Seq(str("Global USD"), num(4.0)),
+      Seq(str("Dívida Contratual")),          // emitting: Público/DPFe/Contratual
+      Seq(str("Empréstimos"), num(5.25)),
+      Seq(str("DPMFi em Poder do Banco Central")), // emitting, null categoria
+      Seq(str("LFT"), None, num(999.0), num(7.0)))
+    val bytes = build(Seq("2.1" -> sheet21))
+    val out = Rmd.estruturarDados(spark, bytes, "2.1")
+      .orderBy("periodo", "detentor", "tipo", "categoria", "titulo")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getDouble(5)))
+    // "Total" column unparseable -> dropped; values scale by 1e9; the
+    // LTN Dez zero survives but the LFT Nov null does not
+    assert(out.toSeq == Seq(
+      ("2023-11-01", "Público", "DPFe", "Contratual", "Empréstimos", 5.25e9),
+      ("2023-11-01", "Público", "DPFe", "Mobiliária", "Global USD", 4.0e9),
+      ("2023-11-01", "Público", "DPMFi", "Banco Central", "NTN-B", 3.5e9),
+      ("2023-11-01", "Público", "DPMFi", "Tesouro Nacional", "LFT", 1.234567e9),
+      ("2023-11-01", "Público", "DPMFi", "Tesouro Nacional", "LTN", 2.0e9),
+      ("2023-12-01", "Banco Central", "DPMFi", null, "LFT", 7.0e9),
+      ("2023-12-01", "Público", "DPMFi", "Tesouro Nacional", "LTN", 0.0)))
+
+    intercept[IllegalArgumentException](Rmd.estruturarDados(spark, bytes, "9.9"))
+  }
+
   test("Tesouro VNA points end-to-end from xlsx bytes (doctest golden)") {
     val ntnb = Seq(
       Seq(str("Data"), str("VNA")), // header junk: unparseable -> dropped
