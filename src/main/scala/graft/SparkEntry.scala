@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.Domain.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.BondQueries.queries ++
-      graft.queries.Pipeline2.queries
+      graft.queries.Pipeline2.queries ++
+      graft.queries.Pipeline3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.Domain.oracleSql ++
       graft.queries.Pipeline.oracleSql ++
       graft.queries.BondQueries.oracleSql ++
-      graft.queries.Pipeline2.oracleSql
+      graft.queries.Pipeline2.oracleSql ++
+      graft.queries.Pipeline3.oracleSql
 }

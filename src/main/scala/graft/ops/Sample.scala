@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable stratified sampling for training-data
+  * curation (mixture weighting across languages/sources, reproducible
+  * eval holdouts).
+  *
+  * A row's fate depends ONLY on its key: the first 4 hex chars of
+  * md5(key) — 65536 equiprobable buckets — compared lexicographically
+  * against the stratum's keep-threshold string. No RNG, no partition
+  * state, so the sample is identical across engines, re-runs, task
+  * retries, and repartitionings (`sample()`/`sampleBy()` are none of
+  * these: their XORShift draw depends on partition layout). The filter
+  * evaluates in the scan stage itself — zero shuffle at any corpus size
+  * (parquet can't evaluate md5, so it is not a PushedFilters row-group
+  * predicate, but nothing past the scan reads a dropped row).
+  *
+  * Keyed sampling also gives CONSISTENT sampling across tables: two
+  * tables sampled on the same join key keep the same key set, so the
+  * sampled join is unbiased (the classic correlated-sampling trick).
+  */
+object Sample {
+
+  /** Bucket space: 4 hex chars. */
+  val Buckets: Int = 65536
+
+  /** 4-char keep-threshold for a rate: rows whose bucket string sorts
+    * BELOW it are kept, so a rate keeps floor(rate*65536) buckets.
+    * rate>=1 maps to "zzzz" ('z' > every hex char: keeps all rows);
+    * rate<=0 maps to "0000" (nothing sorts below it: keeps none).
+    */
+  def hexThreshold(rate: Double): String = {
+    val n = math.floor(rate * Buckets).toLong
+    if (n >= Buckets) "zzzz"
+    else if (n <= 0L) "0000"
+    else f"$n%04x"
+  }
+
+  /** First 4 hex chars of md5 of the key's string form — the SQL mirror
+    * is `substr(md5(CAST(key AS VARCHAR)), 1, 4)`.
+    */
+  def bucket(key: Column): Column =
+    substring(md5(to_binary(key.cast("string"), lit("utf-8"))), 1, 4)
+
+  /** Keep each row iff its bucket sorts below its stratum's threshold:
+    * per-stratum `rates` with `defaultRate` for unlisted strata.
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+                           rates: Map[String, Double],
+                           defaultRate: Double): DataFrame = {
+    // rates is a Map (unordered) — the when-chain must not depend on its
+    // iteration order, so sort the entries; strata are disjoint, so the
+    // chain order can't change results, only the plan's textual form
+    val thresh = rates.toSeq.sortBy(_._1).foldLeft(
+        lit(hexThreshold(defaultRate)): Column) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(hexThreshold(rate)))
+          .otherwise(acc)
+    }
+    df.filter(bucket(col(keyCol)) < thresh)
+  }
+
+  /** The DuckDB mirror of [[stratifiedHashSample]]'s predicate (shared
+    * generator so Spark and the oracle can never disagree on
+    * thresholds).
+    */
+  def stratifiedPredicateSql(keyCol: String, strataCol: String,
+                             rates: Map[String, Double],
+                             defaultRate: Double): String = {
+    val whens = rates.toSeq.sortBy(_._1).map { case (stratum, rate) =>
+      s"WHEN '$stratum' THEN '${hexThreshold(rate)}'"
+    }.mkString(" ")
+    s"substr(md5(CAST($keyCol AS VARCHAR)), 1, 4) < " +
+      s"(CASE $strataCol $whens ELSE '${hexThreshold(defaultRate)}' END)"
+  }
+}

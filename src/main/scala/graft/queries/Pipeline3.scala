@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Pack, Sample}
+import graft.text.TextOps
+
+/** Training-data curation batch three: reproducible stratified sampling,
+  * concat-and-chunk sequence packing, corpus vocabulary statistics.
+  */
+object Pipeline3 {
+
+  type Q = (SparkSession, String) => DataFrame
+  import Tables._
+
+  // ------------------------------------------------------------------- q51
+  // Deterministic stratified sample — mixture weighting by language with
+  // a keep-all stratum and a default rate. Pure scan-local filter on a
+  // key hash: zero shuffle, reproducible across engines/retries (see
+  // graft.ops.Sample). The rate table exercises every code path: a
+  // fractional rate, the rate>=1 keep-all special case, and the default.
+  private val SampleRates = Map("en" -> 0.25, "de" -> 0.5, "zh" -> 1.0)
+  private val SampleDefault = 0.1
+
+  private val q51: Q = (s, d) =>
+    Sample.stratifiedHashSample(
+        documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+        "doc_id", "lang", SampleRates, SampleDefault)
+      .orderBy(col("doc_id"))
+
+  private lazy val q51Sql = s"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE ${Sample.stratifiedPredicateSql("doc_id", "lang",
+      SampleRates, SampleDefault)}
+    ORDER BY doc_id"""
+
+  // ------------------------------------------------------------------- q52
+  // Sequence packing: whitespace token counts (native TextStats pass),
+  // concat-and-chunk per language shard with a 512-token budget
+  // (start-offset attribution for straddling docs), then per-chunk
+  // manifest rows. One window shuffle + one aggregation shuffle.
+  private val PackBudget = 512L
+
+  private val q52: Q = (s, d) => {
+    val toks = documents(s, d).select(col("doc_id"), col("lang"),
+      TextOps.tokenCountWs(col("text")).as("toks"))
+    Pack.packSequences(toks, "lang", "doc_id", "toks", PackBudget)
+      .groupBy(col("lang"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("chunk_tokens"))
+      .orderBy(col("lang"), col("chunk_id"))
+  }
+
+  // DuckDB windowed sum yields HUGEINT -> cast back to BIGINT; integer
+  // `//` keeps chunk arithmetic exact (no double rounding), mirroring
+  // the Spark side's `div`.
+  private val q52Sql = s"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+'))
+                  END AS BIGINT) AS toks
+      FROM documents),
+    c AS (
+      SELECT lang, toks,
+             CAST(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM t)
+    SELECT lang, (cum - toks) // ${PackBudget} AS chunk_id,
+           count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS chunk_tokens
+    FROM c GROUP BY lang, chunk_id ORDER BY lang, chunk_id"""
+
+  // ------------------------------------------------------------------- q53
+  // Corpus vocabulary statistics (the scan you run before training a
+  // tokenizer): term frequency + document frequency per word, top 20 by
+  // (tf, word) — a deterministic total order, so the LIMIT boundary is
+  // unambiguous. One explode scan, one Expand-style two-count
+  // aggregation (partial map-side), TakeOrdered for the bounded output —
+  // no global sort of the vocabulary.
+  private val q53: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(split(TextOps.normalize(col("text")), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(desc("tf"), col("word"))
+      .limit(20)
+
+  private lazy val q53Sql = s"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(${OracleSql.normSql}, ' ')) AS word
+      FROM documents)
+    SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS doc_freq
+    FROM w GROUP BY word ORDER BY tf DESC, word LIMIT 20"""
+
+  val queries: Map[String, Q] = Map(
+    "q51_stratified_sample" -> q51,
+    "q52_sequence_packing" -> q52,
+    "q53_vocab_stats" -> q53)
+
+  val oracleSql: Map[String, String] = Map(
+    "q51_stratified_sample" -> q51Sql,
+    "q52_sequence_packing" -> q52Sql,
+    "q53_vocab_stats" -> q53Sql)
+}
