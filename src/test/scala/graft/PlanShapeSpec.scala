@@ -70,6 +70,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("stratified sample is a shuffle-free scan-stage filter") {
+    // the whole point of keyed threshold sampling: the subset emerges in
+    // the scan stage itself, shuffle-free at any corpus size (the gate
+    // plan has exactly the output sort's exchange and nothing else)
+    val p = plan("q51_stratified_sample")
+    val exchanges = p.toString.linesIterator
+      .filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"q51 may only exchange for its output sort, got:\n${exchanges.mkString("\n")}")
+  }
+
+  test("sequence packing shuffles once per stage boundary, no join") {
+    val p = planString("q52_sequence_packing")
+    assert(!p.contains("Join"), "q52 must not join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "q52 is one window partition + one aggregation shuffle at most")
+  }
+
+  test("vocab stats bound their output without a global sort") {
+    val p = planString("q53_vocab_stats")
+    assert(p.contains("TakeOrderedAndProject"),
+      "q53's top-20 must be TakeOrdered, not sort+limit stages")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "q53 must scan once")
+  }
+
   test("curation pipeline is one scan, one shuffle, no join") {
     val p = planString("q48_curation_pipeline")
     assert("Scan parquet".r.findAllIn(p).size == 1,
