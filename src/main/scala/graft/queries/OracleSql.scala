@@ -147,4 +147,32 @@ private[queries] object OracleSql {
     t AS (SELECT doc_id, list_distinct(string_split(n, ' ')) AS ws FROM nd),
     h AS (SELECT doc_id, ws, list_transform(ws, w -> md5(w)) AS hs FROM t),
     sig AS (SELECT doc_id, CAST($simhashBitsSql AS INTEGER) AS simhash FROM h)"""
+
+  /** The `sk`/`pairs` CTE bodies mirroring Similarity.nearDupPairs over
+    * `embeddings` (md5-parity hyperplane-sign sketch → Hamming ≤ 2
+    * candidates → exact rounded cosine), WITHOUT the leading `WITH` so a
+    * caller can prepend `WITH` or `WITH RECURSIVE`. Shared by q46/q54.
+    */
+  val embeddingPairsCtes: String = {
+    val bits = (0 until 16).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(generate_series(1,64),
+            i -> CAST(embedding[i] AS DOUBLE) *
+              (CASE WHEN substr(md5($j || '|' || (i-1)),1,1)
+                 IN ('8','9','a','b','c','d','e','f')
+               THEN 1.0 ELSE -1.0 END))) > 0 THEN ${1 << j} ELSE 0 END)"""
+    }.mkString(" + ")
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+    sk AS (SELECT vec_id, embedding, CAST($bits AS INTEGER) AS sketch FROM e),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             bit_count(xor(a.sketch, b.sketch)) AS hamming,
+             round(list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+      FROM sk a JOIN sk b ON a.vec_id < b.vec_id
+      WHERE bit_count(xor(a.sketch, b.sketch)) <= 2)"""
+  }
 }

@@ -104,31 +104,10 @@ object Pipeline2 {
       threshold = 0.2)
       .orderBy(col("id_a"), col("id_b"))
 
-  private lazy val q46Sql = {
-    val bits = (0 until 16).map { j =>
-      s"""(CASE WHEN list_sum(list_transform(generate_series(1,64),
-            i -> CAST(embedding[i] AS DOUBLE) *
-              (CASE WHEN substr(md5($j || '|' || (i-1)),1,1)
-                 IN ('8','9','a','b','c','d','e','f')
-               THEN 1.0 ELSE -1.0 END))) > 0 THEN ${1 << j} ELSE 0 END)"""
-    }.mkString(" + ")
-    s"""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings),
-    sk AS (SELECT vec_id, embedding, CAST($bits AS INTEGER) AS sketch FROM e),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             bit_count(xor(a.sketch, b.sketch)) AS hamming,
-             round(list_sum(list_transform(generate_series(1, 64),
-               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(a.embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(b.embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
-      FROM sk a JOIN sk b ON a.vec_id < b.vec_id
-      WHERE bit_count(xor(a.sketch, b.sketch)) <= 2)
+  private lazy val q46Sql = s"""
+    WITH ${OracleSql.embeddingPairsCtes}
     SELECT id_a, id_b, hamming, sim FROM pairs
     WHERE sim >= 0.2 ORDER BY id_a, id_b"""
-  }
 
   // q47 — multimodal byte-feature extraction: high-nibble histogram and
   // Shannon entropy per binary payload (decode-free corruption/format

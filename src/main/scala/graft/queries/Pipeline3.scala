@@ -94,13 +94,56 @@ object Pipeline3 {
     SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS doc_freq
     FROM w GROUP BY word ORDER BY tf DESC, word LIMIT 20"""
 
+  // ------------------------------------------------------------------- q54
+  // Embedding near-dup CLUSTERS — the embedding-modality twin of q50's
+  // text clustering: hyperplane-sketch candidate pairs → exact cosine
+  // verify (Similarity.nearDupPairs, all equi-joins over the bounded
+  // sketch space) → connected components over the verified edges (edge
+  // set persisted across label-propagation rounds, convergence folded
+  // into the aggregation — see DedupOps.connectedComponents).
+  private val q54: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val edges = graft.sim.Similarity.nearDupPairs(emb, threshold = 0.2)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    graft.dedup.DedupOps
+      .connectedComponents(emb.select(col("vec_id").as("id")), edges)
+      .select(col("id").as("vec_id"), col("cluster_id"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
+      .withColumn("is_rep", col("vec_id") === col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val q54Sql = s"""
+    WITH RECURSIVE ${OracleSql.embeddingPairsCtes},
+    edges AS (SELECT id_a, id_b FROM pairs WHERE sim >= 0.2),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM edges),
+    lbl AS (
+        SELECT vec_id AS id, vec_id AS l FROM embeddings
+      UNION
+        SELECT s.a AS id, lbl.l AS l
+        FROM lbl JOIN sym s ON s.b = lbl.id
+        WHERE lbl.l < s.a),
+    cc AS (SELECT id AS vec_id, min(l) AS cluster_id FROM lbl GROUP BY id)
+    SELECT vec_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS n_members,
+           vec_id = cluster_id AS is_rep
+    FROM cc ORDER BY vec_id"""
+
   val queries: Map[String, Q] = Map(
     "q51_stratified_sample" -> q51,
     "q52_sequence_packing" -> q52,
-    "q53_vocab_stats" -> q53)
+    "q53_vocab_stats" -> q53,
+    "q54_embedding_clusters" -> q54)
 
   val oracleSql: Map[String, String] = Map(
     "q51_stratified_sample" -> q51Sql,
     "q52_sequence_packing" -> q52Sql,
-    "q53_vocab_stats" -> q53Sql)
+    "q53_vocab_stats" -> q53Sql,
+    "q54_embedding_clusters" -> q54Sql)
 }

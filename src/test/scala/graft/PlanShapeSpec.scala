@@ -36,6 +36,13 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding clustering builds edges from equi-joins only") {
+    val p = planString("q54_embedding_clusters")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "q54's sketch-bucket candidate pairs must be equi-joins")
+  }
+
   test("top-k queries use the bounded aggregate, not a per-query window") {
     for (q <- Seq("q35_cosine_topk", "q36_ann_ivf_label")) {
       val p = planString(q)
