@@ -259,44 +259,73 @@ object DedupOps {
       .distinct()
   }
 
-  /** Connected components by iterative min-label propagation: every node
-    * starts labeled with its own id; each round, labels flow across edges
-    * and each node keeps the minimum seen; at fixpoint a component's
-    * label is its smallest member id.
+  /** Connected components by min-label propagation WITH pointer jumping:
+    * every node starts labeled with its own id; each round, (1) labels
+    * flow across edges and each node keeps the minimum seen, then (2) each
+    * node jumps to its label's label (`l(v) <- l(l(v))`, path halving).
+    * At fixpoint a component's label is its smallest member id.
     *
     * Scale design: each round is one equi-join of the (symmetrized) edge
-    * list against current labels plus one min-aggregation — O(E) shuffled
-    * work per round, rounds ~ graph diameter, which for near-dup clusters
-    * (dense clique-ish blobs) is 2-4. For adversarial long-chain graphs
-    * the alternating large-star/small-star variant bounds rounds at
-    * O(log n); not needed for the dedup workload this serves. Labels only
-    * ever decrease, so convergence ("no label changed") is monotone and
-    * exact; the check is folded into the per-round aggregation (the old
-    * label rides along via a tagged union), so each round costs exactly
-    * ONE action over one join + one aggregation.
+    * list against current labels plus one min-aggregation plus one
+    * label-table self-join — O(E) shuffled work per round. The jump step
+    * halves every node's distance-in-label-graph to the component
+    * minimum, so rounds ~ log2(graph diameter), not diameter: a dense
+    * low-threshold similarity graph (one giant component, long induced
+    * chains) converges in a handful of rounds where plain propagation
+    * needs diameter rounds. Labels only ever decrease, so convergence
+    * ("no label changed") is monotone and exact; a round that changes
+    * nothing means the relaxation step alone was already at fixpoint
+    * (each step is monotone, so an identity composite implies identity
+    * parts), which is the correct-labeling condition.
     *
-    * PERSISTENCE CONTRACT: the edge list is persisted here for the
-    * duration of the loop — without that, every round would re-execute the
-    * edges' full upstream lineage (for [[nearDupClusters]], the entire
-    * MinHash→LSH→Jaccard pipeline: measured 32% of total bench time at
-    * sf0.1, and fatal at 100 TB). All intermediates are unpersisted before
-    * returning (also on the non-convergence throw); the returned frame is
-    * `localCheckpoint`ed, so it is self-contained, holds no lock on the
-    * inputs, and its blocks are released by the ContextCleaner once the
-    * caller drops the reference — repeated calls in a long session do not
-    * accumulate caches.
+    * LINEAGE CONTRACT: each round's label table is `localCheckpoint`ed
+    * (eager). Without that, the tagged union below embeds the previous
+    * round's logical plan TWICE, so the plan tree DOUBLES per round and
+    * Catalyst analysis goes exponential — measured 231s at sf0.1 on the
+    * q54 embedding graph (~20 rounds pre-jumping), where the data itself
+    * is kilobytes. `persist` alone does not help: caching short-circuits
+    * execution, not analysis. The checkpoint keeps every round's plan
+    * constant-size; block cleanup is the ContextCleaner's once each
+    * round's RDD goes unreferenced.
+    *
+    * The edge list is persisted for the duration of the loop — without
+    * that, every round re-executes the edges' full upstream lineage (for
+    * [[nearDupClusters]], the entire MinHash→LSH→Jaccard pipeline:
+    * measured 32% of total bench time at sf0.1, and fatal at 100 TB).
+    * The DIRECTED list is what is persisted; the symmetrized view derives
+    * from the cache, so the upstream pipeline runs once, not per branch.
     *
     * @param nodes one column `id` (every node, including isolated ones)
     * @param edges columns `a`, `b` (undirected; symmetrized internally)
     */
+  /** Default cap on the edge count for [[connectedComponents]]' driver
+    * union-find fast path: 2M edges = two longs each ≈ 32 MB collected,
+    * comfortably inside any driver. The verified near-dup edge set is
+    * orders of magnitude smaller than the corpus (only pairs that
+    * survived LSH + exact verify), so in practice even 100 TB corpora
+    * yield edge sets under this cap; past it, the distributed
+    * propagation loop takes over automatically — the fast path is an
+    * optimization, never a correctness requirement.
+    */
+  val MaxDriverUnionFindEdges: Long = 2000000L
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 25): DataFrame = {
-    // Persist the DIRECTED edge list and derive the symmetrized view from
-    // the cache: persisting the union instead would materialize both union
-    // branches from source, executing the edges' upstream lineage (for
-    // nearDupClusters, the whole LSH+verify pipeline) TWICE — once per
-    // branch — before any caching kicks in.
+                          maxIter: Int = 25,
+                          driverCap: Long = MaxDriverUnionFindEdges)
+      : DataFrame = {
     val e = edges.select(col("a"), col("b")).persist()
+    val nEdges = e.count()
+    val integralIds = e.schema.fields.forall(_.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+    if (integralIds && nEdges <= driverCap) {
+      try return ccDriverUnionFind(nodes, e)
+      finally e.unpersist()
+    }
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     // Only nodes TOUCHING an edge can ever change label; isolated nodes
     // (the overwhelming majority of a deduped corpus — every singleton
@@ -308,7 +337,7 @@ object DedupOps {
     // seconds and hours. (sym is symmetric, so column `a` alone covers
     // every endpoint.)
     var labels = sym.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id")).persist()
+      .select(col("id"), col("id").as("cluster_id")).localCheckpoint()
     var iter = 0
     var converged = false
     try {
@@ -317,36 +346,96 @@ object DedupOps {
           .select(sym("a").as("id"), col("cluster_id"))
         // tagged union: each node's own (old) label is flagged so the
         // aggregation can emit both the new minimum and the old label in
-        // one pass — the convergence check then needs no extra join/action
-        val next = labels.select(col("id"), col("cluster_id"),
+        // one pass — the convergence check then needs no extra join
+        val relaxed = labels.select(col("id"), col("cluster_id"),
             lit(true).as("_own"))
           .unionByName(viaEdges.withColumn("_own", lit(false)))
           .groupBy(col("id"))
           .agg(min(col("cluster_id")).as("cluster_id"),
             min(when(col("_own"), col("cluster_id"))).as("_old"))
-          .persist()
+          .localCheckpoint()
+        // pointer jump, twice: l(v) <- l(l(v)) then again, so each round
+        // quarters every node's label-tree depth (rounds ~ log4 of the
+        // propagation distance). A label is always a touched-node id
+        // (labels start as own ids and only copy other labels), so the
+        // parent row exists; the left join + coalesce only guards the
+        // self-parent case degenerating under future edits. Both jumps
+        // re-read the checkpointed `relaxed`/`j1`, so the per-round plan
+        // stays constant-size.
+        def jump(l: DataFrame): DataFrame = {
+          val parent = l.select(col("id").as("_pid"),
+            col("cluster_id").as("_pl"))
+          l.join(parent, l("cluster_id") === parent("_pid"), "left")
+            .select(l("id"),
+              coalesce(col("_pl"), l("cluster_id")).as("cluster_id"),
+              col("_old"))
+        }
+        val next = jump(jump(relaxed).localCheckpoint()).localCheckpoint()
         val changed = next.filter(col("cluster_id") < col("_old")).count()
-        labels.unpersist()
-        labels = next
+        labels = next.select(col("id"), col("cluster_id"))
         converged = changed == 0
         iter += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(s"[cc] round $iter changed=$changed")
       }
       require(converged,
         s"connectedComponents did not converge in $maxIter rounds — " +
-          "pathological diameter; use a star-contraction variant")
+          "with path halving this needs diameter > 2^$maxIter; the edge " +
+          "input is likely inconsistent (labels not from node domain)")
       // stitch isolated nodes back in with their own id as label — ONE
       // left join outside the loop, not per round
       val full = nodes.select(col("id"))
         .join(labels.select(col("id"), col("cluster_id")), Seq("id"), "left")
         .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-      // self-contained result: cut the lineage (the tiny labels frame is
-      // already materialized by the convergence count) so sym/labels can
-      // be released now and the blocks die with the returned frame.
+      // self-contained result: cut the lineage so e can be released now
+      // and the blocks die with the returned frame.
       full.localCheckpoint()
     } finally {
-      labels.unpersist()
       e.unpersist()
     }
+  }
+
+  /** Exact union-find over a small (<= [[MaxDriverUnionFindEdges]]) edge
+    * list, collected to the driver: path-compressed find, min-root union
+    * (so a component's root is its smallest member — the same label the
+    * distributed loop converges to). One collect + one broadcast join
+    * replaces the whole multi-round propagation loop; at 1-2M edges this
+    * is sub-second where the loop costs one Spark job per round.
+    */
+  private def ccDriverUnionFind(nodes: DataFrame, e: DataFrame): DataFrame = {
+    val idType = e.schema.fields.head.dataType
+    val pairs = e.select(col("a").cast("long"), col("b").cast("long"))
+      .collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    pairs.foreach { row =>
+      val a = row.getLong(0)
+      val b = row.getLong(1)
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      // min-root union keeps the smallest member as the component root
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    import scala.jdk.CollectionConverters._
+    val labelRows = parent.keySet().asScala.toSeq.map(v => (v, find(v)))
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val labels = labelRows.toDF("id", "cluster_id")
+      .select(col("id").cast(idType).as("id"),
+        col("cluster_id").cast(idType).as("cluster_id"))
+    nodes.select(col("id"))
+      .join(broadcast(labels), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   /** Near-duplicate clustering — the full production dedup shape over a

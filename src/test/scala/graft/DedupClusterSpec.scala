@@ -20,28 +20,48 @@ class DedupClusterSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("connectedComponents: chain, cycle, isolated node") {
+  test("connectedComponents: chain, cycle, isolated node (both paths)") {
     val sp = spark
     import sp.implicits._
     // chain 1-2-3-4; cycle 5-6-7; isolated 8; pair 9-10 (reversed edge)
     val nodes = (1L to 10L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
       (7L, 5L), (10L, 9L)).toDF("a", "b")
-    val cc = DedupOps.connectedComponents(nodes, edges)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L, 10L -> 9L)
+    // driver union-find fast path (7 edges <= cap)
+    val ccFast = DedupOps.connectedComponents(nodes, edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L, 10L -> 9L))
-    cc // frame persisted by contract; test session is short-lived
+    assert(ccFast == want)
+    // distributed propagation loop (cap forced to 0)
+    val ccLoop = DedupOps.connectedComponents(nodes, edges, driverCap = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccLoop == want)
+  }
+
+  test("distributed loop converges fast on a long chain via pointer jumps") {
+    val sp = spark
+    import sp.implicits._
+    // a 64-chain has diameter 63: plain min propagation needs 63 rounds,
+    // the relax+double-jump loop must finish well inside 12
+    val n = 64L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = DedupOps
+      .connectedComponents(nodes, edges, maxIter = 12, driverCap = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == (1L to n).map(_ -> 1L).toMap)
   }
 
   test("connectedComponents refuses to run past maxIter") {
     val sp = spark
     import sp.implicits._
-    // a 6-chain needs ~5 rounds; cap at 2 must throw
+    // a 6-chain needs >1 round; cap at 1 (and disable the driver fast
+    // path, which has no iteration count) must throw
     val nodes = (1L to 6L).toDF("id")
     val edges = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
     assertThrows[IllegalArgumentException] {
-      DedupOps.connectedComponents(nodes, edges, maxIter = 2)
+      DedupOps.connectedComponents(nodes, edges, maxIter = 1, driverCap = 0)
     }
   }
 
