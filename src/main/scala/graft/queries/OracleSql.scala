@@ -107,14 +107,38 @@ private[queries] object OracleSql {
       s"SELECT doc_id, md5('$bnd' || '|' || m$x || '|' || m$y) AS band FROM sig"
     }.mkString("\n      UNION ALL\n      ")
 
-  /** Distinct word-3-grams over word list `w` — the SQL mirror of
-    * NGramJaccard's gram construction (final slice clamps, so short texts
-    * yield the whole word list as the single gram). Shared by q34/q50.
+  /** Distinct word-n-grams over word list `w` — the SQL mirror of
+    * NGramJaccard / DedupOps.ngramsOfWords gram construction (final slice
+    * clamps, so short texts yield the whole word list as the single
+    * gram). n=3 shared by q34/q50; n=8 by q56.
     */
-  val grams3Sql: String =
-    """list_distinct(list_transform(
-         generate_series(0, greatest(len(w) - 3, 0)),
-         i -> array_to_string(w[i+1:i+3], ' ')))"""
+  def gramsSql(n: Int): String =
+    s"""list_distinct(list_transform(
+         generate_series(0, greatest(len(w) - $n, 0)),
+         i -> array_to_string(w[i+1:i+$n], ' ')))"""
+
+  val grams3Sql: String = gramsSql(3)
+
+  /** Quality score over `len`/`alpha`/`punct`/`nws` columns (an `sc`-style
+    * CTE) — the SQL mirror of TextOps.qualityScore. Shared by q38/q48/q55.
+    */
+  val qualitySql: String =
+    """round(
+               (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) * 0.5
+               + (CASE WHEN (CASE WHEN nws > 0 THEN alpha / nws ELSE 0.0 END)
+                         BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END) * 0.3
+               + (CASE WHEN (CASE WHEN len > 0 THEN punct / len ELSE 0.0 END)
+                         <= 0.1 THEN 1.0 ELSE 0.0 END) * 0.2, 6)"""
+
+  /** The length/alpha/punct/whitespace-token columns [[qualitySql]] reads,
+    * as a select-list fragment over `documents`' `text`.
+    */
+  val qualityScColsSql: String =
+    """CAST(length(text) AS DOUBLE) AS len,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS nws"""
 
   /** Rounded word-3-gram Jaccard over gram lists `$a` and `$b` — the SQL
     * mirror of DedupOps.jaccardOfTexts (round 6).

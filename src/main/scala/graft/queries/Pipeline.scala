@@ -212,20 +212,11 @@ object Pipeline {
     s"""
     WITH t AS (
       SELECT doc_id,
-             CAST(length(text) AS DOUBLE) AS len,
-             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
-             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS nws,
+             ${OracleSql.qualityScColsSql},
              len(regexp_extract_all(text, '$bpe')) AS nbpe
       FROM documents)
     SELECT doc_id,
-           round(
-             (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) * 0.5
-             + (CASE WHEN (CASE WHEN nws > 0 THEN alpha / nws ELSE 0.0 END)
-                       BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END) * 0.3
-             + (CASE WHEN (CASE WHEN len > 0 THEN punct / len ELSE 0.0 END)
-                       <= 0.1 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality,
+           ${OracleSql.qualitySql} AS quality,
            CAST(nws AS BIGINT) AS n_tokens_ws,
            CAST(nbpe AS BIGINT) AS n_tokens_bpe
     FROM t ORDER BY doc_id"""

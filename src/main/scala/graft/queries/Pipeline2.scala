@@ -179,11 +179,7 @@ object Pipeline2 {
              ${cnt(TextOps.EnPat)} AS en, ${cnt(TextOps.DePat)} AS de,
              ${cnt(TextOps.EsPat)} AS es, ${cnt(TextOps.FrPat)} AS fr,
              ${cnt(TextOps.CjkPat, "text")} AS zh,
-             CAST(length(text) AS DOUBLE) AS len,
-             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
-             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS nws
+             ${OracleSql.qualityScColsSql}
       FROM documents),
     feats AS (
       SELECT doc_id,
@@ -192,12 +188,7 @@ object Pipeline2 {
                   WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
                   WHEN fr >= de AND fr > 0 THEN 'fr'
                   WHEN de > 0 THEN 'de' ELSE 'und' END AS lang_pred,
-             round(
-               (CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END) * 0.5
-               + (CASE WHEN (CASE WHEN nws > 0 THEN alpha / nws ELSE 0.0 END)
-                         BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END) * 0.3
-               + (CASE WHEN (CASE WHEN len > 0 THEN punct / len ELSE 0.0 END)
-                         <= 0.1 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality,
+             ${OracleSql.qualitySql} AS quality,
              CAST(nws AS BIGINT) AS n_tokens,
              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
       FROM sc),

@@ -135,15 +135,96 @@ object Pipeline3 {
            vec_id = cluster_id AS is_rep
     FROM cc ORDER BY vec_id"""
 
+  // ------------------------------------------------------------------- q55
+  // Per-source quality quota (domain caps, the RefinedWeb/CommonCrawl
+  // curation shape: no single domain may dominate the training mix): keep
+  // the top-N docs per source by (quality desc, doc_id asc). Ranking runs
+  // through the bounded TopKByScore aggregate — each map task forwards at
+  // most N rows per source to the shuffle, so a billion-doc domain costs
+  // the same shuffle volume as a thousand-doc one (a row_number window
+  // would funnel every domain's full doc list through one task).
+  private val QuotaN = 10
+
+  private val q55: Q = (s, d) => {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import graft.sim.TopKByScore
+    val feats = documents(s, d).select(col("source"), col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    val agg = column(TopKByScore(expression(col("quality")),
+      expression(col("doc_id")), QuotaN).toAggregateExpression())
+    feats.groupBy(col("source")).agg(agg.as("_top"))
+      .select(col("source"), posexplode(col("_top")))
+      .select(col("source"), col("col.id").as("doc_id"),
+        col("col.score").as("quality"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  private lazy val q55Sql = s"""
+    WITH sc AS (
+      SELECT source, doc_id,
+             ${OracleSql.qualityScColsSql}
+      FROM documents),
+    q AS (SELECT source, doc_id, ${OracleSql.qualitySql} AS quality FROM sc),
+    ranked AS (
+      SELECT source, doc_id, quality,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY quality DESC, doc_id) AS INTEGER) AS rnk
+      FROM q)
+    SELECT source, doc_id, quality, rnk FROM ranked
+    WHERE rnk <= $QuotaN ORDER BY source, rnk"""
+
+  // ------------------------------------------------------------------- q56
+  // Benchmark decontamination (the pretraining-hygiene pass): flag every
+  // corpus doc sharing any word-8-gram with the held-out eval set (here:
+  // doc_id % 100 = 0). The eval gram set is SMALL by construction (eval
+  // suites are thousands of docs, not billions), so the probe is a
+  // broadcast join against the exploded corpus grams — one scan, no
+  // shuffle of corpus data, and the left join keeps zero-hit docs without
+  // a second pass.
+  private val DecontamN = 8
+
+  private val q56: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+      .withColumn("_w", split(TextOps.normalize(col("text")), " "))
+      .withColumn("_g", graft.dedup.DedupOps.ngramsOfWords(col("_w"), DecontamN))
+    val evalGrams = docs.filter(col("doc_id") % 100 === 0)
+      .select(explode(col("_g")).as("gram")).distinct()
+      .withColumn("_hit", lit(1))
+    docs.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id"), explode(col("_g")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("_hit")).as("n_hits"))
+      .withColumn("is_clean", col("n_hits") === 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q56Sql = s"""
+    WITH nd AS (
+      SELECT doc_id, string_split(${OracleSql.normSql}, ' ') AS w
+      FROM documents),
+    g AS (SELECT doc_id, ${OracleSql.gramsSql(DecontamN)} AS gr FROM nd),
+    ev AS (SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id % 100 = 0),
+    cg AS (SELECT doc_id, unnest(gr) AS gram FROM g WHERE doc_id % 100 <> 0)
+    SELECT cg.doc_id, CAST(count(ev.gram) AS BIGINT) AS n_hits,
+           count(ev.gram) = 0 AS is_clean
+    FROM cg LEFT JOIN ev ON cg.gram = ev.gram
+    GROUP BY cg.doc_id ORDER BY cg.doc_id"""
+
   val queries: Map[String, Q] = Map(
     "q51_stratified_sample" -> q51,
     "q52_sequence_packing" -> q52,
     "q53_vocab_stats" -> q53,
-    "q54_embedding_clusters" -> q54)
+    "q54_embedding_clusters" -> q54,
+    "q55_source_quota" -> q55,
+    "q56_decontaminate" -> q56)
 
   val oracleSql: Map[String, String] = Map(
     "q51_stratified_sample" -> q51Sql,
     "q52_sequence_packing" -> q52Sql,
     "q53_vocab_stats" -> q53Sql,
-    "q54_embedding_clusters" -> q54Sql)
+    "q54_embedding_clusters" -> q54Sql,
+    "q55_source_quota" -> q55Sql,
+    "q56_decontaminate" -> q56Sql)
 }

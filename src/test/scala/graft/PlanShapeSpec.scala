@@ -43,8 +43,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "q54's sketch-bucket candidate pairs must be equi-joins")
   }
 
+  test("decontamination probes eval grams via broadcast, never a shuffle join") {
+    val p = planString("q56_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "q56's eval gram set must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "q56 must not shuffle corpus grams for the probe")
+  }
+
   test("top-k queries use the bounded aggregate, not a per-query window") {
-    for (q <- Seq("q35_cosine_topk", "q36_ann_ivf_label")) {
+    for (q <- Seq("q35_cosine_topk", "q36_ann_ivf_label",
+        "q55_source_quota")) {
       val p = planString(q)
       assert(!p.contains("Window"), s"$q must not rank via a window")
       assert(p.contains("topk_by_score"),
