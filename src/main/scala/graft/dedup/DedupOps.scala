@@ -162,14 +162,20 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** ALL n-grams (duplicates kept, document order) over a MATERIALIZED
+    * words-array column — the multiset [[ngramsOfWords]] distincts; the
+    * repetition-ratio signal needs both counts.
+    */
+  def allNgramsOfWords(wordsCol: Column, n: Int): Column =
+    transform(sequence(lit(0), greatest(size(wordsCol) - n, lit(0))),
+      i => array_join(slice(wordsCol, i + lit(1), lit(n)), " "))
+
   /** Distinct n-gram array over a MATERIALIZED words-array column
     * (a raw text expression here would be re-split per array element —
     * see withMinhashSignature note).
     */
   def ngramsOfWords(wordsCol: Column, n: Int): Column =
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(wordsCol) - n, lit(0))),
-        i => array_join(slice(wordsCol, i + lit(1), lit(n)), " ")))
+    array_distinct(allNgramsOfWords(wordsCol, n))
 
   /** One-pass native word-n-gram Jaccard of two raw texts (rounded 6, the
     * same rounding the HOF twin applies): see [[NGramJaccard]].

@@ -185,9 +185,13 @@ object Pipeline3 {
   private val DecontamN = 8
 
   private val q56: Q = (s, d) => {
-    val docs = documents(s, d).select(col("doc_id"), col("text"))
-      .withColumn("_w", split(TextOps.normalize(col("text")), " "))
-      .withColumn("_g", graft.dedup.DedupOps.ngramsOfWords(col("_w"), DecontamN))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    // NGramArray = one native normalize→split→gram pass per doc (sorted
+    // distinct, and n_hits counts DISTINCT shared grams, so order is
+    // irrelevant); the HOF slice/array_join formulation was 4x slower.
+    val docs = documents(s, d).select(col("doc_id"),
+      column(graft.dedup.NGramArray(expression(col("text")), DecontamN))
+        .as("_g"))
     val evalGrams = docs.filter(col("doc_id") % 100 === 0)
       .select(explode(col("_g")).as("gram")).distinct()
       .withColumn("_hit", lit(1))
@@ -212,13 +216,53 @@ object Pipeline3 {
     FROM cg LEFT JOIN ev ON cg.gram = ev.gram
     GROUP BY cg.doc_id ORDER BY cg.doc_id"""
 
+  // ------------------------------------------------------------------- q57
+  // Repetition ratio (the Gopher/Dolma "repeated n-gram fraction" quality
+  // signal): 1 - distinct/total over word 3-grams. Pure scan-local
+  // arithmetic — the gram multiset and its distinct count come from one
+  // split pass, no shuffle, no join; at 100 TB this runs at scan speed
+  // next to the other per-doc features.
+  // The TOTAL 3-gram count needs no gram materialization at all: a text
+  // of L words has max(L-3, 0) + 1 clamped slices = greatest(L-2, 1)
+  // (the L=0 "empty text" case also lands on 1: splitting "" yields the
+  // one-element [""] word list). L comes from the native TextStats pass
+  // and the distinct count from the native NGramArray pass — the whole
+  // query is two fused per-row expressions over one scan.
+  private val q57: Q = (s, d) => {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    documents(s, d).select(col("doc_id"),
+        greatest(TextOps.tokenCountWs(col("text")) - 2, lit(1L))
+          .as("n_grams"),
+        size(column(graft.dedup.NGramArray(expression(col("text")), 3)))
+          .cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double")
+          / col("n_grams").cast("double"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q57Sql = s"""
+    WITH nd AS (
+      SELECT doc_id, string_split(${OracleSql.normSql}, ' ') AS w
+      FROM documents),
+    g AS (SELECT doc_id,
+            list_transform(generate_series(0, greatest(len(w) - 3, 0)),
+              i -> array_to_string(w[i+1:i+3], ' ')) AS ag
+          FROM nd)
+    SELECT doc_id, CAST(len(ag) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(ag)) AS BIGINT) AS n_distinct,
+           round(1.0 - CAST(len(list_distinct(ag)) AS DOUBLE)
+             / CAST(len(ag) AS DOUBLE), 6) AS rep_ratio
+    FROM g ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "q51_stratified_sample" -> q51,
     "q52_sequence_packing" -> q52,
     "q53_vocab_stats" -> q53,
     "q54_embedding_clusters" -> q54,
     "q55_source_quota" -> q55,
-    "q56_decontaminate" -> q56)
+    "q56_decontaminate" -> q56,
+    "q57_repetition_ratio" -> q57)
 
   val oracleSql: Map[String, String] = Map(
     "q51_stratified_sample" -> q51Sql,
@@ -226,5 +270,6 @@ object Pipeline3 {
     "q53_vocab_stats" -> q53Sql,
     "q54_embedding_clusters" -> q54Sql,
     "q55_source_quota" -> q55Sql,
-    "q56_decontaminate" -> q56Sql)
+    "q56_decontaminate" -> q56Sql,
+    "q57_repetition_ratio" -> q57Sql)
 }
