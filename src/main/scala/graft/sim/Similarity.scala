@@ -52,9 +52,20 @@ object Similarity {
     * SimHash construction for the cosine metric): bit j is the sign of the
     * dot product with hyperplane j, whose components are ±1 from the md5
     * parity of "j|i" — reproducible in any engine with md5, so the DuckDB
-    * oracle computes the identical sketch. Scan-local (no shuffle).
+    * oracle computes the identical sketch. Scan-local (no shuffle); one
+    * native [[HyperplaneSketch16]] pass (the 16 interpreted
+    * `zip_with`+`aggregate` chains of the HOF twin read the vector 16
+    * times through per-element lambda boxing).
     */
   def hyperplaneSketch16(vecCol: Column, dim: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(HyperplaneSketch16(expression(vecCol), dim))
+  }
+
+  /** Composed-expression twin of [[hyperplaneSketch16]] (semantic
+    * cross-check — see SketchParitySpec).
+    */
+  def hyperplaneSketch16Hof(vecCol: Column, dim: Int): Column = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(j: Int, i: Int): Double = {
       md.reset()

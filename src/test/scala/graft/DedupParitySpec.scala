@@ -166,6 +166,31 @@ class DedupParitySpec extends AnyFunSuite {
     assert(one.filter(col("nativ") =!= col("hof")).isEmpty)
   }
 
+  test("native HyperplaneSketch16 equals the HOF-composed sketch") {
+    import graft.sim.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val both = emb.select(
+      Similarity.hyperplaneSketch16(col("embedding"), 64).as("nativ"),
+      Similarity.hyperplaneSketch16Hof(col("embedding"), 64).as("hof"))
+    assert(both.filter(col("nativ") =!= col("hof")).isEmpty)
+    assert(both.count() > 0)
+  }
+
+  test("native HyperplaneSketch16 degenerate inputs sketch to 0, like HOF") {
+    import graft.sim.Similarity
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Array(1.0f, -2.0f)),     // length != dim
+      (2L, Array.empty[Float]),     // empty
+      (3L, null: Array[Float])      // null array
+    ).toDF("id", "v")
+    for (sk <- Seq(Similarity.hyperplaneSketch16(col("v"), 64),
+        Similarity.hyperplaneSketch16Hof(col("v"), 64))) {
+      assert(edge.select(sk.as("s")).filter(col("s") =!= 0).isEmpty)
+    }
+  }
+
   test("embedding near-dup pairs equal the brute-force sketch+cosine result") {
     import graft.sim.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
