@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.Pipeline.queries ++
       graft.queries.BondQueries.queries ++
       graft.queries.Pipeline2.queries ++
-      graft.queries.Pipeline3.queries
+      graft.queries.Pipeline3.queries ++
+      graft.queries.Pipeline4.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.Pipeline.oracleSql ++
       graft.queries.BondQueries.oracleSql ++
       graft.queries.Pipeline2.oracleSql ++
-      graft.queries.Pipeline3.oracleSql
+      graft.queries.Pipeline3.oracleSql ++
+      graft.queries.Pipeline4.oracleSql
 }

@@ -172,6 +172,42 @@ private[queries] object OracleSql {
     h AS (SELECT doc_id, ws, list_transform(ws, w -> md5(w)) AS hs FROM t),
     sig AS (SELECT doc_id, CAST($simhashBitsSql AS INTEGER) AS simhash FROM h)"""
 
+  /** The full text near-dup clustering CTE chain (MinHash signatures →
+    * banded LSH candidates → exact 3-gram Jaccard verify → recursive
+    * min-label propagation → `cc(doc_id, cluster_id)`), WITHOUT the
+    * leading `WITH RECURSIVE` — the shared prefix of q50 and q63.
+    */
+  def textClusterCtes(threshold: Double, numHashes: Int = 8, k: Int = 5,
+                      numBands: Int = 4, nGram: Int = 3): String = s"""
+    nd AS (SELECT doc_id, $normSql AS n FROM documents),
+    sig AS (SELECT doc_id, ${minhashSigSelect(numHashes, k)} FROM nd),
+    bands AS (
+      ${minhashBandsSql(numBands)}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.doc_id < b.doc_id),
+    wt AS (SELECT doc_id, string_split($normSql, ' ') AS w
+           FROM documents),
+    g AS (SELECT doc_id, ${gramsSql(nGram)} AS gr FROM wt),
+    edges AS (
+      SELECT id_a, id_b
+      FROM cand
+        JOIN g ga ON ga.doc_id = id_a
+        JOIN g gb ON gb.doc_id = id_b
+      WHERE ${jaccard3Sql("ga.gr", "gb.gr")} >= $threshold),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM edges),
+    lbl AS (
+        SELECT doc_id AS id, doc_id AS l FROM documents
+      UNION
+        SELECT s.a AS id, lbl.l AS l
+        FROM lbl JOIN sym s ON s.b = lbl.id
+        WHERE lbl.l < s.a),
+    cc AS (SELECT id AS doc_id, min(l) AS cluster_id FROM lbl GROUP BY id)"""
+
   /** The `sk`/`pairs` CTE bodies mirroring Similarity.nearDupPairs over
     * `embeddings` (md5-parity hyperplane-sign sketch → Hamming ≤ 2
     * candidates → exact rounded cosine), WITHOUT the leading `WITH` so a

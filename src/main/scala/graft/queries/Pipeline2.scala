@@ -255,35 +255,7 @@ object Pipeline2 {
       .orderBy(col("doc_id"))
 
   private lazy val q50Sql = s"""
-    WITH RECURSIVE
-    nd AS (SELECT doc_id, ${OracleSql.normSql} AS n FROM documents),
-    sig AS (SELECT doc_id, ${OracleSql.minhashSigSelect(8, 5)} FROM nd),
-    bands AS (
-      ${OracleSql.minhashBandsSql(4)}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.doc_id < b.doc_id),
-    wt AS (SELECT doc_id, string_split(${OracleSql.normSql}, ' ') AS w
-           FROM documents),
-    g AS (SELECT doc_id, ${OracleSql.grams3Sql} AS gr FROM wt),
-    edges AS (
-      SELECT id_a, id_b
-      FROM cand
-        JOIN g ga ON ga.doc_id = id_a
-        JOIN g gb ON gb.doc_id = id_b
-      WHERE ${OracleSql.jaccard3Sql("ga.gr", "gb.gr")} >= 0.5),
-    sym AS (
-      SELECT id_a AS a, id_b AS b FROM edges
-      UNION ALL
-      SELECT id_b AS a, id_a AS b FROM edges),
-    lbl AS (
-        SELECT doc_id AS id, doc_id AS l FROM documents
-      UNION
-        SELECT s.a AS id, lbl.l AS l
-        FROM lbl JOIN sym s ON s.b = lbl.id
-        WHERE lbl.l < s.a),
-    cc AS (SELECT id AS doc_id, min(l) AS cluster_id FROM lbl GROUP BY id)
+    WITH RECURSIVE ${OracleSql.textClusterCtes(0.5)}
     SELECT doc_id, cluster_id,
            CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
              AS n_members,

@@ -111,6 +111,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, "q53 must scan once")
   }
 
+  test("PII scrub and chunking stay scan-local (no shuffle before output sort)") {
+    for (q <- Seq("q58_pii_scrub", "q59_chunk_overlap")) {
+      val p = planString(q)
+      assert(!p.contains("Join"), s"$q must not join")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q is per-row work; only the output sort may exchange")
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$q must scan once")
+    }
+  }
+
+  test("token profile aggregates a histogram, never buffers group rows") {
+    val p = planString("q62_token_profile")
+    assert(!p.contains("percentile"),
+      "q62 must not use the row-buffering percentile aggregate")
+    // histogram path: value-level partial aggregation before the shuffle
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      "HashAggregate".r.findAllIn(p).size >= 2,
+      "q62's (group,value) count must pre-aggregate map-side")
+  }
+
   test("curation pipeline is one scan, one shuffle, no join") {
     val p = planString("q48_curation_pipeline")
     assert("Scan parquet".r.findAllIn(p).size == 1,
