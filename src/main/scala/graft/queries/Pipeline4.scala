@@ -150,21 +150,43 @@ object Pipeline4 {
   // join is not.
   private val q61: Q = (s, d) => {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    import graft.dedup.{DedupOps, NGramArray, SortedArraysJaccard}
+    import graft.dedup.{DedupOps, MinHashSig, NGramArray, SortedArraysJaccard}
     val base = documents(s, d).select(col("doc_id"), col("text"))
-    val sig = DedupOps.withMinhashSignature(base, "text", k = 5, numHashes = 8)
-      .drop("text")
-    val cand = DedupOps.lshCandidatePairs(sig, "doc_id", 8, 2)
-    val sigA = sig.select(col("doc_id").as("id_a") +:
-      (0 until 8).map(i => col(s"m$i").as(s"_ma$i")): _*)
-    val sigB = sig.select(col("doc_id").as("id_b") +:
-      (0 until 8).map(i => col(s"m$i").as(s"_mb$i")): _*)
+    // The signature ARRAY rides through the band pre-aggregation (64
+    // bytes per band row), so the MinHash pass runs exactly once inside
+    // the scan and both pair sides emerge with their signatures inline —
+    // no signature re-join, no checkpoint of an intermediate (an earlier
+    // join-back form recomputed the MinHash stage per reference and cost
+    // 8.6s vs ~3s at sf0.1). Same band → member-list shape as
+    // DedupOps.lshCandidatePairs, including the null-band filter and the
+    // m² bucket guard.
+    val sigArr = column(MinHashSig(expression(col("text")), 5, 8))
+    val sig = base.select(col("doc_id"), sigArr.as("_sig"))
+    val sigRef = (0 until 8).map(i => element_at(col("_sig"), i + 1))
+    val bands = (0 until 4).map(b => DedupOps.bandKey(sigRef, b, 2))
+    val pairs = sig.withColumn("band", explode(array(bands: _*)))
+      .filter(col("band").isNotNull)
+      .groupBy(col("band"))
+      .agg(collect_list(struct(col("doc_id").as("id"), col("_sig").as("sig")))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+      .filter(assert_true(size(col("ms")) <= lit(DedupOps.MaxBucketIds),
+        concat(lit("LSH band bucket exceeds maxBucket="),
+          lit(DedupOps.MaxBucketIds), lit(" ids (got "), size(col("ms")),
+          lit("): run EXACT dedup before MinHash-LSH — see " +
+            "DedupOps.lshCandidatePairs scaladoc"))).isNull)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("_sa"), col("b.sig").as("_sb"))
+      .distinct()
     val grams = base.select(col("doc_id"),
       column(NGramArray(expression(col("text")), 3)).as("_g"))
     val agree = (0 until 8).map(i =>
-      when(col(s"_ma$i") === col(s"_mb$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+      when(element_at(col("_sa"), i + 1) === element_at(col("_sb"), i + 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    pairs
       .join(grams.select(col("doc_id").as("id_a"), col("_g").as("_ga")),
         Seq("id_a"))
       .join(grams.select(col("doc_id").as("id_b"), col("_g").as("_gb")),
