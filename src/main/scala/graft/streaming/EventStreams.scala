@@ -130,4 +130,38 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** documents.parquet physical schema (for the streaming curation twin). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentsSchema).parquet(dir)
+
+  /** Streaming curation filter — the scan-local half of the batch q48/q58
+    * pipeline (language ID, quality score, token bounds, PII scrub) run
+    * over a document STREAM. Entirely stateless (no watermark, no state
+    * store): per-row expressions stream with exactly-once file-source
+    * semantics, which is how a continuous ingestion pipeline curates
+    * documents as they land rather than in daily batches.
+    */
+  def curationFilter(docs: DataFrame, minQuality: Double = 0.9,
+                     minTokens: Long = 20): DataFrame = {
+    import graft.text.{Pii, TextOps}
+    val feats = docs.select(col("doc_id"),
+      TextOps.langId(col("text")).as("lang_pred"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      TextOps.tokenCountWs(col("text")).as("n_tokens"),
+      col("text"))
+    Pii.scrub(feats.filter(col("lang_pred") === "en" &&
+        col("quality") >= minQuality && col("n_tokens") >= minTokens),
+        "text", "_red")
+      .select(col("doc_id"), col("lang_pred"), col("quality"),
+        col("n_tokens"), col("n_pii"),
+        md5(to_binary(col("_red"), lit("utf-8"))).as("redacted_fp"))
+  }
 }

@@ -122,4 +122,23 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.exceptAll(want).count() == 0)
     } finally q.stop()
   }
+
+  test("stateless curation filter: streaming == batch over documents") {
+    val dir = Files.createTempDirectory("docs_stream")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val stream = EventStreams.curationFilter(
+      EventStreams.readDocuments(spark, dir.toString))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("curation").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("curation")
+      val want = EventStreams.curationFilter(
+        spark.read.parquet(s"$dir/part-0.parquet"))
+      assert(got.count() > 0, "filter must keep some sf0.001 documents")
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0)
+    } finally q.stop()
+  }
 }
