@@ -28,6 +28,11 @@ object Chunk {
   /** Explodes `textCol` into (chunk_idx, chunk) rows where chunk is the
     * word-array slice [chunk_idx*stride, +window). Words come from
     * whitespace-normalized text. All other columns pass through.
+    *
+    * Null contract: a NULL text yields one row with chunk_idx 0 and a
+    * NULL chunk (null propagates through the slice), mirroring how a
+    * null word array would behave — callers filter or coalesce as their
+    * pipeline requires.
     */
   def chunkWords(df: DataFrame, textCol: String,
                  window: Int, stride: Int): DataFrame = {

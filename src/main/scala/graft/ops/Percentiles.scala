@@ -35,6 +35,8 @@ object Percentiles {
     */
   def exactByHistogram(df: DataFrame, groupCol: String, valueCol: String,
                        ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
+      s"quantiles must lie in [0, 1], got ${ps.map(_._2).mkString(", ")}")
     val hist = df.groupBy(col(groupCol), col(valueCol).as("_v"))
       .agg(count(lit(1)).as("_c"))
     val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("_v"))

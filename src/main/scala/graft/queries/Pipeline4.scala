@@ -19,22 +19,37 @@ object Pipeline4 {
   // with per-stage counts and a fingerprint of the fully redacted text.
   // Scan-local regex passes, no shuffle (see graft.text.Pii); the output
   // fingerprint keeps the redacted body out of the manifest.
-  private val q58: Q = (s, d) =>
-    Pii.scrub(documents(s, d).select(col("doc_id"), col("text")),
-        "text", "_red")
+  // The synthetic corpus contains no organic PII (every pattern counts 0
+  // on raw text — a vacuous oracle), so each doc gets a deterministic
+  // id-derived contact footer appended IN BOTH ENGINES: every row then
+  // exercises all three match+redact stages for real.
+  private val q58: Q = (s, d) => {
+    val withPii = documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or +55 11 9"),
+        (col("doc_id") % 10000).cast("string"), lit("-0000 from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".1")).as("text"))
+    Pii.scrub(withPii, "text", "_red")
       .select(col("doc_id"), col("n_emails"), col("n_ipv4"),
         col("n_phones"), col("n_pii"),
         md5(to_binary(col("_red"), lit("utf-8"))).as("redacted_fp"))
       .orderBy(col("doc_id"))
+  }
 
   private val q58Sql = s"""
-    WITH s1 AS (
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +55 11 9'
+                  || (doc_id % 10000) || '-0000 from 10.0.'
+                  || (doc_id % 256) || '.1' AS text
+      FROM documents),
+    s1 AS (
       SELECT doc_id,
              CAST(len(regexp_extract_all(text, '${Pii.EmailPat}')) AS BIGINT)
                AS n_emails,
              regexp_replace(text, '${Pii.EmailPat}', '${Pii.EmailToken}', 'g')
                AS t1
-      FROM documents),
+      FROM p),
     s2 AS (
       SELECT doc_id, n_emails,
              CAST(len(regexp_extract_all(t1, '${Pii.Ipv4Pat}')) AS BIGINT)

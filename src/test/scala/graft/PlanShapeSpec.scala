@@ -121,6 +121,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash estimation computes each expensive expression once") {
+    val p = planString("q61_minhash_estimate")
+    assert("minhash_sig".r.findAllIn(p).size == 1,
+      "q61 must run the MinHash pass once (signatures ride the band lists)")
+    assert("sorted_arrays_jaccard".r.findAllIn(p).size == 1,
+      "q61 must evaluate the exact Jaccard once per pair")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("token profile aggregates a histogram, never buffers group rows") {
     val p = planString("q62_token_profile")
     assert(!p.contains("percentile"),
