@@ -86,4 +86,38 @@ class ScaleSpec extends AnyFunSuite {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("approximate scale-path twins track the exact operators") {
+    // The oracle-gated queries use EXACT forms (engine-portable values);
+    // at 100 TB the drop-in production variants are the sketch
+    // aggregates: HLL++ for distinct counts (q53's doc_freq, q28) and
+    // KLL/GK quantiles for token profiles (q62). Pin that the approx
+    // twins stay within their documented error on real corpus data, so
+    // the swap is a one-line change with known loss, not a leap.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val toks = docs.select(col("source"),
+      graft.text.TextOps.tokenCountWs(col("text")).as("n_tokens"))
+
+    val exactD = docs.select(countDistinct(col("text")).cast("double"))
+      .head().getDouble(0)
+    val approxD = docs.select(approx_count_distinct(col("text"), rsd = 0.02)
+      .cast("double")).head().getDouble(0)
+    assert(math.abs(approxD - exactD) / exactD <= 0.06,
+      s"HLL(rsd=0.02) off by ${math.abs(approxD - exactD) / exactD}")
+
+    val exact = graft.ops.Percentiles
+      .exactByHistogram(toks, "source", "n_tokens", Seq("p90" -> 0.9))
+      .select(col("source"), col("p90"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = toks.groupBy(col("source"))
+      .agg(expr("approx_percentile(n_tokens, 0.9, 1000)").as("p90a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    exact.foreach { case (src, p90) =>
+      // approx_percentile(acc=1000) returns a true sample value within
+      // 1/1000 rank error; token distributions are smooth enough that
+      // 10% value tolerance is conservative
+      assert(math.abs(approx(src) - p90) <= math.max(0.1 * p90, 2.0),
+        s"$src: approx ${approx(src)} vs exact $p90")
+    }
+  }
 }
