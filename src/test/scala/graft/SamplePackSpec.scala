@@ -70,6 +70,23 @@ class SamplePackSpec extends AnyFunSuite {
       ("y", 1L, 0L), ("y", 2L, 2L)))
   }
 
+  test("keyed sampling is consistent across tables (correlated sampling)") {
+    // two tables sampled on the SAME join key keep the same key set, so
+    // sample-then-join == join-then-sample — the property partition-state
+    // RNG sampling (df.sample) cannot give
+    val orders = (0L until 2000L).map(k => (k, s"o$k")).toDF("k", "o")
+    val items = (0L until 2000L).flatMap(k =>
+      Seq((k, s"i${k}a"), (k, s"i${k}b"))).toDF("k", "i")
+    def keep(df: org.apache.spark.sql.DataFrame) =
+      Sample.stratifiedHashSample(
+        df.withColumn("s", lit("x")), "k", "s", Map.empty, 0.3).drop("s")
+    val sampledJoin = keep(orders).join(keep(items), "k")
+    val joinSampled = keep(orders.join(items, "k"))
+    assert(sampledJoin.count() > 0)
+    assert(sampledJoin.exceptAll(joinSampled).count() == 0)
+    assert(joinSampled.exceptAll(sampledJoin).count() == 0)
+  }
+
   test("packSequences rejects a non-positive budget") {
     val df = Seq(("x", 1L, 4L)).toDF("shard", "ord", "toks")
     intercept[IllegalArgumentException](
