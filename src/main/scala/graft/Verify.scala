@@ -31,7 +31,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     silenceIntendedGlobalWindowWarn()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated name-prefix filter for targeted local runs
+    // (same contract as Bench's SPARK_GRAFT_ONLY); the driver gate sets no
+    // filter and dumps everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

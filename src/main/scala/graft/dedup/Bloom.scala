@@ -1,0 +1,60 @@
+package graft.dedup
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic Bloom-filter membership for decontamination prescans.
+  *
+  * The production problem: probing every corpus n-gram against the eval
+  * gram SET (q56's broadcast join) ships the full eval vocabulary to
+  * every executor. At large eval suites the cheaper first pass is a
+  * Bloom BITSET — here `M` = 2^16 bits filled by `K` = 3 hash positions
+  * per gram, so the whole filter is 8 KiB regardless of eval size. The
+  * price is false positives, which a second exact pass resolves on the
+  * (tiny) candidate subset only.
+  *
+  * Spark ships `DataFrameStatFunctions.bloomFilter`, but its hash is
+  * engine-private — an oracle in another engine could never reproduce
+  * it, and neither could a re-run on a different Spark version claim
+  * byte-equality. These positions are md5 slices: pos_j(g) = the j-th
+  * 4-hex-char window of md5(g), j < K — deterministic everywhere, same
+  * uniformity, and one digest per gram (slicing one md5 beats K digests;
+  * cf. the MinHash md5-slicing note in [[DedupOps]]).
+  *
+  * False-positive math at the defaults: fill ratio f = 1-(1-1/M)^(KE)
+  * for E eval grams; a probe passes spuriously with ~f^K. At E ≈ 7k
+  * grams f ≈ 0.1, FP ≈ 0.1%; at E ≈ 70k grams f ≈ 0.65, FP ≈ 28% — in
+  * production you size M to the eval suite (M ≈ 10·E keeps FP ≈ 1%);
+  * here M is fixed so one filter definition serves every scale factor's
+  * oracle.
+  */
+object Bloom {
+
+  /** Bits in the filter: a prime, so the 20-bit hex slices fold onto it
+    * near-uniformly (a power-of-16 M would just truncate the slice; a
+    * prime keeps all slice bits contributing). ~25 KiB of bit positions.
+    */
+  val M: Int = 200003
+
+  /** Hash positions per element. */
+  val K: Int = 3
+
+  /** The K bit positions of one element: adjacent 5-hex-char (20-bit)
+    * slices of its single md5 digest, folded mod M.
+    */
+  def positions(elem: Column): Seq[Column] = (0 until K).map { j =>
+    pmod(conv(substring(md5(to_binary(elem, lit("utf-8"))), j * 5 + 1, 5),
+      16, 10).cast("int"), lit(M))
+  }
+
+  /** All K positions as one array column (for `explode`). */
+  def positionsArray(elem: Column): Column = array(positions(elem): _*)
+
+  /** DuckDB mirror of position j of [[positions]]. */
+  def positionSql(elem: String, j: Int): String =
+    s"(CAST('0x' || substr(md5($elem), ${j * 5 + 1}, 5) AS INTEGER) % $M)"
+
+  /** DuckDB mirror of [[positionsArray]]. */
+  def positionsArraySql(elem: String): String =
+    (0 until K).map(positionSql(elem, _)).mkString("[", ", ", "]")
+}

@@ -177,7 +177,7 @@ object Pipeline3 {
   // ------------------------------------------------------------------- q56
   // Benchmark decontamination (the pretraining-hygiene pass): flag every
   // corpus doc sharing any word-8-gram with the held-out eval set (here:
-  // doc_id % 100 = 0). The eval gram set is SMALL by construction (eval
+  // doc_id % 10 = 0). The eval gram set is SMALL by construction (eval
   // suites are thousands of docs, not billions), so the probe is a
   // broadcast join against the exploded corpus grams — one scan, no
   // shuffle of corpus data, and the left join keeps zero-hit docs without
@@ -192,10 +192,10 @@ object Pipeline3 {
     val docs = documents(s, d).select(col("doc_id"),
       column(graft.dedup.NGramArray(expression(col("text")), DecontamN))
         .as("_g"))
-    val evalGrams = docs.filter(col("doc_id") % 100 === 0)
+    val evalGrams = docs.filter(col("doc_id") % 10 === 0)
       .select(explode(col("_g")).as("gram")).distinct()
       .withColumn("_hit", lit(1))
-    docs.filter(col("doc_id") % 100 =!= 0)
+    docs.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"), explode(col("_g")).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"), "left")
       .groupBy(col("doc_id"))
@@ -209,8 +209,8 @@ object Pipeline3 {
       SELECT doc_id, string_split(${OracleSql.normSql}, ' ') AS w
       FROM documents),
     g AS (SELECT doc_id, ${OracleSql.gramsSql(DecontamN)} AS gr FROM nd),
-    ev AS (SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id % 100 = 0),
-    cg AS (SELECT doc_id, unnest(gr) AS gram FROM g WHERE doc_id % 100 <> 0)
+    ev AS (SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id % 10 = 0),
+    cg AS (SELECT doc_id, unnest(gr) AS gram FROM g WHERE doc_id % 10 <> 0)
     SELECT cg.doc_id, CAST(count(ev.gram) AS BIGINT) AS n_hits,
            count(ev.gram) = 0 AS is_clean
     FROM cg LEFT JOIN ev ON cg.gram = ev.gram

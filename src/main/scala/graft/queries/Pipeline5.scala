@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import graft.dedup.{Bloom, NGramArray}
+import graft.ops.{Mix, Shard}
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** Training-data curation batch five: token-budget domain mixing,
+  * deterministic output sharding with auditable manifests, gram-novelty
+  * scoring, Bloom-prescan decontamination, centroid-distance outlier
+  * detection, and the leakage-safe train/eval split.
+  */
+object Pipeline5 {
+
+  type Q = (SparkSession, String) => DataFrame
+  import Tables._
+
+  // ------------------------------------------------------------------- q64
+  // Token-budget domain mixing: half the corpus' tokens, allocated across
+  // sources by integral mixture weights (every third source is weighted
+  // double), each source contributing docs in hash order until its slice
+  // fills. BIGINT-exact budget arithmetic, one window shuffle — see
+  // graft.ops.Mix.
+  private val MixNum = 1L
+  private val MixDen = 2L
+
+  private def srcWeight(source: org.apache.spark.sql.Column) =
+    when(substring(source, 4, 10).cast("long") % 3 === 0, 2L).otherwise(1L)
+
+  private val q64: Q = (s, d) => {
+    val rows = documents(s, d).select(col("doc_id"), col("source"),
+      TextOps.tokenCountWs(col("text")).as("_t"))
+    Mix.tokenBudgetMix(rows, "doc_id", "source", col("_t"),
+        srcWeight(col("source")), MixNum, MixDen)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("rnk"),
+        col("budget"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  private lazy val q64Sql = {
+    val from = s"""SELECT doc_id, source,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+'))
+             END AS BIGINT) AS toks,
+        CASE WHEN CAST(substr(source, 4) AS BIGINT) % 3 = 0
+             THEN 2 ELSE 1 END AS w
+      FROM documents"""
+    s"""
+    WITH ${Mix.tokenBudgetMixSql(from, "doc_id", "source", MixNum, MixDen)}
+    SELECT source, doc_id, toks AS n_tokens, rnk, budget
+    FROM kept ORDER BY source, rnk"""
+  }
+
+  // ------------------------------------------------------------------- q65
+  // Deterministic sharding manifest: 16 hash shards, each with a content
+  // digest over its members in deterministic order — the auditable
+  // training-data writer (see graft.ops.Shard).
+  private val NShards = 16
+
+  private val q65: Q = (s, d) =>
+    Shard.manifest(documents(s, d), "doc_id",
+        TextOps.tokenCountWs(col("text")),
+        TextOps.fingerprint(col("text")), NShards)
+      .orderBy(col("shard_id"))
+
+  private lazy val q65Sql = {
+    val from = s"""SELECT doc_id,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+'))
+             END AS BIGINT) AS toks,
+        md5(${OracleSql.normSql}) AS fp
+      FROM documents"""
+    s"""
+    WITH ${Shard.manifestSql(from, "doc_id", NShards)}
+    SELECT shard_id, n_docs, total_tokens, shard_fp
+    FROM manifest_ ORDER BY shard_id"""
+  }
+
+  // ------------------------------------------------------------------- q66
+  // Gram novelty (inter-document originality): the fraction of a doc's
+  // distinct 3-grams appearing in NO other document. Integer counts all
+  // the way (deterministic), two shuffles: gram doc-frequency (map-side
+  // combinable) and the join back on gram — the q60 shape. The dual of
+  // the repetition ratio (q57 scores repetition WITHIN a doc; this
+  // scores uniqueness ACROSS docs).
+  private val q66: Q = (s, d) => {
+    val pairs = documents(s, d).select(col("doc_id"),
+      explode(column(NGramArray(expression(col("text")), 3))).as("gram"))
+    val dfreq = pairs.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    pairs.join(dfreq, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_grams"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q66Sql = s"""
+    WITH nd AS (
+      SELECT doc_id, string_split(${OracleSql.normSql}, ' ') AS w
+      FROM documents),
+    g AS (SELECT doc_id, unnest(${OracleSql.grams3Sql}) AS gram FROM nd),
+    dfreq AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           round(CAST(sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty
+    FROM g JOIN dfreq USING (gram)
+    GROUP BY g.doc_id ORDER BY g.doc_id"""
+
+  // ------------------------------------------------------------------- q67
+  // Bloom-prescan decontamination: q56's eval 8-gram set compressed to a
+  // 200003-bit deterministic Bloom filter (md5-slice positions — see
+  // graft.dedup.Bloom), every corpus gram probed with three broadcast
+  // hash joins on the bit positions (scan-local, no corpus shuffle), the
+  // exact gram join run alongside to account the false positives the
+  // prescan would hand to a second-pass verify. At 100 TB the bitset
+  // broadcast is ~25 KiB where the gram set is gigabytes.
+  private val DecontamN = 8
+
+  private val q67: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"),
+      column(NGramArray(expression(col("text")), DecontamN)).as("_g"))
+    val evalG = docs.filter(col("doc_id") % 10 === 0)
+      .select(explode(col("_g")).as("gram")).distinct()
+    val bits = evalG
+      .select(explode(Bloom.positionsArray(col("gram"))).as("pos")).distinct()
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(col("_g")).as("gram"))
+    val ps = Bloom.positions(col("gram"))
+    val probed = (0 until Bloom.K).foldLeft(
+        corpus.select(col("doc_id") +: col("gram") +:
+          ps.zipWithIndex.map { case (p, j) => p.as(s"p$j") }: _*)) {
+      case (acc, j) =>
+        acc.join(broadcast(bits.select(col("pos").as(s"p$j"),
+          lit(1).as(s"h$j"))), Seq(s"p$j"), "left")
+    }
+    val exact = broadcast(evalG.withColumn("_hit", lit(1)))
+    probed.join(exact, Seq("gram"), "left")
+      .withColumn("_bloom",
+        (0 until Bloom.K).map(j => coalesce(col(s"h$j"), lit(0)))
+          .reduce(_ + _) === Bloom.K)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_bloom"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        count(col("_hit")).as("n_exact_hits"))
+      .withColumn("n_false_pos", col("n_bloom_hits") - col("n_exact_hits"))
+      .withColumn("is_clean", col("n_bloom_hits") === 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q67Sql = s"""
+    WITH nd AS (
+      SELECT doc_id, string_split(${OracleSql.normSql}, ' ') AS w
+      FROM documents),
+    g AS (SELECT doc_id, ${OracleSql.gramsSql(DecontamN)} AS gr FROM nd),
+    ev AS (SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id % 10 = 0),
+    bits AS (
+      SELECT DISTINCT unnest(${Bloom.positionsArraySql("gram")}) AS pos
+      FROM ev),
+    cg AS (SELECT doc_id, unnest(gr) AS gram FROM g WHERE doc_id % 10 <> 0),
+    pr AS (SELECT doc_id, gram,
+             ${(0 until Bloom.K).map(j =>
+               s"${Bloom.positionSql("gram", j)} AS p$j").mkString(", ")}
+           FROM cg),
+    j AS (
+      SELECT pr.doc_id,
+             ${(0 until Bloom.K).map(j => s"b$j.pos IS NOT NULL")
+               .mkString(" AND ")} AS bloom,
+             ev.gram IS NOT NULL AS hit
+      FROM pr
+        ${(0 until Bloom.K).map(j =>
+          s"LEFT JOIN bits b$j ON pr.p$j = b$j.pos").mkString("\n        ")}
+        LEFT JOIN ev ON pr.gram = ev.gram)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN bloom THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_hits,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_hits,
+           CAST(sum(CASE WHEN bloom THEN 1 ELSE 0 END)
+              - sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           sum(CASE WHEN bloom THEN 1 ELSE 0 END) = 0 AS is_clean
+    FROM j GROUP BY doc_id ORDER BY doc_id"""
+
+  // ------------------------------------------------------------------- q68
+  // Centroid-distance outliers: per-label embedding centroid (bounded
+  // groups×dim aggregate, components rounded — see
+  // Similarity.groupCentroids), every vector's cosine to its OWN label's
+  // centroid via one broadcast join + the native DotCosine pass, flagged
+  // below 0. The embedding-space quality filter: vectors that don't
+  // resemble their own cluster are mislabeled or junk.
+  private val OutlierThreshold = 0.0
+
+  private val q68: Q = (s, d) => {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val cent = Similarity.groupCentroids(emb, "label")
+    emb.join(broadcast(cent), Seq("label"))
+      .withColumn("sim",
+        round(Similarity.cosine(col("embedding"), col("centroid")), 6))
+      .select(col("vec_id"), col("label"), col("sim"),
+        (col("sim") < OutlierThreshold).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val q68Sql = s"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    x AS (
+      SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+      FROM e, generate_series(1, 64) t(i) GROUP BY label, i),
+    c AS (SELECT label, list(m ORDER BY i) AS centroid FROM x GROUP BY label),
+    s AS (
+      SELECT e.vec_id, e.label,
+             round(list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.centroid, v -> v * v)))), 6)
+               AS sim
+      FROM e JOIN c USING (label))
+    SELECT vec_id, label, sim, sim < $OutlierThreshold AS is_outlier
+    FROM s ORDER BY vec_id"""
+
+  // ------------------------------------------------------------------- q69
+  // Leakage-safe train/eval split: a random DOC-level split leaks
+  // near-duplicates of training docs into eval; splitting by near-dup
+  // CLUSTER (q54's embedding clustering) assigns each whole duplicate
+  // family to one side. The side is the md5 bucket of the cluster id —
+  // deterministic, ~1/16 eval.
+  private val q69: Q = (s, d) => {
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val edges = Similarity.nearDupPairs(emb, threshold = 0.2)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    graft.dedup.DedupOps
+      .connectedComponents(emb.select(col("vec_id").as("id")), edges)
+      .select(col("id").as("vec_id"), col("cluster_id"),
+        when(substring(md5(to_binary(col("cluster_id").cast("string"),
+          lit("utf-8"))), 1, 1) === "0", "eval").otherwise("train")
+          .as("split"))
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val q69Sql = s"""
+    WITH RECURSIVE ${OracleSql.embeddingPairsCtes},
+    edges AS (SELECT id_a, id_b FROM pairs WHERE sim >= 0.2),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM edges),
+    lbl AS (
+        SELECT vec_id AS id, vec_id AS l FROM embeddings
+      UNION
+        SELECT s.a AS id, lbl.l AS l
+        FROM lbl JOIN sym s ON s.b = lbl.id
+        WHERE lbl.l < s.a),
+    cc AS (SELECT id AS vec_id, min(l) AS cluster_id FROM lbl GROUP BY id)
+    SELECT vec_id, cluster_id,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) = '0'
+                THEN 'eval' ELSE 'train' END AS split
+    FROM cc ORDER BY vec_id"""
+
+  val queries: Map[String, Q] = Map(
+    "q64_token_budget_mix" -> q64,
+    "q65_shard_manifest" -> q65,
+    "q66_gram_novelty" -> q66,
+    "q67_bloom_decontaminate" -> q67,
+    "q68_centroid_outlier" -> q68,
+    "q69_leakage_safe_split" -> q69)
+
+  val oracleSql: Map[String, String] = Map(
+    "q64_token_budget_mix" -> q64Sql,
+    "q65_shard_manifest" -> q65Sql,
+    "q66_gram_novelty" -> q66Sql,
+    "q67_bloom_decontaminate" -> q67Sql,
+    "q68_centroid_outlier" -> q68Sql,
+    "q69_leakage_safe_split" -> q69Sql)
+}

@@ -6,9 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Cosine similarity of two float-array embeddings as ONE native pass —
-  * the fused form of the `zip_with`+`aggregate` lambda chain in
-  * [[Similarity.cosineHof]] (kept as the semantic cross-check twin).
+/** Cosine similarity of two float- or double-array embeddings as ONE
+  * native pass — the fused form of the `zip_with`+`aggregate` lambda
+  * chain in [[Similarity.cosineHof]] (kept as the semantic cross-check
+  * twin).
   *
   * Arithmetic is IDENTICAL to the HOF form and to the DuckDB oracle's
   * list_transform/list_sum: every float is widened to double (exact), the
@@ -17,6 +18,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * bit-identical while skipping the interpreted per-element lambda boxing
   * (HOF lambdas evaluate via per-element `InterpretedProjection`; at
   * corpus scale the arithmetic, not the plan, was the entire q35 cost).
+  * The two sides may mix element types (e.g. a FLOAT embedding against a
+  * DOUBLE centroid): each slot is read at its declared width, then the
+  * fold runs entirely in double.
   *
   * Null contract mirrors the HOF chain: a null array (BinaryExpression
   * default), a null element anywhere, or a length mismatch (zip_with pads
@@ -33,21 +37,26 @@ case class DotCosine(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_cosine"
 
-  // Strict array<float> gate (ExpectsInputTypes is unusable here:
-  // AbstractDataType is private[sql]): eval reads each slot with
-  // ArrayData.getFloat, which on an unsafe array<double> would read 4 of
-  // the 8 bytes and return silently wrong similarities — misuse must fail
-  // at analysis time, not produce garbage.
+  // Strict array<float|double> gate (ExpectsInputTypes is unusable here:
+  // AbstractDataType is private[sql]): eval reads each slot at the side's
+  // declared width; on any OTHER element type an unsafe-array read would
+  // reinterpret raw bytes and return silently wrong similarities — misuse
+  // must fail at analysis time, not produce garbage.
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two ARRAY<FLOAT> arguments, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+      s"$prettyName requires two ARRAY<FLOAT> or ARRAY<DOUBLE> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
+
+  @transient private lazy val leftIsDouble =
+    left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+  @transient private lazy val rightIsDouble =
+    right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val va = a.asInstanceOf[ArrayData]
@@ -60,8 +69,8 @@ case class DotCosine(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (va.isNullAt(i) || vb.isNullAt(i)) return null
-      val x = va.getFloat(i).toDouble
-      val y = vb.getFloat(i).toDouble
+      val x = if (leftIsDouble) va.getDouble(i) else va.getFloat(i).toDouble
+      val y = if (rightIsDouble) vb.getDouble(i) else vb.getFloat(i).toDouble
       dot += x * y
       na += x * x
       nb += y * y

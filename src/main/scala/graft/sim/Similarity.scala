@@ -36,6 +36,28 @@ object Similarity {
     (assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** Per-group element-wise mean of an embedding column, each component
+    * rounded to 6 decimals — the centroid table for outlier filtering
+    * (distance-to-own-centroid) and coarse quantization.
+    *
+    * Plan shape: posexplode (×dim scan amplification, no extra pass),
+    * one map-side-combinable (group, position) average — the shuffle
+    * carries at most groups×dim partial sums regardless of corpus size —
+    * then a bounded collect_list rebuild of the array. The per-component
+    * round(…, 6) pins the centroid against float-summation order before
+    * anything downstream consumes it: 6 decimals is ~9 orders of
+    * magnitude above the ulp drift a re-ordered sum can introduce, so
+    * the rounded centroid is engine-reproducible.
+    */
+  def groupCentroids(df: DataFrame, groupCol: String,
+                     vecCol: String = "embedding"): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("_m"))
+      .groupBy(col(groupCol))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("_m")))),
+        e => e.getField("_m")).as("centroid"))
+
   /** Cell ids of the `nprobe` nearest centroids for one query vector. */
   def probeCells(vec: Seq[Float], centroids: Array[Array[Double]],
                  nprobe: Int): Seq[Int] = {

@@ -41,6 +41,31 @@ object Demo {
       .select(bday_count(col("d"), lit("2024-01-02").cast("date")).as("null_in"),
               bday_add(col("d"), lit(1)).as("null_shift"))
       .show()
+
+    // batch-five curation API: token-budget mixing, sharding manifests,
+    // bloom positions, centroid-distance outliers
+    import graft.ops.{Mix, Shard}
+    import graft.text.TextOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val mixed = Mix.tokenBudgetMix(
+      docs.select(col("doc_id"), col("source"),
+        TextOps.tokenCountWs(col("text")).as("_t")),
+      "doc_id", "source", col("_t"), lit(1L), 1L, 2L)
+    mixed.orderBy("source", "rnk").show(5)
+    mixed.explain("formatted")
+    Shard.manifest(docs, "doc_id", TextOps.tokenCountWs(col("text")),
+      TextOps.fingerprint(col("text")), 8).orderBy("shard_id").show(8)
+    docs.select(col("doc_id"),
+      graft.dedup.Bloom.positionsArray(TextOps.fingerprint(col("text")))
+        .as("bloom_pos")).show(3, truncate = false)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cent = graft.sim.Similarity.groupCentroids(emb, "label")
+    val sims = emb.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(graft.sim.Similarity.cosine(col("embedding"), col("centroid")), 6)
+          .as("sim_to_centroid"))
+    sims.orderBy("vec_id").show(5)
+    sims.explain("formatted")
     spark.stop()
   }
 }

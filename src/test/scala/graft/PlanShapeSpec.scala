@@ -141,6 +141,48 @@ class PlanShapeSpec extends AnyFunSuite {
       "q62's (group,value) count must pre-aggregate map-side")
   }
 
+  test("token-budget mix broadcasts its totals and shuffles only by group") {
+    val p = planString("q64_token_budget_mix")
+    // the two-row totals frame rides a broadcast; the corpus itself only
+    // exchanges for the per-group window and the totals aggregate
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "q64 must never shuffle-join the corpus against its totals")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "q64 is one window partition + the totals aggregate at most")
+  }
+
+  test("shard manifest is one scan and one shuffle") {
+    val p = planString("q65_shard_manifest")
+    assert(!p.contains("Join"), "q65 must not join")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "q65 must scan once")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "q65 shuffles exactly once (the shard groupBy)")
+  }
+
+  test("bloom prescan probes via broadcast joins, never a corpus shuffle join") {
+    val p = planString("q67_bloom_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "q67's bit positions and eval grams must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "q67 must not shuffle corpus grams for the probe")
+  }
+
+  test("centroid outliers broadcast the centroid table and fuse the cosine") {
+    val p = planString("q68_centroid_outlier")
+    assert(p.contains("BroadcastHashJoin"),
+      "q68's per-label centroids must broadcast")
+    assert(p.contains("dot_cosine"),
+      "q68 must use the native DotCosine pass")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("leakage-safe split builds its edges from equi-joins only") {
+    val p = planString("q69_leakage_safe_split")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "q69's cluster edges must come from sketch equi-joins")
+  }
+
   test("curation pipeline is one scan, one shuffle, no join") {
     val p = planString("q48_curation_pipeline")
     assert("Scan parquet".r.findAllIn(p).size == 1,
