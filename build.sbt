@@ -23,8 +23,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 24g default: local[32] drives 32 concurrent tasks through one JVM, and
+// the 67-query bench accumulates broadcasts/shuffle state that the
+// ContextCleaner only reclaims on GC — an 8g heap turned the late bench
+// queries into GC walls (6x run-to-run swings) on this 128 GiB box.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -42,7 +42,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // untimed: broadcasts/shuffle state are reclaimed by the
+      // ContextCleaner only when the driver GCs — without this, state from
+      // 60+ prior queries piles up and the late queries pay the GC wall
+      System.gc()
+      name -> dt
     }
     // Locale.ROOT: the f interpolator uses the default JVM locale, which
     // renders comma decimal separators (invalid JSON) on e.g. pt_BR

@@ -55,11 +55,15 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(arityErr.getMessage.contains("dot_cosine"))
       assert(!arityErr.isInstanceOf[IndexOutOfBoundsException])
 
-      // dot_cosine on array<double> must be an analysis error: eval reads
-      // 4 bytes per 8-byte slot and would return silently wrong values
+      // dot_cosine reads each side at its declared width: double arrays
+      // (and mixed sides) evaluate; any NON-floating element type must
+      // still fail at analysis — an unsafe-array read would reinterpret
+      // raw bytes into silently wrong values
+      val dd = spark.sql(
+        "SELECT dot_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D))").head()
+      assert(dd.getDouble(0) == 1.0)
       val typeErr = intercept[org.apache.spark.sql.AnalysisException] {
-        spark.sql(
-          "SELECT dot_cosine(array(1.0D, 2.0D), array(1.0D, 2.0D))").collect()
+        spark.sql("SELECT dot_cosine(array(1, 2), array(1, 2))").collect()
       }
       assert(typeErr.getMessage.contains("ARRAY<FLOAT>"))
 
