@@ -57,4 +57,30 @@ object Bloom {
   /** DuckDB mirror of [[positionsArray]]. */
   def positionsArraySql(elem: String): String =
     (0 until K).map(positionSql(elem, _)).mkString("[", ", ", "]")
+
+  /** Probe every `corpus` row's `gramCol` against the Bloom bitset built
+    * from `evalGrams` (a one-column gram frame): appends a `_bloom`
+    * membership flag. The bitset rides K broadcast hash joins on the bit
+    * positions — scan-local for the corpus side, no shuffle at any
+    * corpus size (the 100 TB-shaped prescan; callers aggregate or filter
+    * `_bloom` and run the exact verify on the survivors only).
+    */
+  def probe(corpus: org.apache.spark.sql.DataFrame, gramCol: String,
+            evalGrams: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bits = evalGrams
+      .select(explode(positionsArray(col(gramCol))).as("pos")).distinct()
+    val ps = positions(col(gramCol))
+    val withPos = corpus.select(corpus.columns.map(col) ++
+      ps.zipWithIndex.map { case (p, j) => p.as(s"_p$j") }: _*)
+    val joined = (0 until K).foldLeft(withPos) { case (acc, j) =>
+      acc.join(broadcast(bits.select(col("pos").as(s"_p$j"),
+        lit(1).as(s"_h$j"))), Seq(s"_p$j"), "left")
+    }
+    joined
+      .withColumn("_bloom",
+        (0 until K).map(j => coalesce(col(s"_h$j"), lit(0)))
+          .reduce(_ + _) === K)
+      .drop((0 until K).flatMap(j => Seq(s"_p$j", s"_h$j")): _*)
+  }
 }

@@ -128,23 +128,11 @@ object Pipeline5 {
       column(NGramArray(expression(col("text")), DecontamN)).as("_g"))
     val evalG = docs.filter(col("doc_id") % 10 === 0)
       .select(explode(col("_g")).as("gram")).distinct()
-    val bits = evalG
-      .select(explode(Bloom.positionsArray(col("gram"))).as("pos")).distinct()
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"), explode(col("_g")).as("gram"))
-    val ps = Bloom.positions(col("gram"))
-    val probed = (0 until Bloom.K).foldLeft(
-        corpus.select(col("doc_id") +: col("gram") +:
-          ps.zipWithIndex.map { case (p, j) => p.as(s"p$j") }: _*)) {
-      case (acc, j) =>
-        acc.join(broadcast(bits.select(col("pos").as(s"p$j"),
-          lit(1).as(s"h$j"))), Seq(s"p$j"), "left")
-    }
+    val probed = Bloom.probe(corpus, "gram", evalG)
     val exact = broadcast(evalG.withColumn("_hit", lit(1)))
     probed.join(exact, Seq("gram"), "left")
-      .withColumn("_bloom",
-        (0 until Bloom.K).map(j => coalesce(col(s"h$j"), lit(0)))
-          .reduce(_ + _) === Bloom.K)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("_bloom"), 1L).otherwise(0L)).as("n_bloom_hits"),
@@ -265,13 +253,136 @@ object Pipeline5 {
                 THEN 'eval' ELSE 'train' END AS split
     FROM cc ORDER BY vec_id"""
 
+  // ------------------------------------------------------------------- q70
+  // The curation DECISION table — the capstone that a real pipeline ships
+  // to its writer: every document with its cheap signals (language,
+  // quality, token count), its Bloom contamination prescan flag, its
+  // embedding-outlier flag, and the first-failing-rule drop reason.
+  // Composition stays 100 TB-shaped: one documents scan feeds both the
+  // feature projection and the gram probe (broadcast bit joins, one
+  // groupBy(doc) shuffle), the embedding side joins its broadcast
+  // centroid table, and the three doc-level frames merge on doc_id.
+  private val QualityMin = 0.91
+  private val TokMin = 25L
+  private val TokMax = 90L
+
+  private val q70: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), col("lang"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      TextOps.tokenCountWs(col("text")).as("n_tokens"),
+      column(NGramArray(expression(col("text")), DecontamN)).as("_g"))
+    val evalG = docs.filter(col("doc_id") % 10 === 0)
+      .select(explode(col("_g")).as("gram")).distinct()
+    val contam = Bloom.probe(
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), explode(col("_g")).as("gram")),
+        "gram", evalG)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("_bloom"), 1L).otherwise(0L)).as("_nb"))
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val outliers = emb
+      .join(broadcast(Similarity.groupCentroids(emb, "label")), Seq("label"))
+      .select(col("vec_id").as("doc_id"),
+        (round(Similarity.cosine(col("embedding"), col("centroid")), 6)
+          < OutlierThreshold).as("is_outlier"))
+    docs.drop("_g")
+      .join(contam, Seq("doc_id"), "left")
+      .join(outliers, Seq("doc_id"), "left")
+      .withColumn("is_holdout", col("doc_id") % 10 === 0)
+      .withColumn("is_contaminated",
+        coalesce(col("_nb") > 0, lit(false)))
+      .withColumn("drop_reason",
+        when(col("is_holdout"), "holdout")
+          .when(col("is_contaminated"), "contaminated")
+          .when(coalesce(col("is_outlier"), lit(false)), "embedding_outlier")
+          .when(col("quality") < QualityMin, "low_quality")
+          .when(col("n_tokens") < TokMin || col("n_tokens") > TokMax,
+            "bad_length")
+          .otherwise("keep"))
+      .withColumn("keep", col("drop_reason") === "keep")
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"),
+        col("is_holdout"), col("is_contaminated"),
+        coalesce(col("is_outlier"), lit(false)).as("is_outlier"),
+        col("drop_reason"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q70Sql = s"""
+    WITH sc AS (
+      SELECT doc_id, lang, ${OracleSql.qualityScColsSql}
+      FROM documents),
+    q AS (SELECT doc_id, lang, ${OracleSql.qualitySql} AS quality,
+            CAST(nws AS BIGINT) AS n_tokens
+          FROM sc),
+    nd AS (
+      SELECT doc_id, string_split(${OracleSql.normSql}, ' ') AS w
+      FROM documents),
+    g AS (SELECT doc_id, ${OracleSql.gramsSql(DecontamN)} AS gr FROM nd),
+    ev AS (SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id % 10 = 0),
+    bits AS (
+      SELECT DISTINCT unnest(${Bloom.positionsArraySql("gram")}) AS pos
+      FROM ev),
+    cg AS (SELECT doc_id, unnest(gr) AS gram FROM g WHERE doc_id % 10 <> 0),
+    pr AS (SELECT doc_id, gram,
+             ${(0 until Bloom.K).map(j =>
+               s"${Bloom.positionSql("gram", j)} AS p$j").mkString(", ")}
+           FROM cg),
+    contam AS (
+      SELECT pr.doc_id,
+             sum(CASE WHEN ${(0 until Bloom.K).map(j => s"b$j.pos IS NOT NULL")
+               .mkString(" AND ")} THEN 1 ELSE 0 END) AS nb
+      FROM pr
+        ${(0 until Bloom.K).map(j =>
+          s"LEFT JOIN bits b$j ON pr.p$j = b$j.pos").mkString("\n        ")}
+      GROUP BY pr.doc_id),
+    e AS (SELECT vec_id, label, embedding FROM embeddings),
+    x AS (
+      SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+      FROM e, generate_series(1, 64) t(i) GROUP BY label, i),
+    c AS (SELECT label, list(m ORDER BY i) AS centroid FROM x GROUP BY label),
+    outl AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.centroid, v -> v * v)))), 6)
+               < $OutlierThreshold AS is_outlier
+      FROM e JOIN c USING (label)),
+    dec AS (
+      SELECT q.doc_id, q.lang, q.quality, q.n_tokens,
+             q.doc_id % 10 = 0 AS is_holdout,
+             coalesce(contam.nb > 0, false) AS is_contaminated,
+             coalesce(outl.is_outlier, false) AS is_outlier
+      FROM q
+        LEFT JOIN contam ON q.doc_id = contam.doc_id
+        LEFT JOIN outl ON q.doc_id = outl.doc_id)
+    SELECT *,
+           CASE WHEN is_holdout THEN 'holdout'
+                WHEN is_contaminated THEN 'contaminated'
+                WHEN is_outlier THEN 'embedding_outlier'
+                WHEN quality < $QualityMin THEN 'low_quality'
+                WHEN n_tokens < $TokMin OR n_tokens > $TokMax
+                  THEN 'bad_length'
+                ELSE 'keep' END AS drop_reason,
+           CASE WHEN is_holdout THEN 'holdout'
+                WHEN is_contaminated THEN 'contaminated'
+                WHEN is_outlier THEN 'embedding_outlier'
+                WHEN quality < $QualityMin THEN 'low_quality'
+                WHEN n_tokens < $TokMin OR n_tokens > $TokMax
+                  THEN 'bad_length'
+                ELSE 'keep' END = 'keep' AS keep
+    FROM dec ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "q64_token_budget_mix" -> q64,
     "q65_shard_manifest" -> q65,
     "q66_gram_novelty" -> q66,
     "q67_bloom_decontaminate" -> q67,
     "q68_centroid_outlier" -> q68,
-    "q69_leakage_safe_split" -> q69)
+    "q69_leakage_safe_split" -> q69,
+    "q70_curation_decision" -> q70)
 
   val oracleSql: Map[String, String] = Map(
     "q64_token_budget_mix" -> q64Sql,
@@ -279,5 +390,6 @@ object Pipeline5 {
     "q66_gram_novelty" -> q66Sql,
     "q67_bloom_decontaminate" -> q67Sql,
     "q68_centroid_outlier" -> q68Sql,
-    "q69_leakage_safe_split" -> q69Sql)
+    "q69_leakage_safe_split" -> q69Sql,
+    "q70_curation_decision" -> q70Sql)
 }

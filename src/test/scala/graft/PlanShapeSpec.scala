@@ -176,6 +176,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("curation decision composes signals without cartesians; probes broadcast") {
+    val p = planString("q70_curation_decision")
+    assert(p.contains("BroadcastHashJoin"),
+      "q70's bloom bits and centroid table must broadcast")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "q70 must merge doc-level frames on equi-keys only")
+  }
+
   test("leakage-safe split builds its edges from equi-joins only") {
     val p = planString("q69_leakage_safe_split")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
