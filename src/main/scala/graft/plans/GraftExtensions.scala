@@ -83,8 +83,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("byte_histogram16", "high-nibble histogram (16 bins) of a binary column"),
       arity("byte_histogram16", 1)(es => ByteHistogram16(es.head))))
     e.injectFunction((FunctionIdentifier("dot_cosine"),
-      info("dot_cosine", "one-pass cosine similarity of two float-array embeddings"),
+      info("dot_cosine", "one-pass cosine similarity of two float- or double-array embeddings"),
       arity("dot_cosine", 2)(es => DotCosine(es.head, es(1)))))
+    e.injectFunction((FunctionIdentifier("quantize_int8"),
+      info("quantize_int8", "one-pass affine int8 quantization struct (range, reconstruction errors, codes) of a float-array embedding"),
+      arity("quantize_int8", 1)(es => graft.sim.QuantizeInt8(es.head))))
     e.injectFunction((FunctionIdentifier("topk_by_score"),
       info("topk_by_score", "bounded top-5 (score, id) aggregate with map-side partial merge"),
       arity("topk_by_score", 2)(es =>

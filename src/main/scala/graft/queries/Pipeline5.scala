@@ -375,6 +375,59 @@ object Pipeline5 {
                 ELSE 'keep' END = 'keep' AS keep
     FROM dec ORDER BY doc_id"""
 
+  // ------------------------------------------------------------------- q71
+  // Int8 embedding quantization (the 4:1 storage pass of a 100 TB
+  // embedding store) with per-vector reconstruction-quality metrics. One
+  // native scan-local pass per vector (see sim.QuantizeInt8); the codes
+  // travel as an md5 fingerprint so the manifest stays narrow. Every
+  // arithmetic step (floor(y+0.5) code rounding, affine reconstruct,
+  // left-to-right squared-error fold) is chosen to be bit-reproducible
+  // in any engine — the oracle recomputes the identical codes.
+  private val q71: Q = (s, d) =>
+    embeddings(s, d)
+      .select(col("vec_id"),
+        column(graft.sim.QuantizeInt8(expression(col("embedding"))))
+          .as("_q"))
+      .select(col("vec_id"),
+        col("_q.v_min").as("v_min"), col("_q.v_max").as("v_max"),
+        col("_q.max_abs_err").as("max_abs_err"),
+        round(col("_q.sum_sq_err"), 9).as("sse"),
+        md5(to_binary(array_join(
+          transform(col("_q.codes"), c => c.cast("string")), ","),
+          lit("utf-8"))).as("codes_fp"))
+      .orderBy(col("vec_id"))
+
+  private lazy val q71Sql = {
+    val codeOf = (x: String) => s"""(CASE WHEN sc = 0 THEN 0
+           ELSE CAST(least(greatest(
+             floor((CAST($x AS DOUBLE) - mn) / sc + 0.5), 0), 255) AS INTEGER)
+           END)"""
+    s"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    r AS (
+      SELECT vec_id, embedding,
+             list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+               AS mn,
+             list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+               AS mx
+      FROM e),
+    s AS (SELECT *, (mx - mn) / 255.0 AS sc FROM r),
+    c AS (
+      SELECT vec_id, mn, mx,
+             list_transform(embedding, x -> ${codeOf("x")}) AS codes,
+             list_transform(embedding, x ->
+               abs(CAST(x AS DOUBLE) - (mn + ${codeOf("x")} * sc))) AS errs,
+             list_transform(embedding, x ->
+               (CAST(x AS DOUBLE) - (mn + ${codeOf("x")} * sc))
+               * (CAST(x AS DOUBLE) - (mn + ${codeOf("x")} * sc))) AS sqs
+      FROM s)
+    SELECT vec_id, mn AS v_min, mx AS v_max,
+           list_max(errs) AS max_abs_err,
+           round(list_sum(sqs), 9) AS sse,
+           md5(array_to_string(codes, ',')) AS codes_fp
+    FROM c ORDER BY vec_id"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q64_token_budget_mix" -> q64,
     "q65_shard_manifest" -> q65,
@@ -382,7 +435,8 @@ object Pipeline5 {
     "q67_bloom_decontaminate" -> q67,
     "q68_centroid_outlier" -> q68,
     "q69_leakage_safe_split" -> q69,
-    "q70_curation_decision" -> q70)
+    "q70_curation_decision" -> q70,
+    "q71_quantize_int8" -> q71)
 
   val oracleSql: Map[String, String] = Map(
     "q64_token_budget_mix" -> q64Sql,
@@ -391,5 +445,6 @@ object Pipeline5 {
     "q67_bloom_decontaminate" -> q67Sql,
     "q68_centroid_outlier" -> q68Sql,
     "q69_leakage_safe_split" -> q69Sql,
-    "q70_curation_decision" -> q70Sql)
+    "q70_curation_decision" -> q70Sql,
+    "q71_quantize_int8" -> q71Sql)
 }

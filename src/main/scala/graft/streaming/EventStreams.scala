@@ -164,4 +164,31 @@ object EventStreams {
         col("n_tokens"), col("n_pii"),
         md5(to_binary(col("_red"), lit("utf-8"))).as("redacted_fp"))
   }
+
+  /** Streaming decontamination flag — a STREAM-STATIC broadcast join:
+    * each arriving document's distinct word-n-grams are tested against
+    * the STATIC eval-suite gram set (one broadcast array row, equi-keyed
+    * on a constant so the join is a stateless BroadcastHashJoin per
+    * micro-batch — no watermark, no state store, no reprocessing). This
+    * is how a continuous ingestion pipeline keeps benchmark contamination
+    * out at the door instead of sweeping for it in daily batches; the
+    * batch twin is q56's `is_clean` (StreamingSpec pins agreement).
+    *
+    * `evalGrams` must be a bounded static frame (eval suites are small by
+    * construction — the same precondition as q56's broadcast); the
+    * gram-set row is built once per micro-batch from the static plan.
+    */
+  def decontaminationFlag(docs: DataFrame, evalGrams: DataFrame,
+                          n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val evset = evalGrams.agg(collect_set(col("gram")).as("_ev"))
+      .withColumn("_k", lit(1))
+    docs
+      .select(col("doc_id"),
+        column(graft.dedup.NGramArray(expression(col("text")), n)).as("_g"))
+      .withColumn("_k", lit(1))
+      .join(broadcast(evset), Seq("_k"))
+      .select(col("doc_id"),
+        (!arrays_overlap(col("_g"), col("_ev"))).as("is_clean"))
+  }
 }

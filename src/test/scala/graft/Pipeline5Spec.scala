@@ -141,6 +141,37 @@ class Pipeline5Spec extends AnyFunSuite {
     assert(sim < 1.0)
   }
 
+  // ------------------------------------------------------------ quantize
+
+  test("QuantizeInt8 reconstructs within half a step; edge contracts hold") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import graft.sim.QuantizeInt8
+    def q(vs: Seq[Float]) = Seq(Tuple1(vs)).toDF("v")
+      .select(column(QuantizeInt8(expression(col("v")))).as("q"))
+      .select("q.v_min", "q.v_max", "q.max_abs_err", "q.sum_sq_err",
+        "q.codes").head()
+
+    // exact endpoints: min -> 0, max -> 255, error bounded by scale/2
+    val r = q(Seq(-1.0f, 0.0f, 1.0f))
+    assert(r.getDouble(0) == -1.0 && r.getDouble(1) == 1.0)
+    assert(r.getSeq[Int](4).head == 0 && r.getSeq[Int](4).last == 255)
+    val scale = 2.0 / 255.0
+    assert(r.getDouble(2) <= scale / 2 + 1e-12)
+    // constant vector: scale 0, all codes 0, exact reconstruction
+    val c = q(Seq(3.5f, 3.5f))
+    assert(c.getSeq[Int](4) == Seq(0, 0))
+    assert(c.getDouble(2) == 0.0 && c.getDouble(3) == 0.0)
+    // empty vector: null metrics, empty codes
+    val e = q(Seq.empty)
+    assert(e.isNullAt(0) && e.isNullAt(2))
+    assert(e.getSeq[Int](4).isEmpty)
+    // null element nulls the struct
+    val withNull = Seq(Tuple1(Seq(Some(1.0f), None)))
+      .toDF("v")
+      .select(column(QuantizeInt8(expression(col("v")))).as("q")).head()
+    assert(withNull.isNullAt(0))
+  }
+
   test("DotCosine still rejects non-floating arrays at analysis time") {
     val bad = Seq((Seq(1, 2), Seq(1, 2))).toDF("a", "b")
     val e = intercept[Exception] {

@@ -185,6 +185,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "q70 must merge doc-level frames on equi-keys only")
   }
 
+  test("int8 quantization is one scan-local pass") {
+    val p = planString("q71_quantize_int8")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "q71 must scan once")
+    assert(!p.contains("Join"), "q71 must not join")
+    assert(p.contains("quantize_int8"),
+      "q71 must run the native quantization expression")
+  }
+
   test("leakage-safe split builds its edges from equi-joins only") {
     val p = planString("q69_leakage_safe_split")
     assert(!p.contains("BroadcastNestedLoopJoin") &&

@@ -141,4 +141,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.exceptAll(want).count() == 0)
     } finally q.stop()
   }
+
+  test("stream-static decontamination flag agrees with batch q56") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val dir = Files.createTempDirectory("docs_decon")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // static eval gram set: the q56 holdout (every 10th doc)
+    val batchDocs = spark.read.parquet(s"$dir/part-0.parquet")
+    val evalGrams = batchDocs.filter(col("doc_id") % 10 === 0)
+      .select(explode(column(graft.dedup.NGramArray(
+        expression(col("text")), 8))).as("gram")).distinct()
+    val stream = EventStreams.decontaminationFlag(
+      EventStreams.readDocuments(spark, dir.toString), evalGrams)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("decon").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("decon")
+        .filter(col("doc_id") % 10 =!= 0)
+      // batch q56 ground truth on the same files
+      val want = SparkEntry.queries("q56_decontaminate")(
+        spark, "/root/testdata/sf0.001").select("doc_id", "is_clean")
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0,
+        "stream-static flags must equal the batch decontamination pass")
+      // both outcomes must occur, or the pin is vacuous
+      assert(got.filter(col("is_clean")).count() > 0)
+      assert(got.filter(!col("is_clean")).count() > 0)
+    } finally q.stop()
+  }
 }
