@@ -428,6 +428,103 @@ object Pipeline5 {
     FROM c ORDER BY vec_id"""
   }
 
+  // ------------------------------------------------------------------- q72
+  // Quantized retrieval with exact re-rank — how a 100 TB embedding store
+  // actually serves ANN: stage 1 scans the int8 CODES (the 4:1-compressed
+  // hot tier, reconstructed on the fly) for approx top-20 per query via
+  // the bounded TopKByScore aggregate; stage 2 re-ranks only those
+  // survivors against the full-precision floats (the cold tier — at scale
+  // a point-lookup join, here 20 rows per query). Approx and exact sims
+  // both round to 6 with (sim desc, id) total-order ties, so the stage
+  // boundary is engine-unambiguous.
+  private val RerankFrom = 20
+  private val RerankTo = 10
+
+  private val q72: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val corpus = emb
+      .select(col("vec_id"),
+        column(graft.sim.QuantizeInt8(expression(col("embedding"))))
+          .as("_q"))
+      .select(col("vec_id"), col("_q.v_min").as("_mn"),
+        ((col("_q.v_max") - col("_q.v_min")) / 255.0).as("_sc"),
+        col("_q.codes").as("_codes"))
+      .withColumn("_approx", transform(col("_codes"),
+        c => col("_mn") + c.cast("double") * col("_sc")))
+      .select(col("vec_id"), col("_approx"))
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val top = Similarity.topK(qs, corpus, RerankFrom,
+      cVec = "_approx")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("sim_exact"), col("vec_id"))
+    top.select(col("q_id"), col("vec_id"))
+      .join(broadcast(qs), Seq("q_id"))
+      .join(emb, Seq("vec_id"))
+      .withColumn("sim_exact",
+        round(Similarity.cosine(col("q_vec"), col("embedding")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= RerankTo)
+      .select(col("q_id"), col("rnk").cast("int").as("rnk"),
+        col("vec_id"), col("sim_exact"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private lazy val q72Sql = {
+    def cosSql(a: String, b: String) =
+      s"""round(list_sum(list_transform(generate_series(1, 64),
+            i -> CAST($a[i] AS DOUBLE) * $b[i]))
+          / (sqrt(list_sum(list_transform($a,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+           * sqrt(list_sum(list_transform($b, v -> v * v)))), 6)"""
+    s"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    r AS (
+      SELECT vec_id, embedding,
+             list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+               AS mn,
+             list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+               AS mx
+      FROM e),
+    s AS (SELECT *, (mx - mn) / 255.0 AS sc FROM r),
+    ap AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               mn + (CASE WHEN sc = 0 THEN 0
+                 ELSE CAST(least(greatest(
+                   floor((CAST(x AS DOUBLE) - mn) / sc + 0.5), 0), 255)
+                   AS INTEGER) END) * sc) AS approx
+      FROM s),
+    qs AS (SELECT vec_id AS q_id, embedding AS q_vec
+           FROM embeddings WHERE vec_id % 50 = 0),
+    sim1 AS (
+      SELECT qs.q_id, ap.vec_id,
+             ${cosSql("qs.q_vec", "ap.approx")} AS sim
+      FROM qs JOIN ap ON ap.vec_id <> qs.q_id),
+    r1 AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY sim DESC, vec_id) AS rk
+      FROM sim1 WHERE sim IS NOT NULL),
+    surv AS (SELECT q_id, vec_id FROM r1 WHERE rk <= $RerankFrom),
+    ec AS (SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb_d
+           FROM e),
+    sim2 AS (
+      SELECT surv.q_id, surv.vec_id,
+             ${cosSql("q.q_vec", "c.emb_d")} AS sim_exact
+      FROM surv
+        JOIN qs q ON q.q_id = surv.q_id
+        JOIN ec c ON c.vec_id = surv.vec_id),
+    r2 AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY sim_exact DESC, vec_id) AS INTEGER) AS rnk
+      FROM sim2)
+    SELECT q_id, rnk, vec_id, sim_exact
+    FROM r2 WHERE rnk <= $RerankTo ORDER BY q_id, rnk"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q64_token_budget_mix" -> q64,
     "q65_shard_manifest" -> q65,
@@ -436,7 +533,8 @@ object Pipeline5 {
     "q68_centroid_outlier" -> q68,
     "q69_leakage_safe_split" -> q69,
     "q70_curation_decision" -> q70,
-    "q71_quantize_int8" -> q71)
+    "q71_quantize_int8" -> q71,
+    "q72_quantized_rerank" -> q72)
 
   val oracleSql: Map[String, String] = Map(
     "q64_token_budget_mix" -> q64Sql,
@@ -446,5 +544,6 @@ object Pipeline5 {
     "q68_centroid_outlier" -> q68Sql,
     "q69_leakage_safe_split" -> q69Sql,
     "q70_curation_decision" -> q70Sql,
-    "q71_quantize_int8" -> q71Sql)
+    "q71_quantize_int8" -> q71Sql,
+    "q72_quantized_rerank" -> q72Sql)
 }

@@ -172,6 +172,24 @@ class Pipeline5Spec extends AnyFunSuite {
     assert(withNull.isNullAt(0))
   }
 
+  test("quantized rerank recovers the exact float top-10 almost everywhere") {
+    val d = "/root/testdata/sf0.01"
+    val spark2 = spark
+    import org.apache.spark.sql.functions.col
+    val emb = spark2.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.topK(qs, emb, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("q72_quantized_rerank")(spark2, d)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // int8 over 64 dims loses little: the 20->10 rerank should recover
+    // nearly all of the true neighbors
+    assert(recall >= 0.9, s"recall@10 through int8 codes was $recall")
+  }
+
   test("DotCosine still rejects non-floating arrays at analysis time") {
     val bad = Seq((Seq(1, 2), Seq(1, 2))).toDF("a", "b")
     val e = intercept[Exception] {

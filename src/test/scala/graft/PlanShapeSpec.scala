@@ -185,6 +185,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "q70 must merge doc-level frames on equi-keys only")
   }
 
+  test("quantized rerank ranks codes via the bounded aggregate") {
+    val p = planString("q72_quantized_rerank")
+    assert(p.contains("quantize_int8"),
+      "stage 1 must scan reconstructed int8 codes")
+    assert(p.contains("topk_by_score"),
+      "stage 1 must rank via TopKByScore, not a per-query window funnel")
+  }
+
   test("int8 quantization is one scan-local pass") {
     val p = planString("q71_quantize_int8")
     assert("Scan parquet".r.findAllIn(p).size == 1, "q71 must scan once")
