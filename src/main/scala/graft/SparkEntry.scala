@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.Pipeline2.queries ++
       graft.queries.Pipeline3.queries ++
       graft.queries.Pipeline4.queries ++
-      graft.queries.Pipeline5.queries
+      graft.queries.Pipeline5.queries ++
+      graft.queries.Pipeline6.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.Pipeline2.oracleSql ++
       graft.queries.Pipeline3.oracleSql ++
       graft.queries.Pipeline4.oracleSql ++
-      graft.queries.Pipeline5.oracleSql
+      graft.queries.Pipeline5.oracleSql ++
+      graft.queries.Pipeline6.oracleSql
 }

@@ -140,6 +140,31 @@ private[queries] object OracleSql {
              CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(string_split_regex(trim(text), '\s+')) END AS nws"""
 
+  /** Per-language stopword/CJK count columns (`en de es fr zh`) as a
+    * select-list fragment over `documents`' `text` — the SQL mirror of
+    * the TextStats language scores. Shared by q37/q48/q75 with
+    * [[langCaseSql]].
+    */
+  lazy val langCountsSql: String = {
+    import graft.text.TextOps
+    def cnt(pat: String, src: String = "lower(text)") =
+      s"len(regexp_extract_all($src, '$pat'))"
+    s"""${cnt(TextOps.EnPat)} AS en, ${cnt(TextOps.DePat)} AS de,
+             ${cnt(TextOps.EsPat)} AS es, ${cnt(TextOps.FrPat)} AS fr,
+             ${cnt(TextOps.CjkPat, "text")} AS zh"""
+  }
+
+  /** The lang-ID precedence cascade over [[langCountsSql]]'s columns —
+    * the SQL mirror of TextOps.langId.
+    */
+  val langCaseSql: String =
+    """CASE WHEN zh > 0 THEN 'zh'
+                WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
+                WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+                WHEN fr >= de AND fr > 0 THEN 'fr'
+                WHEN de > 0 THEN 'de'
+                ELSE 'und' END"""
+
   /** Rounded word-3-gram Jaccard over gram lists `$a` and `$b` — the SQL
     * mirror of DedupOps.jaccardOfTexts (round 6).
     */

@@ -175,28 +175,13 @@ object Pipeline {
         TextOps.langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
-  private lazy val q37Sql = {
-    def cnt(pat: String, src: String = "lower(text)") =
-      s"len(regexp_extract_all($src, '$pat'))"
-    val en = cnt(TextOps.EnPat)
-    val de = cnt(TextOps.DePat)
-    val es = cnt(TextOps.EsPat)
-    val fr = cnt(TextOps.FrPat)
-    val zh = cnt(TextOps.CjkPat, "text")
-    s"""
+  private lazy val q37Sql = s"""
     WITH sc AS (
-      SELECT doc_id, lang, $en AS en, $de AS de, $es AS es, $fr AS fr,
-             $zh AS zh
+      SELECT doc_id, lang, ${OracleSql.langCountsSql}
       FROM documents)
     SELECT doc_id, lang,
-           CASE WHEN zh > 0 THEN 'zh'
-                WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
-                WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
-                WHEN fr >= de AND fr > 0 THEN 'fr'
-                WHEN de > 0 THEN 'de'
-                ELSE 'und' END AS lang_pred
+           ${OracleSql.langCaseSql} AS lang_pred
     FROM sc ORDER BY doc_id"""
-  }
 
   // ------------------------------------------------------------------- q38
   private val q38: Q = (s, d) =>

@@ -170,24 +170,15 @@ object Pipeline2 {
   }
 
   private lazy val q48Sql = {
-    import graft.text.TextOps
-    def cnt(pat: String, src: String = "lower(text)") =
-      s"len(regexp_extract_all($src, '$pat'))"
     val bpeFree = s"""
     WITH sc AS (
       SELECT doc_id, text,
-             ${cnt(TextOps.EnPat)} AS en, ${cnt(TextOps.DePat)} AS de,
-             ${cnt(TextOps.EsPat)} AS es, ${cnt(TextOps.FrPat)} AS fr,
-             ${cnt(TextOps.CjkPat, "text")} AS zh,
+             ${OracleSql.langCountsSql},
              ${OracleSql.qualityScColsSql}
       FROM documents),
     feats AS (
       SELECT doc_id,
-             CASE WHEN zh > 0 THEN 'zh'
-                  WHEN en >= es AND en >= fr AND en >= de AND en > 0 THEN 'en'
-                  WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
-                  WHEN fr >= de AND fr > 0 THEN 'fr'
-                  WHEN de > 0 THEN 'de' ELSE 'und' END AS lang_pred,
+             ${OracleSql.langCaseSql} AS lang_pred,
              ${OracleSql.qualitySql} AS quality,
              CAST(nws AS BIGINT) AS n_tokens,
              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp

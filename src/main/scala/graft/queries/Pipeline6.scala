@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Training-data curation batch six: blocklist tagging, windowed word
+  * co-occurrence statistics, and the stage-by-stage curation funnel.
+  */
+object Pipeline6 {
+
+  type Q = (SparkSession, String) => DataFrame
+  import Tables._
+
+  // ------------------------------------------------------------------- q73
+  // Blocklist tagging (the Dolma/C4-style wordlist stage): per document,
+  // how many word INSTANCES hit the blocked-term set, as exact token
+  // membership over the normalized split — NOT a regex (Java vs RE2 word
+  // boundaries disagree on non-ASCII adjacency; token membership is
+  // engine-exact). Scan-local lambda over the word array: no explode, no
+  // shuffle, the filter runs at scan speed next to the other per-doc
+  // signals.
+  private val Blocklist = Seq("spark", "hash", "merge")
+
+  private val q73: Q = (s, d) => {
+    val words = split(TextOps.normalize(col("text")), " ")
+    val blocked = filter(words,
+      w => Blocklist.map(t => w === t).reduce(_ || _))
+    documents(s, d).select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        size(blocked).cast("long").as("n_blocked"))
+      .withColumn("blocked_ratio",
+        round(col("n_blocked").cast("double") / col("n_words"), 6))
+      .withColumn("is_flagged", col("n_blocked") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q73Sql = {
+    val inList = Blocklist.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH nd AS (
+      SELECT doc_id, string_split(${OracleSql.normSql}, ' ') AS w
+      FROM documents)
+    SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+           CAST(len(list_filter(w, x -> x IN ($inList))) AS BIGINT)
+             AS n_blocked,
+           round(CAST(len(list_filter(w, x -> x IN ($inList))) AS DOUBLE)
+             / len(w), 6) AS blocked_ratio,
+           len(list_filter(w, x -> x IN ($inList))) > 0 AS is_flagged
+    FROM nd ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------------- q74
+  // Windowed co-occurrence counts (the word2vec/PMI preparation scan):
+  // unordered word pairs within distance <= 2, top 30 by (count desc,
+  // pair) — a deterministic total order, so the LIMIT boundary is
+  // unambiguous. Pair construction is scan-local (a lambda over index
+  // sequences — ~2 pairs per word, no self-join on position, which would
+  // shuffle the corpus twice); the count is one map-side-combinable
+  // aggregation and the bounded top-30 is TakeOrdered, the q53 shape.
+  private val CoocTopK = 30
+
+  private val q74: Q = (s, d) => {
+    val w = split(TextOps.normalize(col("text")), " ")
+    def wordAt(i: org.apache.spark.sql.Column) = element_at(w, (i + 1).cast("int"))
+    def pairAt(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+      when(wordAt(i) <= wordAt(j), concat_ws(" ", wordAt(i), wordAt(j)))
+        .otherwise(concat_ws(" ", wordAt(j), wordAt(i)))
+    val idx = sequence(lit(0), size(w) - 2)
+    val pairs = flatten(transform(idx, i =>
+      transform(sequence(i + 1, least(i + 2, size(w) - 1)),
+        j => pairAt(i, j))))
+    documents(s, d)
+      .filter(size(w) >= 2)
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("pair"))
+      .limit(CoocTopK)
+  }
+
+  private lazy val q74Sql = s"""
+    WITH nd AS (
+      SELECT doc_id, string_split(${OracleSql.normSql}, ' ') AS w
+      FROM documents),
+    p AS (
+      SELECT CASE WHEN w[i] <= w[i+1] THEN w[i] || ' ' || w[i+1]
+                  ELSE w[i+1] || ' ' || w[i] END AS pair
+      FROM nd, unnest(generate_series(1, len(w) - 1)) t(i)
+      WHERE len(w) >= 2
+      UNION ALL
+      SELECT CASE WHEN w[i] <= w[i+2] THEN w[i] || ' ' || w[i+2]
+                  ELSE w[i+2] || ' ' || w[i] END AS pair
+      FROM nd, unnest(generate_series(1, len(w) - 2)) t(i)
+      WHERE len(w) >= 3)
+    SELECT pair, count(*) AS cnt FROM p
+    GROUP BY pair ORDER BY cnt DESC, pair LIMIT $CoocTopK"""
+
+  // ------------------------------------------------------------------- q75
+  // Curation funnel — the observability artifact every pipeline run
+  // publishes: document counts surviving each successive stage (raw →
+  // exact-dedup → language → quality → token bounds), as (stage_idx,
+  // stage, n_docs). Each stage is a cumulative conjunction, so the
+  // counts are monotonically non-increasing; all five come from ONE scan
+  // via conditional aggregation (a union of five filtered counts would
+  // scan five times) — only the dedup stage needs the fingerprint
+  // distinct.
+  private val FunnelQuality = 0.91
+  private val FunnelTokMin = 25L
+  private val FunnelTokMax = 90L
+
+  private val q75: Q = (s, d) => {
+    val feats = documents(s, d).select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp"),
+      TextOps.langId(col("text")).as("lang_pred"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      TextOps.tokenCountWs(col("text")).as("n_tokens"))
+    // survivor of exact dedup: deterministic keep-min-doc_id per fp
+    val kept = feats.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val staged = feats
+      .join(kept, feats("doc_id") === kept("keep_id"), "left")
+      .withColumn("s1", col("keep_id").isNotNull)
+      .withColumn("s2", col("s1") && col("lang_pred") === "en")
+      .withColumn("s3", col("s2") && col("quality") >= FunnelQuality)
+      .withColumn("s4", col("s3") && col("n_tokens").between(
+        FunnelTokMin, FunnelTokMax))
+    staged.agg(
+        count(lit(1)).as("c0"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("c2"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("c3"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("c4"))
+      .select(explode(array(
+        struct(lit(0).as("stage_idx"), lit("raw").as("stage"),
+          col("c0").as("n_docs")),
+        struct(lit(1).as("stage_idx"), lit("exact_dedup").as("stage"),
+          col("c1").as("n_docs")),
+        struct(lit(2).as("stage_idx"), lit("language").as("stage"),
+          col("c2").as("n_docs")),
+        struct(lit(3).as("stage_idx"), lit("quality").as("stage"),
+          col("c3").as("n_docs")),
+        struct(lit(4).as("stage_idx"), lit("token_bounds").as("stage"),
+          col("c4").as("n_docs")))).as("r"))
+      .select(col("r.stage_idx"), col("r.stage"), col("r.n_docs"))
+      .orderBy(col("stage_idx"))
+  }
+
+  private lazy val q75Sql = s"""
+    WITH sc AS (
+      SELECT doc_id, md5(${OracleSql.normSql}) AS fp,
+             ${OracleSql.qualityScColsSql}
+      FROM documents),
+    st AS (
+      SELECT doc_id, fp, ${OracleSql.qualitySql} AS quality,
+             CAST(nws AS BIGINT) AS n_tokens
+      FROM sc),
+    lc AS (
+      SELECT doc_id, ${OracleSql.langCountsSql} FROM documents),
+    li AS (
+      SELECT doc_id, ${OracleSql.langCaseSql} AS lang_pred FROM lc),
+    kept AS (SELECT fp, min(doc_id) AS keep_id FROM st GROUP BY fp),
+    staged AS (
+      SELECT st.doc_id,
+             kept.keep_id IS NOT NULL AS s1,
+             kept.keep_id IS NOT NULL AND li.lang_pred = 'en' AS s2,
+             kept.keep_id IS NOT NULL AND li.lang_pred = 'en'
+               AND st.quality >= $FunnelQuality AS s3,
+             kept.keep_id IS NOT NULL AND li.lang_pred = 'en'
+               AND st.quality >= $FunnelQuality
+               AND st.n_tokens BETWEEN $FunnelTokMin AND $FunnelTokMax AS s4
+      FROM st
+        JOIN li ON li.doc_id = st.doc_id
+        LEFT JOIN kept ON st.doc_id = kept.keep_id),
+    agg AS (
+      SELECT count(*) AS c0,
+             sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS c2,
+             sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS c3,
+             sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS c4
+      FROM staged)
+    SELECT 0 AS stage_idx, 'raw' AS stage, CAST(c0 AS BIGINT) AS n_docs
+      FROM agg
+    UNION ALL SELECT 1, 'exact_dedup', CAST(c1 AS BIGINT) FROM agg
+    UNION ALL SELECT 2, 'language', CAST(c2 AS BIGINT) FROM agg
+    UNION ALL SELECT 3, 'quality', CAST(c3 AS BIGINT) FROM agg
+    UNION ALL SELECT 4, 'token_bounds', CAST(c4 AS BIGINT) FROM agg
+    ORDER BY stage_idx"""
+
+  val queries: Map[String, Q] = Map(
+    "q73_blocklist_tag" -> q73,
+    "q74_cooccurrence" -> q74,
+    "q75_curation_funnel" -> q75)
+
+  val oracleSql: Map[String, String] = Map(
+    "q73_blocklist_tag" -> q73Sql,
+    "q74_cooccurrence" -> q74Sql,
+    "q75_curation_funnel" -> q75Sql)
+}

@@ -208,6 +208,30 @@ class PlanShapeSpec extends AnyFunSuite {
       "q69's cluster edges must come from sketch equi-joins")
   }
 
+  test("blocklist tagging stays scan-local") {
+    val p = planString("q73_blocklist_tag")
+    assert(!p.contains("Join"), "q73 must not join")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "q73 must scan once")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "q73 is per-row membership; only the output sort may exchange")
+  }
+
+  test("co-occurrence counts bound their output without a global sort") {
+    val p = planString("q74_cooccurrence")
+    assert(p.contains("TakeOrderedAndProject"),
+      "q74's top-30 must be TakeOrdered, not sort+limit stages")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "q74 must scan once")
+    assert(!p.contains("Join"), "q74 builds pairs scan-locally, no self-join")
+  }
+
+  test("curation funnel aggregates every stage from conditional counts") {
+    val p = planString("q75_curation_funnel")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      "q75 is the feature scan + the dedup-survivor self-join, nothing more")
+  }
+
   test("curation pipeline is one scan, one shuffle, no join") {
     val p = planString("q48_curation_pipeline")
     assert("Scan parquet".r.findAllIn(p).size == 1,
