@@ -186,13 +186,111 @@ object Pipeline6 {
     UNION ALL SELECT 4, 'token_bounds', CAST(c4 AS BIGINT) FROM agg
     ORDER BY stage_idx"""
 
+  // ------------------------------------------------------------------- q76
+  // Incremental dedup — the shape a DAILY crawl update actually runs:
+  // dedup the small NEW batch against the big EXISTING corpus, never
+  // re-clustering the corpus against itself. Exact layer: fp equi-join
+  // (broadcast of the batch fingerprints). Near layer: the batch's LSH
+  // band keys broadcast against the corpus band stream, so the corpus is
+  // probed in its scan — candidate pairs are (batch × corpus) only,
+  // verified with the exact 3-gram Jaccard. Per new doc: exact-dup flag,
+  // verified near-match count, the smallest matching corpus id, and the
+  // is_new admission verdict.
+  private val IncrThreshold = 0.5
+  private val IncrBatchMod = 5 // doc_id % 5 = 4 -> the "new batch"
+
+  private val q76: Q = (s, d) => {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import graft.dedup.{DedupOps, NGramArray, SortedArraysJaccard}
+    val docs = documents(s, d).select(col("doc_id"), col("text"),
+      TextOps.fingerprint(col("text")).as("fp"),
+      column(NGramArray(expression(col("text")), 3)).as("_g"))
+    val sig = DedupOps.withMinhashSignature(
+      docs.select(col("doc_id"), col("text")), "text", 5, 8).drop("text")
+    val sigRef = (0 until 8).map(i => col(s"m$i"))
+    val bands = (0 until 4).map(b => DedupOps.bandKey(sigRef, b, 2))
+    def bandRows(df: DataFrame) = df
+      .withColumn("band", explode(array(bands: _*)))
+      .filter(col("band").isNotNull)
+      .select(col("doc_id"), col("band"))
+    val isBatch = col("doc_id") % IncrBatchMod === IncrBatchMod - 1
+    val batch = docs.filter(isBatch)
+    val corpusBands = bandRows(sig.filter(!isBatch))
+      .select(col("doc_id").as("corpus_id"), col("band"))
+    val batchBands = bandRows(sig.filter(isBatch))
+      .select(col("doc_id").as("batch_id"), col("band"))
+    val cand = corpusBands.join(broadcast(batchBands), Seq("band"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val verified = cand
+      .join(docs.select(col("doc_id").as("batch_id"), col("_g").as("_gb")),
+        Seq("batch_id"))
+      .join(docs.select(col("doc_id").as("corpus_id"), col("_g").as("_gc")),
+        Seq("corpus_id"))
+      .filter(round(column(SortedArraysJaccard(
+        expression(col("_gb")), expression(col("_gc")))), 6)
+        >= IncrThreshold)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_near"), min(col("corpus_id")).as("nearest_id"))
+    val exactFps = docs.filter(!isBatch)
+      .select(col("fp")).distinct().withColumn("_dup", lit(1))
+    batch.select(col("doc_id"), col("fp"))
+      .join(broadcast(exactFps), Seq("fp"), "left")
+      .join(verified.withColumnRenamed("batch_id", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("_dup").isNotNull.as("is_exact_dup"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("nearest_id"),
+        (col("_dup").isNull && col("n_near").isNull).as("is_new"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q76Sql = s"""
+    WITH nd AS (SELECT doc_id, ${OracleSql.normSql} AS n FROM documents),
+    sig AS (SELECT doc_id, ${OracleSql.minhashSigSelect(8, 5)} FROM nd),
+    bands AS (
+      ${OracleSql.minhashBandsSql(4)}),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      FROM bands b JOIN bands c ON b.band = c.band
+      WHERE b.doc_id % $IncrBatchMod = ${IncrBatchMod - 1}
+        AND c.doc_id % $IncrBatchMod <> ${IncrBatchMod - 1}),
+    wt AS (SELECT doc_id, string_split(${OracleSql.normSql}, ' ') AS w
+           FROM documents),
+    g AS (SELECT doc_id, ${OracleSql.grams3Sql} AS gr FROM wt),
+    verified AS (
+      SELECT batch_id, CAST(count(*) AS BIGINT) AS n_near,
+             min(corpus_id) AS nearest_id
+      FROM cand
+        JOIN g gb ON gb.doc_id = batch_id
+        JOIN g gc ON gc.doc_id = corpus_id
+      WHERE ${OracleSql.jaccard3Sql("gb.gr", "gc.gr")} >= $IncrThreshold
+      GROUP BY batch_id),
+    fps AS (
+      SELECT DISTINCT md5(${OracleSql.normSql}) AS fp FROM documents
+      WHERE doc_id % $IncrBatchMod <> ${IncrBatchMod - 1}),
+    batch AS (
+      SELECT doc_id, md5(${OracleSql.normSql}) AS fp FROM documents
+      WHERE doc_id % $IncrBatchMod = ${IncrBatchMod - 1})
+    SELECT b.doc_id,
+           fps.fp IS NOT NULL AS is_exact_dup,
+           coalesce(v.n_near, 0) AS n_near,
+           v.nearest_id,
+           fps.fp IS NULL AND v.n_near IS NULL AS is_new
+    FROM batch b
+      LEFT JOIN fps ON b.fp = fps.fp
+      LEFT JOIN verified v ON v.batch_id = b.doc_id
+    ORDER BY b.doc_id"""
+
   val queries: Map[String, Q] = Map(
     "q73_blocklist_tag" -> q73,
     "q74_cooccurrence" -> q74,
-    "q75_curation_funnel" -> q75)
+    "q75_curation_funnel" -> q75,
+    "q76_incremental_dedup" -> q76)
 
   val oracleSql: Map[String, String] = Map(
     "q73_blocklist_tag" -> q73Sql,
     "q74_cooccurrence" -> q74Sql,
-    "q75_curation_funnel" -> q75Sql)
+    "q75_curation_funnel" -> q75Sql,
+    "q76_incremental_dedup" -> q76Sql)
 }

@@ -232,6 +232,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "q75 is the feature scan + the dedup-survivor self-join, nothing more")
   }
 
+  test("incremental dedup probes the corpus with broadcast batch bands") {
+    val p = planString("q76_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"),
+      "q76's batch band keys and fingerprints must broadcast")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "q76 candidates come from band equi-joins only")
+  }
+
   test("curation pipeline is one scan, one shuffle, no join") {
     val p = planString("q48_curation_pipeline")
     assert("Scan parquet".r.findAllIn(p).size == 1,
