@@ -23,10 +23,17 @@ object Bench {
     Verify.silenceIntendedGlobalWindowWarn()
 
     // absorb JVM/codegen/session warmup so per-query numbers reflect
-    // steady-state execution rather than first-query startup
-    try SparkEntry.queries.head._2(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => }
+    // steady-state execution rather than first-query startup. The
+    // clustering lineage (MinHash → LSH → verify → components) generates
+    // by far the most whole-stage-codegen classes; which earlier query
+    // happened to compile them decided whether q50-family queries
+    // measured 4 s or 40 s run-to-run, so warm that path explicitly.
+    val warmups = SparkEntry.queries.take(1) ++
+      SparkEntry.queries.get("q50_neardup_clusters").map("w" -> _)
+    warmups.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
 
     // optional comma-separated name-prefix filter for targeted local runs
     // (e.g. SPARK_GRAFT_ONLY=q50,q32); absent = full suite
