@@ -8,10 +8,10 @@ import org.apache.spark.sql.functions._
   * The production problem: probing every corpus n-gram against the eval
   * gram SET (q56's broadcast join) ships the full eval vocabulary to
   * every executor. At large eval suites the cheaper first pass is a
-  * Bloom BITSET — here `M` = 2^16 bits filled by `K` = 3 hash positions
-  * per gram, so the whole filter is 8 KiB regardless of eval size. The
-  * price is false positives, which a second exact pass resolves on the
-  * (tiny) candidate subset only.
+  * Bloom BITSET — here `M` = 200003 bits filled by `K` = 3 hash
+  * positions per gram, so the whole filter is ~25 KiB regardless of
+  * eval size. The price is false positives, which a second exact pass
+  * resolves on the (tiny) candidate subset only.
   *
   * Spark ships `DataFrameStatFunctions.bloomFilter`, but its hash is
   * engine-private — an oracle in another engine could never reproduce

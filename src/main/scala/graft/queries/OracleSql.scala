@@ -233,6 +233,89 @@ private[queries] object OracleSql {
         WHERE lbl.l < s.a),
     cc AS (SELECT id AS doc_id, min(l) AS cluster_id FROM lbl GROUP BY id)"""
 
+  /** The Bloom-prescan CTE chain (normalized words → distinct n-grams →
+    * eval gram set → bit positions → corpus (doc, gram) probe rows with
+    * their K positions), WITHOUT the leading `WITH` — the shared prefix
+    * of q67 and q70. Produces CTEs `nd g ev bits cg pr`; consumers add
+    * their own join/aggregate over `pr` vs `bits`/`ev`.
+    */
+  def bloomPrescanCtes(n: Int, evalMod: Int): String = {
+    import graft.dedup.Bloom
+    s"""nd AS (
+      SELECT doc_id, string_split($normSql, ' ') AS w
+      FROM documents),
+    g AS (SELECT doc_id, ${gramsSql(n)} AS gr FROM nd),
+    ev AS (SELECT DISTINCT unnest(gr) AS gram FROM g
+           WHERE doc_id % $evalMod = 0),
+    bits AS (
+      SELECT DISTINCT unnest(${Bloom.positionsArraySql("gram")}) AS pos
+      FROM ev),
+    cg AS (SELECT doc_id, unnest(gr) AS gram FROM g
+           WHERE doc_id % $evalMod <> 0),
+    pr AS (SELECT doc_id, gram,
+             ${(0 until Bloom.K).map(j =>
+               s"${Bloom.positionSql("gram", j)} AS p$j").mkString(", ")}
+           FROM cg)"""
+  }
+
+  /** The K `LEFT JOIN bits bJ ON pr.pJ = bJ.pos` clauses over
+    * [[bloomPrescanCtes]]'s `pr`, and the all-positions-present predicate.
+    */
+  def bloomJoinsSql: String = (0 until graft.dedup.Bloom.K)
+    .map(j => s"LEFT JOIN bits b$j ON pr.p$j = b$j.pos")
+    .mkString("\n        ")
+
+  def bloomHitSql: String = (0 until graft.dedup.Bloom.K)
+    .map(j => s"b$j.pos IS NOT NULL").mkString(" AND ")
+
+  /** Rounded 64-dim cosine between list expressions `a` (cast per
+    * element) and `b` (already double) — the SQL mirror of DotCosine's
+    * sequential fold. Shared by q68/q70/q72.
+    */
+  def cos64Sql(a: String, b: String): String =
+    s"""round(list_sum(list_transform(generate_series(1, 64),
+          i -> CAST($a[i] AS DOUBLE) * $b[i]))
+        / (sqrt(list_sum(list_transform($a,
+             v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+         * sqrt(list_sum(list_transform($b, v -> v * v)))), 6)"""
+
+  /** Per-label centroid CTE chain over `embeddings` (element-wise mean
+    * rounded to 6) — the SQL mirror of Similarity.groupCentroids, WITHOUT
+    * the leading `WITH`. Produces `e x c`; shared by q68 and q70.
+    */
+  val centroidCtes: String = """e AS (
+      SELECT vec_id, label, embedding FROM embeddings),
+    x AS (
+      SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+      FROM e, generate_series(1, 64) t(i) GROUP BY label, i),
+    c AS (SELECT label, list(m ORDER BY i) AS centroid FROM x GROUP BY label)"""
+
+  /** The int8 code of element expression `x` given CTE columns `mn`/`sc`
+    * — the SQL mirror of QuantizeInt8's floor(y+0.5) clamp. Shared by
+    * q71 and q72.
+    */
+  def int8CodeSql(x: String): String = s"""(CASE WHEN sc = 0 THEN 0
+           ELSE CAST(least(greatest(
+             floor((CAST($x AS DOUBLE) - mn) / sc + 0.5), 0), 255) AS INTEGER)
+           END)"""
+
+  /** The quantization range CTE chain over `embeddings` (per-vector
+    * min/max/scale + a finiteness flag), WITHOUT the leading `WITH` —
+    * produces `e r s`; consumers derive codes via [[int8CodeSql]].
+    * Shared by q71 and q72.
+    */
+  val quantizeCtes: String = """e AS (SELECT vec_id, embedding FROM embeddings),
+    r AS (
+      SELECT vec_id, embedding,
+             list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+               AS mn,
+             list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+               AS mx,
+             len(list_filter(embedding,
+               x -> NOT isfinite(CAST(x AS DOUBLE)))) > 0 AS nonfinite
+      FROM e),
+    s AS (SELECT *, (mx - mn) / 255.0 AS sc FROM r)"""
+
   /** The `sk`/`pairs` CTE bodies mirroring Similarity.nearDupPairs over
     * `embeddings` (md5-parity hyperplane-sign sketch → Hamming ≤ 2
     * candidates → exact rounded cosine), WITHOUT the leading `WITH` so a

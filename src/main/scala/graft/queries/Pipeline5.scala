@@ -143,27 +143,13 @@ object Pipeline5 {
   }
 
   private lazy val q67Sql = s"""
-    WITH nd AS (
-      SELECT doc_id, string_split(${OracleSql.normSql}, ' ') AS w
-      FROM documents),
-    g AS (SELECT doc_id, ${OracleSql.gramsSql(DecontamN)} AS gr FROM nd),
-    ev AS (SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id % 10 = 0),
-    bits AS (
-      SELECT DISTINCT unnest(${Bloom.positionsArraySql("gram")}) AS pos
-      FROM ev),
-    cg AS (SELECT doc_id, unnest(gr) AS gram FROM g WHERE doc_id % 10 <> 0),
-    pr AS (SELECT doc_id, gram,
-             ${(0 until Bloom.K).map(j =>
-               s"${Bloom.positionSql("gram", j)} AS p$j").mkString(", ")}
-           FROM cg),
+    WITH ${OracleSql.bloomPrescanCtes(DecontamN, 10)},
     j AS (
       SELECT pr.doc_id,
-             ${(0 until Bloom.K).map(j => s"b$j.pos IS NOT NULL")
-               .mkString(" AND ")} AS bloom,
+             ${OracleSql.bloomHitSql} AS bloom,
              ev.gram IS NOT NULL AS hit
       FROM pr
-        ${(0 until Bloom.K).map(j =>
-          s"LEFT JOIN bits b$j ON pr.p$j = b$j.pos").mkString("\n        ")}
+        ${OracleSql.bloomJoinsSql}
         LEFT JOIN ev ON pr.gram = ev.gram)
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
            CAST(sum(CASE WHEN bloom THEN 1 ELSE 0 END) AS BIGINT)
@@ -198,22 +184,13 @@ object Pipeline5 {
   }
 
   private lazy val q68Sql = s"""
-    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-    x AS (
-      SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
-      FROM e, generate_series(1, 64) t(i) GROUP BY label, i),
-    c AS (SELECT label, list(m ORDER BY i) AS centroid FROM x GROUP BY label),
-    s AS (
+    WITH ${OracleSql.centroidCtes},
+    sims AS (
       SELECT e.vec_id, e.label,
-             round(list_sum(list_transform(generate_series(1, 64),
-               i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
-             / (sqrt(list_sum(list_transform(e.embedding,
-                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-              * sqrt(list_sum(list_transform(c.centroid, v -> v * v)))), 6)
-               AS sim
+             ${OracleSql.cos64Sql("e.embedding", "c.centroid")} AS sim
       FROM e JOIN c USING (label))
     SELECT vec_id, label, sim, sim < $OutlierThreshold AS is_outlier
-    FROM s ORDER BY vec_id"""
+    FROM sims ORDER BY vec_id"""
 
   // ------------------------------------------------------------------- q69
   // Leakage-safe train/eval split: a random DOC-level split leaks
@@ -315,39 +292,17 @@ object Pipeline5 {
     q AS (SELECT doc_id, lang, ${OracleSql.qualitySql} AS quality,
             CAST(nws AS BIGINT) AS n_tokens
           FROM sc),
-    nd AS (
-      SELECT doc_id, string_split(${OracleSql.normSql}, ' ') AS w
-      FROM documents),
-    g AS (SELECT doc_id, ${OracleSql.gramsSql(DecontamN)} AS gr FROM nd),
-    ev AS (SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id % 10 = 0),
-    bits AS (
-      SELECT DISTINCT unnest(${Bloom.positionsArraySql("gram")}) AS pos
-      FROM ev),
-    cg AS (SELECT doc_id, unnest(gr) AS gram FROM g WHERE doc_id % 10 <> 0),
-    pr AS (SELECT doc_id, gram,
-             ${(0 until Bloom.K).map(j =>
-               s"${Bloom.positionSql("gram", j)} AS p$j").mkString(", ")}
-           FROM cg),
+    ${OracleSql.bloomPrescanCtes(DecontamN, 10)},
     contam AS (
       SELECT pr.doc_id,
-             sum(CASE WHEN ${(0 until Bloom.K).map(j => s"b$j.pos IS NOT NULL")
-               .mkString(" AND ")} THEN 1 ELSE 0 END) AS nb
+             sum(CASE WHEN ${OracleSql.bloomHitSql} THEN 1 ELSE 0 END) AS nb
       FROM pr
-        ${(0 until Bloom.K).map(j =>
-          s"LEFT JOIN bits b$j ON pr.p$j = b$j.pos").mkString("\n        ")}
+        ${OracleSql.bloomJoinsSql}
       GROUP BY pr.doc_id),
-    e AS (SELECT vec_id, label, embedding FROM embeddings),
-    x AS (
-      SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
-      FROM e, generate_series(1, 64) t(i) GROUP BY label, i),
-    c AS (SELECT label, list(m ORDER BY i) AS centroid FROM x GROUP BY label),
+    ${OracleSql.centroidCtes},
     outl AS (
       SELECT e.vec_id AS doc_id,
-             round(list_sum(list_transform(generate_series(1, 64),
-               i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
-             / (sqrt(list_sum(list_transform(e.embedding,
-                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-              * sqrt(list_sum(list_transform(c.centroid, v -> v * v)))), 6)
+             ${OracleSql.cos64Sql("e.embedding", "c.centroid")}
                < $OutlierThreshold AS is_outlier
       FROM e JOIN c USING (label)),
     dec AS (
@@ -357,23 +312,19 @@ object Pipeline5 {
              coalesce(outl.is_outlier, false) AS is_outlier
       FROM q
         LEFT JOIN contam ON q.doc_id = contam.doc_id
-        LEFT JOIN outl ON q.doc_id = outl.doc_id)
-    SELECT *,
-           CASE WHEN is_holdout THEN 'holdout'
-                WHEN is_contaminated THEN 'contaminated'
-                WHEN is_outlier THEN 'embedding_outlier'
-                WHEN quality < $QualityMin THEN 'low_quality'
-                WHEN n_tokens < $TokMin OR n_tokens > $TokMax
-                  THEN 'bad_length'
-                ELSE 'keep' END AS drop_reason,
-           CASE WHEN is_holdout THEN 'holdout'
-                WHEN is_contaminated THEN 'contaminated'
-                WHEN is_outlier THEN 'embedding_outlier'
-                WHEN quality < $QualityMin THEN 'low_quality'
-                WHEN n_tokens < $TokMin OR n_tokens > $TokMax
-                  THEN 'bad_length'
-                ELSE 'keep' END = 'keep' AS keep
-    FROM dec ORDER BY doc_id"""
+        LEFT JOIN outl ON q.doc_id = outl.doc_id),
+    reasoned AS (
+      SELECT *,
+             CASE WHEN is_holdout THEN 'holdout'
+                  WHEN is_contaminated THEN 'contaminated'
+                  WHEN is_outlier THEN 'embedding_outlier'
+                  WHEN quality < $QualityMin THEN 'low_quality'
+                  WHEN n_tokens < $TokMin OR n_tokens > $TokMax
+                    THEN 'bad_length'
+                  ELSE 'keep' END AS drop_reason
+      FROM dec)
+    SELECT *, drop_reason = 'keep' AS keep
+    FROM reasoned ORDER BY doc_id"""
 
   // ------------------------------------------------------------------- q71
   // Int8 embedding quantization (the 4:1 storage pass of a 100 TB
@@ -398,22 +349,11 @@ object Pipeline5 {
       .orderBy(col("vec_id"))
 
   private lazy val q71Sql = {
-    val codeOf = (x: String) => s"""(CASE WHEN sc = 0 THEN 0
-           ELSE CAST(least(greatest(
-             floor((CAST($x AS DOUBLE) - mn) / sc + 0.5), 0), 255) AS INTEGER)
-           END)"""
+    val codeOf = OracleSql.int8CodeSql _
     s"""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings),
-    r AS (
-      SELECT vec_id, embedding,
-             list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-               AS mn,
-             list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-               AS mx
-      FROM e),
-    s AS (SELECT *, (mx - mn) / 255.0 AS sc FROM r),
+    WITH ${OracleSql.quantizeCtes},
     c AS (
-      SELECT vec_id, mn, mx,
+      SELECT vec_id, nonfinite, mn, mx,
              list_transform(embedding, x -> ${codeOf("x")}) AS codes,
              list_transform(embedding, x ->
                abs(CAST(x AS DOUBLE) - (mn + ${codeOf("x")} * sc))) AS errs,
@@ -421,10 +361,15 @@ object Pipeline5 {
                (CAST(x AS DOUBLE) - (mn + ${codeOf("x")} * sc))
                * (CAST(x AS DOUBLE) - (mn + ${codeOf("x")} * sc))) AS sqs
       FROM s)
-    SELECT vec_id, mn AS v_min, mx AS v_max,
-           list_max(errs) AS max_abs_err,
-           round(list_sum(sqs), 9) AS sse,
-           md5(array_to_string(codes, ',')) AS codes_fp
+    SELECT vec_id,
+           CASE WHEN nonfinite THEN NULL ELSE mn END AS v_min,
+           CASE WHEN nonfinite THEN NULL ELSE mx END AS v_max,
+           CASE WHEN nonfinite THEN NULL ELSE list_max(errs) END
+             AS max_abs_err,
+           CASE WHEN nonfinite THEN NULL ELSE round(list_sum(sqs), 9) END
+             AS sse,
+           CASE WHEN nonfinite THEN NULL
+                ELSE md5(array_to_string(codes, ',')) END AS codes_fp
     FROM c ORDER BY vec_id"""
   }
 
@@ -472,35 +417,19 @@ object Pipeline5 {
   }
 
   private lazy val q72Sql = {
-    def cosSql(a: String, b: String) =
-      s"""round(list_sum(list_transform(generate_series(1, 64),
-            i -> CAST($a[i] AS DOUBLE) * $b[i]))
-          / (sqrt(list_sum(list_transform($a,
-               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-           * sqrt(list_sum(list_transform($b, v -> v * v)))), 6)"""
     s"""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings),
-    r AS (
-      SELECT vec_id, embedding,
-             list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-               AS mn,
-             list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-               AS mx
-      FROM e),
-    s AS (SELECT *, (mx - mn) / 255.0 AS sc FROM r),
+    WITH ${OracleSql.quantizeCtes},
     ap AS (
       SELECT vec_id,
-             list_transform(embedding, x ->
-               mn + (CASE WHEN sc = 0 THEN 0
-                 ELSE CAST(least(greatest(
-                   floor((CAST(x AS DOUBLE) - mn) / sc + 0.5), 0), 255)
-                   AS INTEGER) END) * sc) AS approx
+             CASE WHEN nonfinite THEN NULL
+                  ELSE list_transform(embedding, x ->
+                    mn + ${OracleSql.int8CodeSql("x")} * sc) END AS approx
       FROM s),
     qs AS (SELECT vec_id AS q_id, embedding AS q_vec
            FROM embeddings WHERE vec_id % 50 = 0),
     sim1 AS (
       SELECT qs.q_id, ap.vec_id,
-             ${cosSql("qs.q_vec", "ap.approx")} AS sim
+             ${OracleSql.cos64Sql("qs.q_vec", "ap.approx")} AS sim
       FROM qs JOIN ap ON ap.vec_id <> qs.q_id),
     r1 AS (
       SELECT q_id, vec_id,
@@ -513,7 +442,7 @@ object Pipeline5 {
            FROM e),
     sim2 AS (
       SELECT surv.q_id, surv.vec_id,
-             ${cosSql("q.q_vec", "c.emb_d")} AS sim_exact
+             ${OracleSql.cos64Sql("q.q_vec", "c.emb_d")} AS sim_exact
       FROM surv
         JOIN qs q ON q.q_id = surv.q_id
         JOIN ec c ON c.vec_id = surv.vec_id),

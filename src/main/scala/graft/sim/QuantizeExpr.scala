@@ -31,8 +31,13 @@ import org.apache.spark.sql.types._
   *
   * Null contract mirrors the other vector expressions: null array → null
   * (UnaryExpression default), a null ELEMENT nulls the whole struct
-  * (a partially-quantized vector is worse than none). An EMPTY array
-  * yields nulls for the range/error fields and an empty codes array.
+  * (a partially-quantized vector is worse than none). A NON-FINITE
+  * element (NaN/Inf) also nulls the struct: comparison-based min/max
+  * would silently skip NaN and an Inf range degenerates every code to
+  * 0 with max_abs_err reading 0.0 — a "perfect" reconstruction of an
+  * infinitely wrong vector; failing to null would also diverge from the
+  * oracle's list_min/list_max NaN semantics. An EMPTY array yields
+  * nulls for the range/error fields and an empty codes array.
   */
 case class QuantizeInt8(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -64,8 +69,15 @@ case class QuantizeInt8(child: Expression)
     val m = QuantizeInt8.memo.get()
     if (m.key != null && java.util.Arrays.equals(m.key, floats))
       return m.value
+    var finite = true
+    i = 0
+    while (i < n) {
+      if (!java.lang.Float.isFinite(floats(i))) finite = false
+      i += 1
+    }
     val result =
-      if (n == 0)
+      if (!finite) null
+      else if (n == 0)
         InternalRow(null, null, null, null,
           new GenericArrayData(Array.empty[Any]))
       else {

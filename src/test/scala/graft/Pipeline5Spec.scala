@@ -170,6 +170,15 @@ class Pipeline5Spec extends AnyFunSuite {
       .toDF("v")
       .select(column(QuantizeInt8(expression(col("v")))).as("q")).head()
     assert(withNull.isNullAt(0))
+    // non-finite elements null the struct too: silently skipping NaN in
+    // the min/max scan would fake a perfect max_abs_err (and diverge
+    // from the oracle's list_min/list_max NaN semantics)
+    for (bad <- Seq(Float.NaN, Float.PositiveInfinity,
+        Float.NegativeInfinity)) {
+      val r2 = Seq(Tuple1(Seq(1.0f, bad))).toDF("v")
+        .select(column(QuantizeInt8(expression(col("v")))).as("q")).head()
+      assert(r2.isNullAt(0), s"vector with $bad must quantize to null")
+    }
   }
 
   test("quantized rerank recovers the exact float top-10 almost everywhere") {
