@@ -11,7 +11,9 @@ import graft.text.TextOps
 /** Training-data curation batch five: token-budget domain mixing,
   * deterministic output sharding with auditable manifests, gram-novelty
   * scoring, Bloom-prescan decontamination, centroid-distance outlier
-  * detection, and the leakage-safe train/eval split.
+  * detection, the leakage-safe train/eval split, the composed curation
+  * decision table, int8 embedding quantization, and quantized retrieval
+  * with exact re-rank.
   */
 object Pipeline5 {
 

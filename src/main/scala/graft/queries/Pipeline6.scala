@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.text.TextOps
 
 /** Training-data curation batch six: blocklist tagging, windowed word
-  * co-occurrence statistics, and the stage-by-stage curation funnel.
+  * co-occurrence statistics, the stage-by-stage curation funnel, and
+  * incremental batch-vs-corpus dedup.
   */
 object Pipeline6 {
 

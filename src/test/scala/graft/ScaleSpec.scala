@@ -6,7 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Salt
 
 /** Scale-mechanics evidence: salted aggregation equals the plain groupBy
-  * on skewed data, and bucketed tables join without an Exchange.
+  * on skewed data, bucketed tables join without an Exchange, the LSH
+  * bucket cap fails loudly, approximate scale-path twins track their
+  * exact operators, token-budget mixing stays exact under source skew,
+  * and shard manifests are invariant to physical input layout.
   */
 class ScaleSpec extends AnyFunSuite {
 
@@ -33,6 +36,44 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.count() == salted.count())
     assert(plain.exceptAll(salted).count() == 0 &&
       salted.exceptAll(plain).count() == 0)
+  }
+
+  test("token-budget mix stays exact under a 90%-skewed source") {
+    import spark.implicits._
+    import graft.ops.Mix
+    // one domain holds 90% of the corpus — the web-crawl shape domain
+    // mixing exists to correct. Budgets must stay BIGINT-exact and each
+    // group's kept tokens must stop within one straddling doc of its
+    // slice regardless of group size imbalance.
+    val rows = (0L until 10000L)
+      .map(i => (i, if (i % 10 == 0) s"small${i % 3}" else "big", 5L))
+      .toDF("id", "g", "t")
+    val kept = Mix.tokenBudgetMix(rows, "id", "g", col("t"), lit(1L), 1L, 2L)
+      .select("g", "n_tokens", "budget").collect()
+    val byG = kept.groupBy(_.getString(0))
+    // total=50000, sumw=4 -> per-group budget 6250
+    assert(kept.forall(_.getLong(2) == 6250L))
+    // greedy fill: kept tokens < budget + one straddler (5)
+    for ((g, rs) <- byG) {
+      val toks = rs.map(_.getLong(1)).sum
+      assert(toks <= 6250L + 5L, s"group $g overfilled: $toks")
+    }
+    // the big group is capped at its slice; small groups keep everything
+    // they have (3334 docs * 5 < 6250 never holds -> small groups also
+    // fill, with ~334 docs each)
+    assert(byG("big").length == 1250)
+  }
+
+  test("shard manifest digests are invariant to input partitioning") {
+    import spark.implicits._
+    import graft.ops.Shard
+    val docs = (0L until 5000L).map(i => (i, 2L, s"f$i")).toDF("id", "t", "f")
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      Shard.manifest(df, "id", col("t"), col("f"), 8)
+        .collect().map(_.toString).sorted.toSeq
+    // the audit property at scale: a different physical layout (here a
+    // 13-way random repartition) must produce byte-identical manifests
+    assert(digest(docs) == digest(docs.repartition(13)))
   }
 
   test("LSH bucket cap fails loudly on a pathological band") {
