@@ -62,6 +62,17 @@ object Sample {
     df.filter(bucket(col(keyCol)) < thresh)
   }
 
+  /** Single-rate keep predicate on a key column (the correlated-sampling
+    * primitive: two tables filtered with the same key and rate keep the
+    * same key set, so their sampled join is unbiased).
+    */
+  def keep(key: Column, rate: Double): Column =
+    bucket(key) < lit(hexThreshold(rate))
+
+  /** DuckDB mirror of [[keep]]. */
+  def keepPredicateSql(keyCol: String, rate: Double): String =
+    s"substr(md5(CAST($keyCol AS VARCHAR)), 1, 4) < '${hexThreshold(rate)}'"
+
   /** The DuckDB mirror of [[stratifiedHashSample]]'s predicate (shared
     * generator so Spark and the oracle can never disagree on
     * thresholds).

@@ -284,15 +284,54 @@ object Pipeline6 {
       LEFT JOIN verified v ON v.batch_id = b.doc_id
     ORDER BY b.doc_id"""
 
+  // ------------------------------------------------------------------- q77
+  // Correlated-sample join: BOTH fact tables filtered by the md5 bucket
+  // of the JOIN KEY at the same rate, so the key sets agree and the
+  // sampled join is an unbiased 20% of the full join (a row-independent
+  // sample of each side would keep only rate² of the pairs and bias
+  // every per-key statistic). The predicates evaluate in each scan stage
+  // — sampling is free at any scale, and the join itself shrinks 5x.
+  // The spec-level pin (sample-then-join == join-then-sample) lives in
+  // SamplePackSpec; this query is the oracle-level witness. Aggregates
+  // stay integral (counts + quantity sums are integers-as-doubles) so
+  // no float-summation order can split the engines.
+  private val CorrRate = 0.2
+
+  private val q77: Q = (s, d) => {
+    import graft.ops.Sample
+    val o = orders(s, d).filter(Sample.keep(col("o_orderkey"), CorrRate))
+    val l = lineitem(s, d).filter(Sample.keep(col("l_orderkey"), CorrRate))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private lazy val q77Sql = {
+    import graft.ops.Sample
+    s"""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+           sum(l_quantity) AS sum_qty,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE ${Sample.keepPredicateSql("o_orderkey", CorrRate)}
+      AND ${Sample.keepPredicateSql("l_orderkey", CorrRate)}
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q73_blocklist_tag" -> q73,
     "q74_cooccurrence" -> q74,
     "q75_curation_funnel" -> q75,
-    "q76_incremental_dedup" -> q76)
+    "q76_incremental_dedup" -> q76,
+    "q77_correlated_sample_join" -> q77)
 
   val oracleSql: Map[String, String] = Map(
     "q73_blocklist_tag" -> q73Sql,
     "q74_cooccurrence" -> q74Sql,
     "q75_curation_funnel" -> q75Sql,
-    "q76_incremental_dedup" -> q76Sql)
+    "q76_incremental_dedup" -> q76Sql,
+    "q77_correlated_sample_join" -> q77Sql)
 }

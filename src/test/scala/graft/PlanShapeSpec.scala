@@ -241,6 +241,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "q76 candidates come from band equi-joins only")
   }
 
+  test("correlated sampling filters both scans before the join") {
+    val p = planString("q77_correlated_sample_join")
+    // the rate predicate must evaluate in each side's scan stage — a
+    // post-join sample would ship 25x the rows through the shuffle
+    assert(!p.contains("CartesianProduct"))
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0)
+    // tree printing puts operators ABOVE the join before it in the
+    // string; no md5 there means no post-join sampling filter
+    assert(!p.substring(0, joinIdx).contains("md5"),
+      "q77's sampling md5 predicates must sit below the join, not above it")
+    assert("md5".r.findAllIn(p).size >= 2,
+      "both scan sides must carry their sampling predicate")
+  }
+
   test("curation pipeline is one scan, one shuffle, no join") {
     val p = planString("q48_curation_pipeline")
     assert("Scan parquet".r.findAllIn(p).size == 1,
