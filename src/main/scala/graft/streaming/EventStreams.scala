@@ -191,4 +191,21 @@ object EventStreams {
       .select(col("doc_id"),
         (!arrays_overlap(col("_g"), col("_ev"))).as("is_clean"))
   }
+
+  /** Streaming admission filter — a STREAM-STATIC left ANTI join: only
+    * documents whose content fingerprint is NOT already in the corpus
+    * fingerprint table pass through. This is the ingestion half of
+    * incremental dedup (batch q76): the crawler's stream drops exact
+    * re-fetches at the door, statelessly (the corpus table is the state,
+    * not a stream state store — no watermark, no unbounded
+    * dropDuplicates memory, and re-deliveries WITHIN the stream are
+    * handled by the separate dedupEvents watermark operator).
+    */
+  def admissionFilter(docs: DataFrame, corpusFps: DataFrame): DataFrame = {
+    import graft.text.TextOps
+    docs
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+  }
 }

@@ -58,6 +58,14 @@ object Demo {
     docs.select(col("doc_id"),
       graft.dedup.Bloom.positionsArray(TextOps.fingerprint(col("text")))
         .as("bloom_pos")).show(3, truncate = false)
+    // stream-static ingestion ops work identically on batch frames —
+    // drive the admission filter's anti-join shape here
+    val corpusFps = docs.filter(col("doc_id") % 2 === 0)
+      .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+    val admitted = graft.streaming.EventStreams.admissionFilter(docs, corpusFps)
+    println(s"[demo] admission filter passes ${admitted.count()} of ${docs.count()} docs")
+    admitted.explain("formatted")
+
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cent = graft.sim.Similarity.groupCentroids(emb, "label")
     val sims = emb.join(broadcast(cent), Seq("label"))

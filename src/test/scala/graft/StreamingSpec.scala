@@ -172,4 +172,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.filter(!col("is_clean")).count() > 0)
     } finally q.stop()
   }
+
+  test("stream-static admission filter drops known fingerprints at the door") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("docs_admit")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = spark.read.parquet(s"$dir/part-0.parquet")
+    // the "corpus already holds every even doc" scenario
+    val corpusFps = batchDocs.filter(col("doc_id") % 2 === 0)
+      .select(graft.text.TextOps.fingerprint(col("text")).as("fp")).distinct()
+    val stream = EventStreams.admissionFilter(
+      EventStreams.readDocuments(spark, dir.toString), corpusFps)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("admit").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("admit")
+      val want = EventStreams.admissionFilter(batchDocs, corpusFps)
+      assert(got.count() > 0 && got.count() < batchDocs.count(),
+        "some docs must be admitted and some dropped")
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0,
+        "stream-static admission must equal the batch anti join")
+    } finally q.stop()
+  }
 }
