@@ -43,9 +43,15 @@ object Mix {
     val totals = rows.groupBy(col(groupCol))
       .agg(sum(col("_toks")).as("_gt"), first(col("_w")).as("_gw"))
       .agg(sum(col("_gt")).as("_total"), sum(col("_gw")).as("_sumw"))
+    // materialize the md5 order key once: inlining Sample.bucket into
+    // each window spec makes Catalyst treat the two specs as distinct
+    // (fresh expression ids), splitting the cumsum and row_number into
+    // two Window nodes with two Sorts; one shared column keeps them in
+    // a single Window pass over a single Sort
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(Sample.bucket(col(keyCol)), col(keyCol))
+      .orderBy(col("_ord"), col(keyCol))
     rows
+      .withColumn("_ord", Sample.bucket(col(keyCol)))
       .withColumn("_cum", sum(col("_toks")).over(w))
       .withColumn("_rnk", row_number().over(w))
       .crossJoin(broadcast(totals))
@@ -55,7 +61,8 @@ object Mix {
       .filter(col("_cum") - col("_toks") < col("budget"))
       .withColumn("n_tokens", col("_toks"))
       .withColumn("rnk", col("_rnk").cast("int"))
-      .drop("_toks", "_w", "_cum", "_rnk", "_total", "_sumw", "_num", "_den")
+      .drop("_toks", "_w", "_ord", "_cum", "_rnk", "_total", "_sumw",
+        "_num", "_den")
   }
 
   /** DuckDB mirror of [[tokenBudgetMix]] as a CTE chain ending in `kept`
