@@ -191,13 +191,18 @@ object Pipeline6 {
   // ------------------------------------------------------------------- q76
   // Incremental dedup — the shape a DAILY crawl update actually runs:
   // dedup the small NEW batch against the big EXISTING corpus, never
-  // re-clustering the corpus against itself. Exact layer: fp equi-join
-  // (broadcast of the batch fingerprints). Near layer: the batch's LSH
-  // band keys broadcast against the corpus band stream, so the corpus is
-  // probed in its scan — candidate pairs are (batch × corpus) only,
-  // verified with the exact 3-gram Jaccard. Per new doc: exact-dup flag,
-  // verified near-match count, the smallest matching corpus id, and the
-  // is_new admission verdict.
+  // re-clustering the corpus against itself. Exact layer: the BATCH
+  // fingerprints broadcast into a semi-join that runs inside the corpus
+  // scan, yielding the (batch-bounded) duplicate-fp set, which then
+  // broadcasts back onto the batch — the corpus itself is only ever
+  // probed in its own scan, never collected or broadcast. Near layer:
+  // the batch's LSH band keys broadcast against the corpus band stream,
+  // same direction — candidate pairs are (batch × corpus) only, verified
+  // with the exact 3-gram Jaccard. Both batch-side broadcasts go through
+  // Broadcasts.bounded (a daily batch is relatively small but absolutely
+  // unbounded; over the cap the join degrades to a shuffle, not an OOM).
+  // Per new doc: exact-dup flag, verified near-match count, the smallest
+  // matching corpus id, and the is_new admission verdict.
   private val IncrThreshold = 0.5
   private val IncrBatchMod = 5 // doc_id % 5 = 4 -> the "new batch"
 
@@ -221,7 +226,9 @@ object Pipeline6 {
       .select(col("doc_id").as("corpus_id"), col("band"))
     val batchBands = bandRows(sig.filter(isBatch))
       .select(col("doc_id").as("batch_id"), col("band"))
-    val cand = corpusBands.join(broadcast(batchBands), Seq("band"))
+    val cand = corpusBands
+      .join(graft.ops.Broadcasts.bounded(batchBands,
+        what = "q76 batch band keys"), Seq("band"))
       .select(col("batch_id"), col("corpus_id")).distinct()
     val verified = cand
       .join(docs.select(col("doc_id").as("batch_id"), col("_g").as("_gb")),
@@ -233,10 +240,18 @@ object Pipeline6 {
         >= IncrThreshold)
       .groupBy(col("batch_id"))
       .agg(count(lit(1)).as("n_near"), min(col("corpus_id")).as("nearest_id"))
-    val exactFps = docs.filter(!isBatch)
-      .select(col("fp")).distinct().withColumn("_dup", lit(1))
+    // exact layer, batch-side broadcast ONLY: dupFps = corpus fps that
+    // also occur in the batch, <= |batch| rows by construction. The r5
+    // form broadcast the CORPUS fp set here — at 100 TB that is billions
+    // of rows through the driver, the precise scale-killer this query
+    // exists to avoid (VERDICT r5 #1; plan gated in PlanShapeSpec).
+    val batchFps = batch.select(col("fp")).distinct()
+    val dupFps = docs.filter(!isBatch).select(col("fp"))
+      .join(broadcast(batchFps), Seq("fp"), "left_semi").distinct()
+      .withColumn("_dup", lit(1))
     batch.select(col("doc_id"), col("fp"))
-      .join(broadcast(exactFps), Seq("fp"), "left")
+      .join(graft.ops.Broadcasts.bounded(dupFps,
+        what = "q76 duplicate fingerprints"), Seq("fp"), "left")
       .join(verified.withColumnRenamed("batch_id", "doc_id"),
         Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -26,6 +26,18 @@ class PlanShapeSpec extends AnyFunSuite {
 
   private def planString(name: String): String = plan(name).toString
 
+  /** Subtree strings rooted at every plan line containing `marker`
+    * (subtree = following lines with a deeper "+-"/":-" connector).
+    */
+  private def subtrees(p: String, marker: String): Seq[String] = {
+    val ls = p.linesIterator.toVector
+    def depth(l: String): Int = l.indexOf("- ")
+    ls.indices.filter(i => ls(i).contains(marker)).map { i =>
+      val body = ls.drop(i + 1).takeWhile(l => depth(l) > depth(ls(i)))
+      (ls(i) +: body).mkString("\n")
+    }
+  }
+
   test("banded/ball dedup joins never nest-loop") {
     for (q <- Seq("q32_lsh_candidate_pairs", "q43_simhash_hamming_pairs",
         "q46_embedding_neardup")) {
@@ -232,13 +244,33 @@ class PlanShapeSpec extends AnyFunSuite {
       "q75 is the feature scan + the dedup-survivor self-join, nothing more")
   }
 
-  test("incremental dedup probes the corpus with broadcast batch bands") {
-    val p = planString("q76_incremental_dedup")
-    assert(p.contains("BroadcastHashJoin"),
-      "q76's batch band keys and fingerprints must broadcast")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      "q76 candidates come from band equi-joins only")
+  test("incremental dedup: no scan ever sits under a BroadcastExchange") {
+    // The r5 defect: the exact layer broadcast the CORPUS fp set — the
+    // unbounded side — and the old "some BroadcastHashJoin exists" gate
+    // could not catch the direction. With auto-broadcast disabled, every
+    // BroadcastExchange left in the plan is an explicit hint, and after
+    // the fix every hinted side is a materialized batch-bounded
+    // checkpoint (dup fps <= batch via the left_semi probe; batch band
+    // keys via Broadcasts.bounded) — so NO parquet scan, corpus or
+    // otherwise, may appear under a broadcast: the corpus is only ever
+    // probed inside its own scan.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planString("q76_incremental_dedup")
+      assert(p.contains("BroadcastExchange"),
+        "q76 must keep its batch-side broadcast fast path")
+      for (st <- subtrees(p, "BroadcastExchange"))
+        assert(!st.contains("Scan parquet"),
+          s"a scan sits under a BroadcastExchange — unbounded-side " +
+            s"broadcast:\n$st")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        "q76 candidates come from band equi-joins only")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
   }
 
   test("correlated sampling filters both scans before the join") {

@@ -95,6 +95,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(DedupOps.lshCandidatePairs(sig, "doc_id", 8, 2).count() == 50L * 49 / 2)
   }
 
+  test("bounded broadcast falls back to a shuffle join over the row cap") {
+    import graft.ops.Broadcasts
+    val dim = spark.range(1000).select(col("id").as("k"))
+    val fact = spark.range(5000)
+      .select((col("id") % 1000).as("k"), col("id").as("v"))
+    // auto-broadcast off: any BroadcastHashJoin left is the hint's doing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val over = fact.join(
+        Broadcasts.bounded(dim, maxRows = 10, what = "scale-spec dim"),
+        Seq("k"))
+      assert(!over.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+        "over the cap the broadcast hint must be dropped (shuffle fallback)")
+      assert(over.count() == 5000, "the fallback must stay correct")
+      val under = fact.join(Broadcasts.bounded(dim, maxRows = 1000), Seq("k"))
+      assert(under.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+        "under the cap the broadcast fast path must engage")
+      assert(under.count() == 5000)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("bucketed tables join with zero shuffle (co-located join)") {
     // tables land in the default ./spark-warehouse (gitignored); a fresh
     // in-memory catalog doesn't know leftover locations from earlier runs,
