@@ -238,12 +238,13 @@ object Pipeline2 {
   // MinHash -> banded LSH candidates -> exact n-gram-Jaccard verify on
   // candidates only -> connected components (iterative min-label
   // propagation; the oracle mirrors it with a recursive CTE) ->
-  // representative per cluster. One row per document.
+  // representative per cluster. One row per document. Runs through the
+  // session-scoped ClusterMemo so same-session consumers (q63's
+  // manifest, q61's estimates) reuse this clustering instead of
+  // re-running the lineage; hash-equality with the direct
+  // DedupOps.nearDupClusters is pinned in DedupClusterSpec.
   private val q50: Q = (s, d) =>
-    graft.dedup.DedupOps.nearDupClusters(
-      documents(s, d).select(col("doc_id"), col("text")),
-      "doc_id", "text", threshold = 0.5)
-      .orderBy(col("doc_id"))
+    ClusterMemo.clusters(s, d, threshold = 0.5).orderBy(col("doc_id"))
 
   private lazy val q50Sql = s"""
     WITH RECURSIVE ${OracleSql.textClusterCtes(0.5)}

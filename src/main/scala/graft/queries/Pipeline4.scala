@@ -163,57 +163,16 @@ object Pipeline4 {
   // that decides whether a pipeline can skip the exact verify pass: at
   // 100 TB the estimate is free (signatures already exist), the exact
   // join is not.
-  private val q61: Q = (s, d) => {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    import graft.dedup.{DedupOps, MinHashSig, NGramArray, SortedArraysJaccard}
-    val base = documents(s, d).select(col("doc_id"), col("text"))
-    // The signature ARRAY rides through the band pre-aggregation (64
-    // bytes per band row), so the MinHash pass runs exactly once inside
-    // the scan and both pair sides emerge with their signatures inline —
-    // no signature re-join, no checkpoint of an intermediate (an earlier
-    // join-back form recomputed the MinHash stage per reference and cost
-    // 8.6s vs ~3s at sf0.1). Same band → member-list shape as
-    // DedupOps.lshCandidatePairs, including the null-band filter and the
-    // m² bucket guard.
-    val sigArr = column(MinHashSig(expression(col("text")), 5, 8))
-    val sig = base.select(col("doc_id"), sigArr.as("_sig"))
-    val sigRef = (0 until 8).map(i => element_at(col("_sig"), i + 1))
-    val bands = (0 until 4).map(b => DedupOps.bandKey(sigRef, b, 2))
-    val pairs = sig.withColumn("band", explode(array(bands: _*)))
-      .filter(col("band").isNotNull)
-      .groupBy(col("band"))
-      .agg(collect_list(struct(col("doc_id").as("id"), col("_sig").as("sig")))
-        .as("ms"))
-      .filter(size(col("ms")) > 1)
-      .filter(assert_true(size(col("ms")) <= lit(DedupOps.MaxBucketIds),
-        concat(lit("LSH band bucket exceeds maxBucket="),
-          lit(DedupOps.MaxBucketIds), lit(" ids (got "), size(col("ms")),
-          lit("): run EXACT dedup before MinHash-LSH — see " +
-            "DedupOps.lshCandidatePairs scaladoc"))).isNull)
-      .select(explode(col("ms")).as("a"), col("ms"))
-      .select(col("a"), explode(col("ms")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("_sa"), col("b.sig").as("_sb"))
-      .distinct()
-    val grams = base.select(col("doc_id"),
-      column(NGramArray(expression(col("text")), 3)).as("_g"))
-    val agree = (0 until 8).map(i =>
-      when(element_at(col("_sa"), i + 1) === element_at(col("_sb"), i + 1), 1)
-        .otherwise(0)).reduce(_ + _)
-    pairs
-      .join(grams.select(col("doc_id").as("id_a"), col("_g").as("_ga")),
-        Seq("id_a"))
-      .join(grams.select(col("doc_id").as("id_b"), col("_g").as("_gb")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(agree / lit(8.0), 6).as("est_jaccard"),
-        round(column(SortedArraysJaccard(
-          expression(col("_ga")), expression(col("_gb")))), 6).as("jaccard"))
+  // The scored-pair lineage (one MinHash pass riding the band lists, one
+  // exact-Jaccard evaluation per pair — plan-gated in PlanShapeSpec on
+  // ClusterMemo.scoredPairsPlan) lives in ClusterMemo, shared with
+  // q50/q63: in one session the MinHash → LSH → verify work runs once
+  // for the whole clustering family.
+  private val q61: Q = (s, d) =>
+    ClusterMemo.scoredPairs(s, d)
       .withColumn("abs_err",
         round(abs(col("est_jaccard") - col("jaccard")), 6))
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   private lazy val q61Sql = {
     val agree = (0 until 8).map(i =>
@@ -288,12 +247,12 @@ object Pipeline4 {
   // ------------------------------------------------------------------- q63
   // Applied near-dup removal — the manifest a dedup pass actually ships:
   // the kept (representative) documents of q50's clustering with how many
-  // near-duplicates each absorbed. Same machinery as q50 (MinHash → LSH →
-  // exact verify → connected components), filtered to representatives.
+  // near-duplicates each absorbed. Reads q50's clustering through the
+  // session-scoped ClusterMemo — a pipeline never recomputes a
+  // clustering to ship its manifest; standalone (fresh session) the memo
+  // populates itself and the result is identical.
   private val q63: Q = (s, d) =>
-    graft.dedup.DedupOps.nearDupClusters(
-      documents(s, d).select(col("doc_id"), col("text")),
-      "doc_id", "text", threshold = 0.5)
+    ClusterMemo.clusters(s, d, threshold = 0.5)
       .filter(col("is_rep"))
       .select(col("doc_id"), col("n_members"),
         (col("n_members") - 1).as("n_absorbed"))

@@ -103,4 +103,22 @@ class DedupClusterSpec extends AnyFunSuite {
     // sanity: the fixture actually contains non-trivial clusters
     assert(got.exists(_._3 > 1), "expected at least one non-singleton cluster")
   }
+
+  test("memoized clustering == direct nearDupClusters (q50/q63 reuse path)") {
+    // q50/q63 read the session ClusterMemo (edges = threshold filter over
+    // the shared scored-pair table) — the memoized composition must stay
+    // row-identical to the direct operator it replaced.
+    val d = "/root/testdata/sf0.001"
+    graft.queries.ClusterMemo.clear()
+    val direct = DedupOps.nearDupClusters(
+      spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", threshold = 0.5)
+    val memo = graft.queries.ClusterMemo.clusters(spark, d, 0.5)
+    assert(memo.count() == direct.count())
+    assert(memo.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(memo).count() == 0)
+    // second read must come from the cache: same frame instance
+    assert(graft.queries.ClusterMemo.clusters(spark, d, 0.5) eq memo)
+  }
 }

@@ -134,7 +134,12 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("minhash estimation computes each expensive expression once") {
-    val p = planString("q61_minhash_estimate")
+    // q61 itself now reads the ClusterMemo checkpoint (shared with
+    // q50/q63), so the lineage gate runs on the UN-memoized plan the
+    // memo materializes — that is where a regression would reintroduce
+    // a second MinHash pass or per-reference Jaccard.
+    val p = graft.queries.ClusterMemo.scoredPairsPlan(spark, d)
+      .queryExecution.executedPlan.toString
     assert("minhash_sig".r.findAllIn(p).size == 1,
       "q61 must run the MinHash pass once (signatures ride the band lists)")
     assert("sorted_arrays_jaccard".r.findAllIn(p).size == 1,
