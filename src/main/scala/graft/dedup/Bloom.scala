@@ -17,9 +17,9 @@ import org.apache.spark.sql.functions._
   * engine-private — an oracle in another engine could never reproduce
   * it, and neither could a re-run on a different Spark version claim
   * byte-equality. These positions are md5 slices: pos_j(g) = the j-th
-  * 4-hex-char window of md5(g), j < K — deterministic everywhere, same
-  * uniformity, and one digest per gram (slicing one md5 beats K digests;
-  * cf. the MinHash md5-slicing note in [[DedupOps]]).
+  * 5-hex-char (20-bit) window of md5(g), j < K — deterministic
+  * everywhere, same uniformity, and one digest per gram (slicing one md5
+  * beats K digests; cf. the MinHash md5-slicing note in [[DedupOps]]).
   *
   * False-positive math at the defaults: fill ratio f = 1-(1-1/M)^(KE)
   * for E eval grams; a probe passes spuriously with ~f^K. At E ≈ 7k
@@ -82,5 +82,34 @@ object Bloom {
         (0 until K).map(j => coalesce(col(s"_h$j"), lit(0)))
           .reduce(_ + _) === K)
       .drop((0 until K).flatMap(j => Seq(s"_p$j", s"_h$j")): _*)
+  }
+
+  /** Scan-local variant of [[probe]] — the 100 TB shape: the filter's
+    * DISTINCT bit positions (at most `M`, REGARDLESS of eval-set size —
+    * the bounded-structure pattern, so the collect is capped at ~200k
+    * ints) are packed once into a 64-bit-word bitset and embedded as a
+    * single ~25 KiB array literal; each corpus gram then tests its K
+    * bits with built-in expressions inside its own scan. ZERO joins:
+    * where [[probe]] spent K broadcast probe joins per corpus pass, this
+    * adds only per-row arithmetic to the scan the caller already runs.
+    */
+  def probeBitset(corpus: org.apache.spark.sql.DataFrame, gramCol: String,
+                  evalGrams: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pos = evalGrams
+      .select(explode(positionsArray(col(gramCol))).as("pos")).distinct()
+      .collect().map(_.getInt(0))
+    val words = new Array[Long]((M + 63) / 64)
+    pos.foreach(p => words(p >>> 6) |= 1L << (p & 63))
+    val bitsLit = typedlit(words.toSeq)
+    // element_at(maskLit, bit+1) instead of a variable-shift builtin:
+    // both lookups stay simple codegen'd array indexing
+    val maskLit = typedlit((0 until 64).map(1L << _))
+    val hit = positions(col(gramCol)).map { p =>
+      element_at(bitsLit, (p / 64).cast("int") + 1)
+        .bitwiseAND(element_at(maskLit, pmod(p, lit(64)).cast("int") + 1))
+        .=!=(0L)
+    }.reduce(_ && _)
+    corpus.withColumn("_bloom", hit)
   }
 }

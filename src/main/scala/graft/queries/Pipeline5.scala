@@ -118,11 +118,13 @@ object Pipeline5 {
   // ------------------------------------------------------------------- q67
   // Bloom-prescan decontamination: q56's eval 8-gram set compressed to a
   // 200003-bit deterministic Bloom filter (md5-slice positions — see
-  // graft.dedup.Bloom), every corpus gram probed with three broadcast
-  // hash joins on the bit positions (scan-local, no corpus shuffle), the
-  // exact gram join run alongside to account the false positives the
-  // prescan would hand to a second-pass verify. At 100 TB the bitset
-  // broadcast is ~25 KiB where the gram set is gigabytes.
+  // graft.dedup.Bloom), every corpus gram testing its 3 bits against a
+  // ~25 KiB bitset LITERAL inside its own scan (Bloom.probeBitset —
+  // zero joins; the r5 form spent three broadcast probe joins, i.e. two
+  // needless extra passes over the corpus stream), with the exact gram
+  // join run alongside to account the false positives the prescan would
+  // hand to a second-pass verify. At 100 TB the bitset is ~25 KiB where
+  // the gram set is gigabytes.
   private val DecontamN = 8
 
   private val q67: Q = (s, d) => {
@@ -132,7 +134,7 @@ object Pipeline5 {
       .select(explode(col("_g")).as("gram")).distinct()
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"), explode(col("_g")).as("gram"))
-    val probed = Bloom.probe(corpus, "gram", evalG)
+    val probed = Bloom.probeBitset(corpus, "gram", evalG)
     val exact = broadcast(evalG.withColumn("_hit", lit(1)))
     probed.join(exact, Seq("gram"), "left")
       .groupBy(col("doc_id"))
@@ -238,7 +240,7 @@ object Pipeline5 {
   // quality, token count), its Bloom contamination prescan flag, its
   // embedding-outlier flag, and the first-failing-rule drop reason.
   // Composition stays 100 TB-shaped: one documents scan feeds both the
-  // feature projection and the gram probe (broadcast bit joins, one
+  // feature projection and the gram probe (scan-local bitset test, one
   // groupBy(doc) shuffle), the embedding side joins its broadcast
   // centroid table, and the three doc-level frames merge on doc_id.
   private val QualityMin = 0.91
@@ -252,7 +254,7 @@ object Pipeline5 {
       column(NGramArray(expression(col("text")), DecontamN)).as("_g"))
     val evalG = docs.filter(col("doc_id") % 10 === 0)
       .select(explode(col("_g")).as("gram")).distinct()
-    val contam = Bloom.probe(
+    val contam = Bloom.probeBitset(
         docs.filter(col("doc_id") % 10 =!= 0)
           .select(col("doc_id"), explode(col("_g")).as("gram")),
         "gram", evalG)

@@ -111,6 +111,23 @@ class Pipeline5Spec extends AnyFunSuite {
       "a bloom filter can never reject a member")
   }
 
+  test("scan-local bitset probe == join-based probe on every element") {
+    // probeBitset (the zero-join literal-bitset form q67/q70 run) must
+    // flag exactly the rows the K-join reference form flags
+    val elems = (0 until 2000).map(i => s"gram $i").toDF("e")
+    val members = elems.filter(expr("CAST(substr(e, 6, 10) AS INT) % 2 = 0"))
+    def flags(df: org.apache.spark.sql.DataFrame) = df
+      .select("e", "_bloom").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val viaJoin = flags(Bloom.probe(elems, "e", members))
+    val viaBitset = flags(Bloom.probeBitset(elems, "e", members))
+    assert(viaBitset == viaJoin)
+    // no false negatives, and SOME false positive space is exercised
+    val memberSet = members.collect().map(_.getString(0)).toSet
+    assert(memberSet.forall(viaBitset(_)), "a member can never be rejected")
+    assert(viaBitset.exists(!_._2), "some non-members must probe out")
+  }
+
   // ------------------------------------------- centroids + double cosine
 
   test("groupCentroids averages element-wise, rounded to 6") {

@@ -176,10 +176,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "q65 shuffles exactly once (the shard groupBy)")
   }
 
-  test("bloom prescan probes via broadcast joins, never a corpus shuffle join") {
+  test("bloom prescan is scan-local: one exact join, zero probe joins") {
     val p = planString("q67_bloom_decontaminate")
-    assert(p.contains("BroadcastHashJoin"),
-      "q67's bit positions and eval grams must broadcast")
+    // the bitset probe lives inside the corpus scan as a literal-array
+    // bit test; the ONLY join left is the exact eval-gram accounting join
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1,
+      "q67 keeps exactly the exact-gram broadcast join — bit-position " +
+        "probe joins would re-scan the corpus stream")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "q67 must not shuffle corpus grams for the probe")
   }
