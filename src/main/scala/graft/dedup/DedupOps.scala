@@ -444,6 +444,86 @@ object DedupOps {
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** Static corpus band index for ingestion-time near-dup admission: one
+    * row per LSH band key holding the bucket's member list (id + sorted
+    * n-gram array) as the broadcastable probe payload. Bucket lists
+    * carry the same m² cap as [[lshCandidatePairs]] (exact-dedup-first
+    * precondition). At 100 TB this index is the dedup service's state:
+    * rebuilt per corpus snapshot, broadcast per micro-batch — its size
+    * follows the number of DISTINCT bands with members, not the corpus.
+    */
+  def bandIndex(corpus: DataFrame, idCol: String, textCol: String,
+                k: Int = 5, numHashes: Int = 8, rowsPerBand: Int = 2,
+                nGram: Int = 3, maxBucket: Int = MaxBucketIds): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val base = corpus.select(col(idCol).as("id"),
+      column(NGramArray(expression(col(textCol)), nGram)).as("g"),
+      column(MinHashSig(expression(col(textCol)), k, numHashes)).as("_sig"))
+    val sigRef = (0 until numHashes).map(i => element_at(col("_sig"), i + 1))
+    val bands = (0 until numHashes / rowsPerBand).map(b =>
+      bandKey(sigRef, b, rowsPerBand))
+    base.withColumn("band", explode(array(bands: _*)))
+      .filter(col("band").isNotNull)
+      .groupBy(col("band"))
+      .agg(collect_list(struct(col("id"), col("g"))).as("cands"))
+      .filter(assert_true(size(col("cands")) <= lit(maxBucket),
+        concat(lit("band index bucket exceeds maxBucket="), lit(maxBucket),
+          lit(" ids (got "), size(col("cands")),
+          lit("): run EXACT dedup on the corpus before building the " +
+            "band index, or raise the maxBucket parameter — see " +
+            "DedupOps.lshCandidatePairs scaladoc"))).isNull)
+  }
+
+  /** Probes every document of `docs` — a STREAM or a batch frame —
+    * against a static [[bandIndex]]: the index rides one broadcast
+    * left-join per band, and the Jaccard verify plus the per-document
+    * candidate aggregation run as array lambdas INSIDE the row, so a
+    * streaming caller needs no state store, no watermark and no
+    * streaming aggregation (the stream-static shape of q76's near
+    * layer). Appends `n_near` (distinct verified corpus members),
+    * `nearest_id` (smallest of them, null when none) and `is_near_dup`.
+    */
+  def probeBandIndex(docs: DataFrame, index: DataFrame, idCol: String,
+                     textCol: String, threshold: Double, k: Int = 5,
+                     numHashes: Int = 8, rowsPerBand: Int = 2,
+                     nGram: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val nBands = numHashes / rowsPerBand
+    val sigged = docs
+      .withColumn("_g", column(NGramArray(expression(col(textCol)), nGram)))
+      .withColumn("_sig",
+        column(MinHashSig(expression(col(textCol)), k, numHashes)))
+    val sigRef = (0 until numHashes).map(i => element_at(col("_sig"), i + 1))
+    val withBands = (0 until nBands).foldLeft(sigged) { (acc, b) =>
+      acc.withColumn(s"_band$b", bandKey(sigRef, b, rowsPerBand))
+    }
+    val joined = (0 until nBands).foldLeft(withBands) { (acc, b) =>
+      acc.join(broadcast(index.select(col("band").as(s"_band$b"),
+        col("cands").as(s"_c$b"))), Seq(s"_band$b"), "left")
+    }
+    val idType = index.schema("cands").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]("id").dataType
+    val emptyIds = array().cast(ArrayType(idType))
+    // per band: the bucket members that pass the exact verify, as ids;
+    // a missed band (left-join null) contributes the empty list
+    def verifiedIds(b: Int): Column = coalesce(
+      transform(filter(col(s"_c$b"),
+        x => round(column(SortedArraysJaccard(
+          expression(col("_g")), expression(x.getField("g")))), 6)
+          >= threshold),
+        x => x.getField("id")),
+      emptyIds)
+    val allIds = array_distinct(
+      concat((0 until nBands).map(verifiedIds): _*))
+    joined
+      .withColumn("n_near", size(allIds).cast("long"))
+      .withColumn("nearest_id", array_min(allIds))
+      .withColumn("is_near_dup", col("n_near") > 0)
+      .drop((0 until nBands).flatMap(b => Seq(s"_band$b", s"_c$b")): _*)
+      .drop("_g", "_sig")
+  }
+
   /** Near-duplicate clustering — the full production dedup shape over a
     * document corpus: MinHash signatures (scan-local) → banded LSH
     * candidates (equi-join on band keys) → EXACT n-gram-Jaccard verify on

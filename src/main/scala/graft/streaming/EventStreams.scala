@@ -208,4 +208,21 @@ object EventStreams {
       .join(corpusFps, Seq("fp"), "left_anti")
       .select(col("doc_id"), col("fp"))
   }
+
+  /** Streaming NEAR-dup admission — the stream twin of batch q76's near
+    * layer ([[admissionFilter]] is the exact-fingerprint half): each
+    * arriving document probes its LSH band keys against the broadcast
+    * STATIC corpus band index ([[graft.dedup.DedupOps.bandIndex]],
+    * rebuilt per corpus snapshot) and Jaccard-verifies the bucket
+    * members inside its own row — stateless per micro-batch, so the
+    * continuous ingestion path a 100 TB crawl runs pays one scan-local
+    * probe per arriving document and no state store. StreamingSpec pins
+    * stream output == q76's near-layer verdicts on the same fixture.
+    */
+  def nearDupAdmission(docs: DataFrame, corpusIndex: DataFrame,
+                       threshold: Double = 0.5): DataFrame =
+    graft.dedup.DedupOps.probeBandIndex(docs, corpusIndex,
+        "doc_id", "text", threshold)
+      .select(col("doc_id"), col("n_near"), col("nearest_id"),
+        col("is_near_dup"))
 }

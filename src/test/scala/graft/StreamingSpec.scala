@@ -173,6 +173,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static near-dup admission agrees with batch q76's near layer") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("docs_neardup")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val all = spark.read.parquet(s"$dir/part-0.parquet")
+    // static index over the existing corpus (q76's batch split: %5 == 4
+    // is the arriving batch, everything else is corpus)
+    val index = graft.dedup.DedupOps.bandIndex(
+      all.filter(col("doc_id") % 5 =!= 4), "doc_id", "text")
+    val stream = EventStreams.nearDupAdmission(
+      EventStreams.readDocuments(spark, dir.toString)
+        .filter(col("doc_id") % 5 === 4), index)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_admit").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("neardup_admit")
+      val want = SparkEntry.queries("q76_incremental_dedup")(
+          spark, "/root/testdata/sf0.001")
+        .select(col("doc_id"), col("n_near"), col("nearest_id"),
+          (col("n_near") > 0).as("is_near_dup"))
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        "per-doc stream verdicts must equal q76's near layer")
+      // both outcomes must occur on the fixture, or the pin is vacuous
+      assert(got.filter(col("is_near_dup")).count() > 0,
+        "fixture must contain at least one near-dup admission hit")
+      assert(got.filter(!col("is_near_dup")).count() > 0)
+    } finally q.stop()
+  }
+
   test("stream-static admission filter drops known fingerprints at the door") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("docs_admit")
