@@ -152,6 +152,84 @@ class ScaleSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("dedup bounds hold on a near-dup-dense corpus 10x sf0.1") {
+    import graft.dedup.DedupOps
+    // 50k docs (sf0.1 documents = 5k): a 10,500-copy EXACT-duplicate
+    // class (the input the exact-dedup precondition forbids, just past
+    // the 10k bucket cap) plus 3,950 near-dup families of 10. Family
+    // words are md5-derived per (family, position) — a first draft used
+    // small mod-prime suffix pools and the tiny shingle vocabulary made
+    // LSH band keys collide ACROSS families, exploding the candidate
+    // set; pseudorandom words keep buckets family-sized, which is also
+    // the realistic shape (real corpora don't share one template). Each
+    // member differs in one trailing token: within-family word-3-gram
+    // Jaccard ≈ 10/12, comfortably over the 0.5 threshold; cross-family
+    // ≈ 0.
+    val DupClass = 10500L
+    val f = ((col("id") - DupClass) / 10).cast("long")
+    val family = concat_ws(" ",
+      (0 until 12).map(i =>
+        substring(md5(to_binary(
+          concat(f.cast("string"), lit(s"_w$i")), lit("utf-8"))), 1, 8)) :+
+      concat(lit("tok"), pmod(col("id"), lit(10))): _*)
+    val docs = spark.range(50000).select(col("id").as("doc_id"),
+      when(col("id") < DupClass,
+        lit("identical duplicate text block for the bucket cap test"))
+        .otherwise(family).as("text"))
+
+    // (b) WITHOUT exact dedup the 10,500-wide band bucket must fail
+    // loudly under the default cap — its m^2 pair output is
+    // uncomputable anyway
+    val sigAll = DedupOps.withMinhashSignature(docs, "text", 5, 8)
+      .drop("text")
+    val e = intercept[Exception] {
+      DedupOps.lshCandidatePairs(sigAll, "doc_id", 8, 2).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("maxBucket") && m.contains("EXACT dedup")))
+
+    // (a) AFTER exact dedup the full clustering completes under the
+    // default caps and recovers the family structure
+    val keep = DedupOps.exactDedup(docs, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val survivors = docs.join(keep, Seq("doc_id"), "left_semi")
+    val nSurvivors = survivors.count()
+    assert(nSurvivors == 39501L) // 3,950 families x 10 + 1 dup survivor
+    val clusters = DedupOps.nearDupClusters(survivors, "doc_id", "text",
+      threshold = 0.5)
+    val fullFamilies = clusters.filter(col("is_rep") &&
+      col("n_members") === 10).count()
+    assert(clusters.count() == nSurvivors)
+    assert(fullFamilies >= 3600,
+      s"expected most families to cluster whole, got $fullFamilies")
+
+    // q76's near-layer machinery at the same scale: index the corpus
+    // (variants 0..8), probe the arriving tenth variant — every probe
+    // doc has 9 near members in its family
+    val corpus = survivors.filter(col("doc_id") % 10 =!= 9)
+    val batch = survivors.filter(col("doc_id") % 10 === 9)
+    val probed = DedupOps.probeBandIndex(batch,
+      DedupOps.bandIndex(corpus, "doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)
+    val hits = probed.filter(col("n_near") >= 1).count()
+    val nBatch = batch.count()
+    assert(hits >= (nBatch * 9) / 10,
+      s"expected most of $nBatch probes to find near members, got $hits")
+
+    // (c) shard manifests stay file-sized: 64 shards over 50k docs stay
+    // within 2x of the mean — corpus growth grows nShards, never the
+    // per-shard member list
+    val m = graft.ops.Shard
+      .manifest(docs, "doc_id", lit(1L), md5(col("text")), 64)
+      .select(col("n_docs")).collect().map(_.getLong(0))
+    assert(m.sum == 50000L && m.length == 64)
+    assert(m.max <= 2 * (50000 / 64),
+      s"largest shard ${m.max} docs is not file-sized")
+  }
+
   test("approximate scale-path twins track the exact operators") {
     // The oracle-gated queries use EXACT forms (engine-portable values);
     // at 100 TB the drop-in production variants are the sketch
