@@ -465,13 +465,41 @@ object DedupOps {
     base.withColumn("band", explode(array(bands: _*)))
       .filter(col("band").isNotNull)
       .groupBy(col("band"))
-      .agg(collect_list(struct(col("id"), col("g"))).as("cands"))
+      // sort_array: collect_list order is shuffle-nondeterministic, a
+      // sorted member list makes the index artifact deterministic (re-run
+      // == re-run, and mergeBandIndex == full rebuild, exactly)
+      .agg(sort_array(collect_list(struct(col("id"), col("g")))).as("cands"))
       .filter(assert_true(size(col("cands")) <= lit(maxBucket),
         concat(lit("band index bucket exceeds maxBucket="), lit(maxBucket),
           lit(" ids (got "), size(col("cands")),
           lit("): run EXACT dedup on the corpus before building the " +
             "band index, or raise the maxBucket parameter — see " +
             "DedupOps.lshCandidatePairs scaladoc"))).isNull)
+  }
+
+  /** Incremental [[bandIndex]] maintenance — the loop a continuous
+    * ingestion pipeline actually runs: fold the day's ADMITTED documents
+    * into the stored index without rebuilding it from the corpus. The
+    * new docs' band rows union with the exploded old index and
+    * re-aggregate: one shuffle sized by |index| + |newDocs|·bands, never
+    * a corpus re-scan. `mergeBandIndex(bandIndex(a), b) ==
+    * bandIndex(a ∪ b)` exactly (pinned in ScaleSpec).
+    */
+  def mergeBandIndex(index: DataFrame, newDocs: DataFrame, idCol: String,
+                     textCol: String, k: Int = 5, numHashes: Int = 8,
+                     rowsPerBand: Int = 2, nGram: Int = 3,
+                     maxBucket: Int = MaxBucketIds): DataFrame = {
+    val fresh = bandIndex(newDocs, idCol, textCol, k, numHashes,
+      rowsPerBand, nGram, maxBucket)
+    index.select(col("band"), explode(col("cands")).as("c"))
+      .unionByName(fresh.select(col("band"), explode(col("cands")).as("c")))
+      .groupBy(col("band"))
+      .agg(sort_array(collect_list(col("c"))).as("cands"))
+      .filter(assert_true(size(col("cands")) <= lit(maxBucket),
+        concat(lit("band index bucket exceeds maxBucket="), lit(maxBucket),
+          lit(" ids (got "), size(col("cands")),
+          lit(") after merge: run EXACT dedup on the incoming batch — " +
+            "see DedupOps.lshCandidatePairs scaladoc"))).isNull)
   }
 
   /** Probes every document of `docs` — a STREAM or a batch frame —

@@ -225,4 +225,29 @@ object EventStreams {
         "doc_id", "text", threshold)
       .select(col("doc_id"), col("n_near"), col("nearest_id"),
         col("is_near_dup"))
+
+  /** The COMPLETE streaming admission verdict — batch q76's exact row
+    * shape (doc_id, is_exact_dup, n_near, nearest_id, is_new) produced
+    * continuously: the exact layer is a stream-static left join against
+    * the corpus fingerprint table (`corpusFps`: one column `fp`), the
+    * near layer is [[nearDupAdmission]]'s band-index probe, both
+    * stateless per micro-batch. StreamingSpec pins stream output ==
+    * batch q76 row-for-row on the same fixture — the whole incremental
+    * dedup query runs at the ingestion door.
+    */
+  def admissionVerdict(docs: DataFrame, corpusFps: DataFrame,
+                       corpusIndex: DataFrame,
+                       threshold: Double = 0.5): DataFrame = {
+    import graft.text.TextOps
+    graft.dedup.DedupOps.probeBandIndex(docs, corpusIndex,
+        "doc_id", "text", threshold)
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .join(broadcast(corpusFps.select(col("fp"))
+        .withColumn("_dup", lit(1))), Seq("fp"), "left")
+      .select(col("doc_id"),
+        col("_dup").isNotNull.as("is_exact_dup"),
+        col("n_near"),
+        col("nearest_id"),
+        (col("_dup").isNull && col("n_near") === 0).as("is_new"))
+  }
 }

@@ -219,6 +219,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(hits >= (nBatch * 9) / 10,
       s"expected most of $nBatch probes to find near members, got $hits")
 
+    // incremental index maintenance == full rebuild, exactly (the loop
+    // a continuous pipeline runs instead of re-scanning the corpus)
+    val merged = DedupOps.mergeBandIndex(
+      DedupOps.bandIndex(corpus, "doc_id", "text"), batch,
+      "doc_id", "text")
+    val rebuilt = DedupOps.bandIndex(survivors, "doc_id", "text")
+    assert(merged.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(merged).count() == 0,
+      "mergeBandIndex(bandIndex(a), b) must equal bandIndex(a ++ b)")
+
     // (c) shard manifests stay file-sized: 64 shards over 50k docs stay
     // within 2x of the mean — corpus growth grows nShards, never the
     // per-shard member list

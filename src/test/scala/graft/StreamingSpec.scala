@@ -206,6 +206,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming admission verdict == batch q76 row-for-row") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("docs_verdict")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val all = spark.read.parquet(s"$dir/part-0.parquet")
+    val corpus = all.filter(col("doc_id") % 5 =!= 4)
+    val fps = corpus
+      .select(graft.text.TextOps.fingerprint(col("text")).as("fp")).distinct()
+    val index = graft.dedup.DedupOps.bandIndex(corpus, "doc_id", "text")
+    val stream = EventStreams.admissionVerdict(
+      EventStreams.readDocuments(spark, dir.toString)
+        .filter(col("doc_id") % 5 === 4), fps, index)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("verdict").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("verdict")
+      val want = SparkEntry.queries("q76_incremental_dedup")(
+        spark, "/root/testdata/sf0.001")
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        "the whole incremental-dedup verdict must stream unchanged")
+      // exercise every verdict class or the pin is vacuous
+      assert(got.filter(col("is_new")).count() > 0)
+      assert(got.filter(!col("is_new")).count() > 0)
+    } finally q.stop()
+  }
+
   test("stream-static admission filter drops known fingerprints at the door") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("docs_admit")
