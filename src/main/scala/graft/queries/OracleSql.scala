@@ -316,31 +316,43 @@ private[queries] object OracleSql {
       FROM e),
     s AS (SELECT *, (mx - mn) / 255.0 AS sc FROM r)"""
 
+  /** The low-`nBits` hyperplane-sign sum over an `embedding` column — the
+    * SQL mirror of HyperplaneSketch16 restricted to planes j < nBits
+    * (each plane is an independent additive term, so the 8-bit sum equals
+    * `sketch16 & 255`). Shared by q46/q54 (16) and q78 (8).
+    */
+  def hyperplaneBitsSql(nBits: Int): String = (0 until nBits).map { j =>
+    s"""(CASE WHEN list_sum(list_transform(generate_series(1,64),
+            i -> CAST(embedding[i] AS DOUBLE) *
+              (CASE WHEN substr(md5($j || '|' || (i-1)),1,1)
+                 IN ('8','9','a','b','c','d','e','f')
+               THEN 1.0 ELSE -1.0 END))) > 0 THEN ${1 << j} ELSE 0 END)"""
+  }.mkString(" + ")
+
+  /** Rounded 64-dim cosine between the `embedding` columns of relation
+    * aliases `a` and `b` (both sides cast per element) — the pair form of
+    * [[cos64Sql]], the SQL mirror of DotCosine. Shared by q46/q54/q78.
+    */
+  def cosPairSql(a: String, b: String): String =
+    s"""round(list_sum(list_transform(generate_series(1, 64),
+               i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform($a.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform($b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"""
+
   /** The `sk`/`pairs` CTE bodies mirroring Similarity.nearDupPairs over
     * `embeddings` (md5-parity hyperplane-sign sketch → Hamming ≤ 2
     * candidates → exact rounded cosine), WITHOUT the leading `WITH` so a
     * caller can prepend `WITH` or `WITH RECURSIVE`. Shared by q46/q54.
     */
-  val embeddingPairsCtes: String = {
-    val bits = (0 until 16).map { j =>
-      s"""(CASE WHEN list_sum(list_transform(generate_series(1,64),
-            i -> CAST(embedding[i] AS DOUBLE) *
-              (CASE WHEN substr(md5($j || '|' || (i-1)),1,1)
-                 IN ('8','9','a','b','c','d','e','f')
-               THEN 1.0 ELSE -1.0 END))) > 0 THEN ${1 << j} ELSE 0 END)"""
-    }.mkString(" + ")
+  val embeddingPairsCtes: String =
     s"""e AS (SELECT vec_id, embedding FROM embeddings),
-    sk AS (SELECT vec_id, embedding, CAST($bits AS INTEGER) AS sketch FROM e),
+    sk AS (SELECT vec_id, embedding, CAST(${hyperplaneBitsSql(16)} AS INTEGER) AS sketch FROM e),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              bit_count(xor(a.sketch, b.sketch)) AS hamming,
-             round(list_sum(list_transform(generate_series(1, 64),
-               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(a.embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(b.embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+             ${cosPairSql("a", "b")} AS sim
       FROM sk a JOIN sk b ON a.vec_id < b.vec_id
       WHERE bit_count(xor(a.sketch, b.sketch)) <= 2)"""
-  }
 }

@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Training-data curation batch seven: semantic (embedding-space) dedup,
+  * cross-document passage dedup, overlap-fraction decontamination,
+  * edit-distance near-dup verification, and the dedup observability
+  * histogram.
+  */
+object Pipeline7 {
+
+  type Q = (SparkSession, String) => DataFrame
+  import Tables._
+
+  // ------------------------------------------------------------------- q78
+  // Semantic dedup (the SemDeDup recipe: cluster the embedding space,
+  // drop items too close to an earlier-kept item in the SAME cluster —
+  // pairwise work never leaves a cluster). Buckets here are the first 8
+  // hyperplane-sign bits of the deterministic md5-parity sketch (= the
+  // 16-bit sketch masked to its low byte: each plane is an independent
+  // additive term), so the bucketing is engine-portable and the DuckDB
+  // oracle reproduces it bit-for-bit. Within a bucket the keep rule is
+  // deterministic and one-pass: a vector is dropped iff some LOWER-id
+  // vector in its bucket has rounded cosine >= threshold (no transitive
+  // chasing — the kept set is exactly the vectors with n_close = 0).
+  // Plan: one equi-join on the bucket key (never an all-pairs join), one
+  // map-side-combinable count, one left join back. Per-bucket work is
+  // quadratic in bucket size by design — SemDeDup's contract is that
+  // clusters are small; at denser corpora raise the bucket granularity
+  // (more sketch bits, or IVF cells as in q36) the same way q32 raises
+  // bands.
+  private val SemThreshold = 0.2
+  private val SemBucketMask = 255 // low 8 of the 16 hyperplane bits
+
+  private val q78: Q = (s, d) => {
+    import graft.sim.Similarity
+    val sk = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      Similarity.hyperplaneSketch16(col("embedding"), 64)
+        .bitwiseAND(lit(SemBucketMask)).as("bucket"))
+    val earlier = sk.select(col("vec_id").as("_eid"),
+      col("embedding").as("_ve"), col("bucket"))
+    val close = sk.select(col("vec_id"), col("embedding"), col("bucket"))
+      .join(earlier, Seq("bucket"))
+      .filter(col("vec_id") > col("_eid"))
+      .filter(round(Similarity.cosine(col("embedding"), col("_ve")), 6)
+        >= SemThreshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_close"))
+    sk.select(col("vec_id"), col("bucket"))
+      .join(close, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        col("n_close").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val q78Sql = s"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    sk AS (SELECT vec_id, embedding,
+             CAST(${OracleSql.hyperplaneBitsSql(8)} AS INTEGER) AS bucket
+           FROM e),
+    close AS (
+      SELECT a.vec_id AS vec_id, CAST(count(*) AS BIGINT) AS n_close
+      FROM sk a JOIN sk b ON a.bucket = b.bucket AND a.vec_id > b.vec_id
+      WHERE ${OracleSql.cosPairSql("a", "b")} >= $SemThreshold
+      GROUP BY a.vec_id)
+    SELECT sk.vec_id, sk.bucket, coalesce(c.n_close, 0) AS n_close,
+           c.n_close IS NULL AS keep
+    FROM sk LEFT JOIN close c ON c.vec_id = sk.vec_id
+    ORDER BY sk.vec_id"""
+
+  // ------------------------------------------------------------------- q79
+  // Cross-document passage dedup (the CCNet/RefinedWeb repeated-passage
+  // pass, the granularity BETWEEN q30's whole-doc fingerprints and q50's
+  // whole-doc near-dup clusters): hash each non-overlapping 4-word window
+  // of the normalized text, count how many DISTINCT docs each passage
+  // hash appears in, and report per doc how much of it is corpus-repeated
+  // boilerplate. Dedup decisions key on md5(passage) in BOTH engines —
+  // 16-byte keys keep the two passage shuffles narrow (the full passage
+  // string never leaves its scan), and md5 collisions are
+  // cryptographically negligible at any corpus size. The dup-key join is
+  // a plain shuffle join ON PURPOSE: the duplicated-passage set is
+  // corpus-sized (boilerplate-heavy crawls), never a broadcast candidate;
+  // AQE may still convert it at runtime from ACTUAL size, which is the
+  // right call at the right layer.
+  private val PassageLen = 4
+  private val BoilerplateFrac = 0.5
+
+  private val q79: Q = (s, d) => {
+    val withP = documents(s, d)
+      .select(col("doc_id"),
+        TextOps.passageHashes(col("text"), PassageLen).as("_pks"))
+      .select(col("doc_id"), size(col("_pks")).cast("long").as("n_passages"),
+        col("_pks"))
+    val pp = withP.select(col("doc_id"), explode(col("_pks")).as("pk"))
+    val dup = pp.distinct()
+      .groupBy(col("pk")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= 2).select(col("pk"))
+    val hits = pp.join(dup, Seq("pk"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_passages"))
+    withP.select(col("doc_id"), col("n_passages"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_passages"),
+        coalesce(col("n_dup_passages"), lit(0L)).as("n_dup_passages"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_passages").cast("double") / col("n_passages"), 6))
+      .withColumn("is_boilerplate", col("dup_fraction") >= BoilerplateFrac)
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q79Sql = s"""
+    WITH nd AS (
+      SELECT doc_id, string_split(${OracleSql.normSql}, ' ') AS w
+      FROM documents),
+    base AS (
+      SELECT doc_id, w,
+             CAST((len(w) + ${PassageLen - 1}) // $PassageLen AS BIGINT)
+               AS n_passages
+      FROM nd),
+    pp AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               w[p*$PassageLen+1:p*$PassageLen+$PassageLen], ' ')) AS pk
+      FROM base, unnest(generate_series(0, n_passages - 1)) t(p)),
+    dup AS (
+      SELECT pk FROM (
+        SELECT pk, count(DISTINCT doc_id) AS nd FROM pp GROUP BY pk) c
+      WHERE nd >= 2),
+    hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_passages
+      FROM pp JOIN dup USING (pk) GROUP BY doc_id)
+    SELECT b.doc_id, b.n_passages,
+           coalesce(h.n_dup_passages, 0) AS n_dup_passages,
+           round(CAST(coalesce(h.n_dup_passages, 0) AS DOUBLE)
+             / b.n_passages, 6) AS dup_fraction,
+           round(CAST(coalesce(h.n_dup_passages, 0) AS DOUBLE)
+             / b.n_passages, 6) >= $BoilerplateFrac AS is_boilerplate
+    FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id
+    ORDER BY b.doc_id"""
+
+  // ------------------------------------------------------------------- q80
+  // Overlap-fraction decontamination (the Llama-style fuzzy rule, vs
+  // q56's any-hit rule): a corpus doc is contaminated when >= 25% of its
+  // DISTINCT word-3-grams appear in the held-out eval set — single
+  // shared grams are tolerated (q56 would flag them), sustained overlap
+  // is not. Same scale shape as q56: the eval gram set is the SMALL side
+  // by construction and is the ONLY broadcast; the per-doc gram count
+  // rides the scan (size of the native NGramArray), so the fraction
+  // costs nothing beyond q56's probe.
+  private val ContamN = 3
+  private val ContamFrac = 0.25
+
+  private val q80: Q = (s, d) => {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val docs = documents(s, d).select(col("doc_id"),
+      column(graft.dedup.NGramArray(expression(col("text")), ContamN))
+        .as("_g"))
+    val evalGrams = docs.filter(col("doc_id") % 10 === 0)
+      .select(explode(col("_g")).as("gram")).distinct()
+      .withColumn("_hit", lit(1))
+    docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), size(col("_g")).cast("long").as("n_grams"),
+        explode(col("_g")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(col("_hit")).as("n_hits"))
+      .withColumn("overlap_frac",
+        round(col("n_hits").cast("double") / col("n_grams"), 6))
+      .withColumn("is_contaminated", col("overlap_frac") >= ContamFrac)
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        col("overlap_frac"), col("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q80Sql = s"""
+    WITH nd AS (
+      SELECT doc_id, string_split(${OracleSql.normSql}, ' ') AS w
+      FROM documents),
+    g AS (SELECT doc_id, ${OracleSql.gramsSql(ContamN)} AS gr FROM nd),
+    ev AS (SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id % 10 = 0),
+    cg AS (SELECT doc_id, CAST(len(gr) AS BIGINT) AS n_grams,
+                  unnest(gr) AS gram
+           FROM g WHERE doc_id % 10 <> 0)
+    SELECT cg.doc_id, cg.n_grams, CAST(count(ev.gram) AS BIGINT) AS n_hits,
+           round(CAST(count(ev.gram) AS DOUBLE) / cg.n_grams, 6)
+             AS overlap_frac,
+           round(CAST(count(ev.gram) AS DOUBLE) / cg.n_grams, 6)
+             >= $ContamFrac AS is_contaminated
+    FROM cg LEFT JOIN ev ON cg.gram = ev.gram
+    GROUP BY cg.doc_id, cg.n_grams ORDER BY cg.doc_id"""
+
+  // ------------------------------------------------------------------- q81
+  // Edit-distance near-dup verification — the character-level second
+  // opinion on the SAME LSH candidate pairs q32/q61 score with Jaccard
+  // (exact-substring pipelines verify with edit similarity; 3-gram
+  // Jaccard is blind to word order, Levenshtein is not). Candidates come
+  // from the memoized clustering lineage (ClusterMemo.scoredPairs — zero
+  // marginal MinHash/LSH cost after q50), so the quadratic-per-pair DP
+  // runs ONLY on band-blocked pairs, never the corpus cross product; the
+  // normalized texts join onto the pair list by id, two shuffles of
+  // (id, text) rows.
+  private val EditRelThreshold = 0.4
+
+  private val q81: Q = (s, d) => {
+    val cand = ClusterMemo.scoredPairs(s, d).select(col("id_a"), col("id_b"))
+    val t = documents(s, d).select(col("doc_id"),
+      TextOps.normalize(col("text")).as("_n"))
+    cand
+      .join(t.select(col("doc_id").as("id_a"), col("_n").as("_na")),
+        Seq("id_a"))
+      .join(t.select(col("doc_id").as("id_b"), col("_n").as("_nb")),
+        Seq("id_b"))
+      .withColumn("edit_dist",
+        levenshtein(col("_na"), col("_nb")).cast("long"))
+      .withColumn("rel_dist",
+        when(greatest(length(col("_na")), length(col("_nb"))) === 0,
+          lit(0.0))
+          .otherwise(round(col("edit_dist").cast("double") /
+            greatest(length(col("_na")), length(col("_nb"))), 6)))
+      .withColumn("is_near", col("rel_dist") <= EditRelThreshold)
+      .select(col("id_a"), col("id_b"), col("edit_dist"), col("rel_dist"),
+        col("is_near"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private lazy val q81Sql = s"""
+    WITH nd AS (SELECT doc_id, ${OracleSql.normSql} AS n FROM documents),
+    sig AS (SELECT doc_id, ${OracleSql.minhashSigSelect(
+      ClusterMemo.NumHashes, ClusterMemo.ShingleK)} FROM nd),
+    bands AS (
+      ${OracleSql.minhashBandsSql(
+        ClusterMemo.NumHashes / ClusterMemo.RowsPerBand)}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(na.n, nb.n) AS BIGINT) AS edit_dist,
+           CASE WHEN greatest(length(na.n), length(nb.n)) = 0 THEN 0.0
+                ELSE round(CAST(levenshtein(na.n, nb.n) AS DOUBLE)
+                  / greatest(length(na.n), length(nb.n)), 6) END
+             AS rel_dist,
+           (CASE WHEN greatest(length(na.n), length(nb.n)) = 0 THEN 0.0
+                 ELSE round(CAST(levenshtein(na.n, nb.n) AS DOUBLE)
+                   / greatest(length(na.n), length(nb.n)), 6) END)
+             <= $EditRelThreshold AS is_near
+    FROM cand c
+      JOIN nd na ON na.doc_id = c.id_a
+      JOIN nd nb ON nb.doc_id = c.id_b
+    ORDER BY c.id_a, c.id_b"""
+
+  // ------------------------------------------------------------------- q82
+  // Near-dup cluster size histogram — the observability artifact a dedup
+  // run publishes next to q63's manifest (how much mass sits in how-big
+  // clusters decides whether to re-tune the threshold). Reads the
+  // memoized q50 clustering (zero marginal clustering cost in-session);
+  // the histogram itself is one tiny aggregate over (doc, cluster) rows.
+  private val q82: Q = (s, d) =>
+    ClusterMemo.clusters(s, d, threshold = 0.5)
+      .groupBy(col("n_members"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("n_members"))
+
+  private lazy val q82Sql = s"""
+    WITH RECURSIVE ${OracleSql.textClusterCtes(0.5)},
+    sz AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+      FROM cc GROUP BY cluster_id)
+    SELECT n_members, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n_members) AS BIGINT) AS n_docs
+    FROM sz GROUP BY n_members ORDER BY n_members"""
+
+  val queries: Map[String, Q] = Map(
+    "q78_semantic_dedup" -> q78,
+    "q79_passage_dedup" -> q79,
+    "q80_contamination_fraction" -> q80,
+    "q81_editdist_neardup" -> q81,
+    "q82_cluster_histogram" -> q82)
+
+  val oracleSql: Map[String, String] = Map(
+    "q78_semantic_dedup" -> q78Sql,
+    "q79_passage_dedup" -> q79Sql,
+    "q80_contamination_fraction" -> q80Sql,
+    "q81_editdist_neardup" -> q81Sql,
+    "q82_cluster_histogram" -> q82Sql)
+}

@@ -97,6 +97,20 @@ object TextOps {
     md5(to_binary(array_join(array_sort(split(normalize(c), " ")), " "),
       lit("utf-8")))
 
+  /** md5 keys of the NON-OVERLAPPING `len`-word windows of the normalized
+    * text (ceil(words/len) passages; the final window clamps). The ONE
+    * passage-key generator shared by batch cross-doc passage dedup (q79)
+    * and the streaming passage admission probe — 16-byte keys so dedup
+    * joins/probes never carry the passage strings.
+    */
+  def passageHashes(c: Column, len: Int): Column = {
+    val w = split(normalize(c), " ")
+    val np = floor((size(w) + lit(len - 1)) / lit(len)).cast("int")
+    transform(sequence(lit(0), np - 1), p =>
+      md5(to_binary(array_join(slice(w, p * len + 1, lit(len)), " "),
+        lit("utf-8"))))
+  }
+
   // --------------------------------------------------------------------
   // Regex-Column twins of the TextStats-backed operators (the original
   // formulations). Semantics oracles for TextParitySpec; not hot paths.

@@ -56,11 +56,30 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("decontamination probes eval grams via broadcast, never a shuffle join") {
-    val p = planString("q56_decontaminate")
-    assert(p.contains("BroadcastHashJoin"),
-      "q56's eval gram set must broadcast")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      "q56 must not shuffle corpus grams for the probe")
+    for (q <- Seq("q56_decontaminate", "q80_contamination_fraction")) {
+      val p = planString(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q's eval gram set must broadcast")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q must not shuffle corpus grams for the probe")
+    }
+  }
+
+  test("semantic dedup pairs come from the bucket equi-join only") {
+    val p = planString("q78_semantic_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "q78's within-bucket pairs must come from an equi-join on the bucket")
+  }
+
+  test("passage dedup shuffles 16-byte keys, not passage strings") {
+    // the dup-set join and both aggregates key on md5(passage); the only
+    // acceptable exchange payloads are (pk[, doc_id]) rows — a plan that
+    // exchanges a `passage`/text column re-shuffles the corpus text
+    val p = planString("q79_passage_dedup")
+    for (st <- subtrees(p, "Exchange hashpartitioning"))
+      assert(!st.linesIterator.next().contains("text"),
+        "q79 must not shuffle raw text/passages — key on md5 hashes")
   }
 
   test("top-k queries use the bounded aggregate, not a per-query window") {
