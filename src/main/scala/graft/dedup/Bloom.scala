@@ -95,21 +95,40 @@ object Bloom {
     */
   def probeBitset(corpus: org.apache.spark.sql.DataFrame, gramCol: String,
                   evalGrams: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val pos = evalGrams
-      .select(explode(positionsArray(col(gramCol))).as("pos")).distinct()
+      : org.apache.spark.sql.DataFrame =
+    corpus.withColumn("_bloom",
+      bitsetHit(col(gramCol), bitsetOf(evalGrams, gramCol)))
+
+  /** The packed 64-bit-word bitset of a one-column element frame — the
+    * bounded-structure collect behind [[probeBitset]] (at most M distinct
+    * positions regardless of element count, ~25 KiB). Built ONCE at plan
+    * time, so a stream-static consumer pays it at stream start, not per
+    * micro-batch.
+    */
+  def bitsetOf(elems: org.apache.spark.sql.DataFrame,
+               colName: String): Array[Long] = {
+    val pos = elems
+      .select(explode(positionsArray(col(colName))).as("pos")).distinct()
       .collect().map(_.getInt(0))
     val words = new Array[Long]((M + 63) / 64)
     pos.foreach(p => words(p >>> 6) |= 1L << (p & 63))
-    val bitsLit = typedlit(words.toSeq)
+    words
+  }
+
+  /** Membership of one element EXPRESSION in a packed bitset — composable
+    * inside array lambdas (e.g. `filter(pks, p => bitsetHit(p, words))`),
+    * which [[probeBitset]]'s column-name surface can't reach. K bit tests
+    * as codegen'd array indexing; never a false negative.
+    */
+  def bitsetHit(elem: Column, bitWords: Array[Long]): Column = {
+    val bitsLit = typedlit(bitWords.toSeq)
     // element_at(maskLit, bit+1) instead of a variable-shift builtin:
     // both lookups stay simple codegen'd array indexing
     val maskLit = typedlit((0 until 64).map(1L << _))
-    val hit = positions(col(gramCol)).map { p =>
+    positions(elem).map { p =>
       element_at(bitsLit, (p / 64).cast("int") + 1)
         .bitwiseAND(element_at(maskLit, pmod(p, lit(64)).cast("int") + 1))
         .=!=(0L)
     }.reduce(_ && _)
-    corpus.withColumn("_bloom", hit)
   }
 }

@@ -250,4 +250,39 @@ object EventStreams {
         col("nearest_id"),
         (col("_dup").isNull && col("n_near") === 0).as("is_new"))
   }
+
+  /** Streaming PASSAGE-level admission — the ingestion twin of batch q79
+    * (as [[admissionFilter]]/[[nearDupAdmission]] are of q76's layers):
+    * per arriving document, the fraction of its non-overlapping passage
+    * hashes already present in the corpus passage set, and an admit
+    * verdict under `maxDupFrac` boilerplate. The corpus passage set is
+    * CORPUS-SIZED — never broadcast-able, never a stream-static shuffle
+    * candidate — so membership goes through the ~25 KiB Bloom bitset
+    * ([[graft.dedup.Bloom.bitsetHit]]): built once at stream start,
+    * probed scan-locally inside each document's own row, stateless per
+    * micro-batch. Bloom direction matters here: NO false negatives, so
+    * `dup_frac_est` can only overcount — a boilerplate REJECT is
+    * conservative-correct and an admitted doc is re-checked by the daily
+    * batch q79 anyway (StreamingSpec pins est >= exact per doc, and
+    * equality on the fixture's collision-free filter).
+    *
+    * `corpusPassages`: one-column `pk` frame of corpus passage hashes
+    * (`explode(TextOps.passageHashes(...)).distinct()`).
+    */
+  def passageAdmission(docs: DataFrame, corpusPassages: DataFrame,
+                       maxDupFrac: Double = 0.5, len: Int = 4): DataFrame = {
+    import graft.dedup.Bloom
+    import graft.text.TextOps
+    val words = Bloom.bitsetOf(corpusPassages, "pk")
+    docs
+      .select(col("doc_id"),
+        TextOps.passageHashes(col("text"), len).as("_pks"))
+      .select(col("doc_id"),
+        size(col("_pks")).cast("long").as("n_passages"),
+        size(filter(col("_pks"), p => Bloom.bitsetHit(p, words)))
+          .cast("long").as("n_dup_est"))
+      .withColumn("dup_frac_est",
+        round(col("n_dup_est").cast("double") / col("n_passages"), 6))
+      .withColumn("admit", col("dup_frac_est") < maxDupFrac)
+  }
 }

@@ -236,6 +236,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming passage admission: Bloom estimate bounds the exact count") {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextOps
+    val dir = Files.createTempDirectory("docs_passage")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val all = spark.read.parquet(s"$dir/part-0.parquet")
+    val corpus = all.filter(col("doc_id") % 5 =!= 4)
+    val corpusPks = corpus
+      .select(explode(TextOps.passageHashes(col("text"), 4)).as("pk"))
+      .distinct()
+    val stream = EventStreams.passageAdmission(
+      EventStreams.readDocuments(spark, dir.toString)
+        .filter(col("doc_id") % 5 === 4), corpusPks)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("passage_admit").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("passage_admit")
+      // exact per-doc corpus-passage membership (the batch q79 shape,
+      // restricted to batch-vs-corpus) — Bloom must never undercount
+      val exact = all.filter(col("doc_id") % 5 === 4)
+        .select(col("doc_id"),
+          explode(TextOps.passageHashes(col("text"), 4)).as("pk"))
+        .join(corpusPks.withColumn("_hit", lit(1)), Seq("pk"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(col("_hit")).as("n_dup_exact"))
+      val cmp = got.join(exact, Seq("doc_id"))
+      assert(cmp.count() == got.count())
+      assert(cmp.filter(col("n_dup_est") < col("n_dup_exact")).count() == 0,
+        "a Bloom false NEGATIVE is impossible — est must bound exact")
+      // the ~25 KiB filter is far under-filled on the fixture: exact too
+      assert(cmp.filter(col("n_dup_est") =!= col("n_dup_exact")).count() == 0,
+        "fixture filter is collision-free, est must equal exact")
+      // both verdict classes must occur or the pin is vacuous
+      assert(got.filter(col("admit")).count() > 0)
+      assert(got.filter(!col("admit")).count() > 0,
+        "fixture must contain at least one boilerplate rejection")
+    } finally q.stop()
+  }
+
   test("stream-static admission filter drops known fingerprints at the door") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("docs_admit")
