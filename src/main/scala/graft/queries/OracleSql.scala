@@ -107,6 +107,12 @@ private[queries] object OracleSql {
       s"SELECT doc_id, md5('$bnd' || '|' || m$x || '|' || m$y) AS band FROM sig"
     }.mkString("\n      UNION ALL\n      ")
 
+  /** Signature-agreement count between `sig` aliases `a` and `b` (the
+    * MinHash Jaccard estimator's numerator) — shared by q61 and q81.
+    */
+  def sigAgreeSql(numHashes: Int): String = (0 until numHashes).map(i =>
+    s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+
   /** Distinct word-n-grams over word list `w` — the SQL mirror of
     * NGramJaccard / DedupOps.ngramsOfWords gram construction (final slice
     * clamps, so short texts yield the whole word list as the single

@@ -175,8 +175,7 @@ object Pipeline4 {
       .orderBy(col("id_a"), col("id_b"))
 
   private lazy val q61Sql = {
-    val agree = (0 until 8).map(i =>
-      s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    val agree = OracleSql.sigAgreeSql(8)
     s"""
     WITH nd AS (SELECT doc_id, ${OracleSql.normSql} AS n FROM documents),
     sig AS (SELECT doc_id, ${OracleSql.minhashSigSelect(8, 5)} FROM nd),

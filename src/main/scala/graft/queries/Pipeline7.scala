@@ -25,27 +25,40 @@ object Pipeline7 {
   // deterministic and one-pass: a vector is dropped iff some LOWER-id
   // vector in its bucket has rounded cosine >= threshold (no transitive
   // chasing — the kept set is exactly the vectors with n_close = 0).
-  // Plan: one equi-join on the bucket key (never an all-pairs join), one
+  // Plan: ONE shuffle — bucket member lists via collect_list (the q32
+  // band shape, including its hard bucket cap with a loud error naming
+  // the fix), pairs generated scan-local off the lists, one
   // map-side-combinable count, one left join back. Per-bucket work is
   // quadratic in bucket size by design — SemDeDup's contract is that
-  // clusters are small; at denser corpora raise the bucket granularity
-  // (more sketch bits, or IVF cells as in q36) the same way q32 raises
-  // bands.
+  // clusters are small; the cap makes a violated contract FAIL instead
+  // of silently exploding, and denser corpora raise the bucket
+  // granularity (more sketch bits, or IVF cells as in q36) the same way
+  // q32 raises bands.
   private val SemThreshold = 0.2
   private val SemBucketMask = 255 // low 8 of the 16 hyperplane bits
+  private val SemMaxBucket = 4096
 
   private val q78: Q = (s, d) => {
     import graft.sim.Similarity
     val sk = embeddings(s, d).select(col("vec_id"), col("embedding"),
       Similarity.hyperplaneSketch16(col("embedding"), 64)
         .bitwiseAND(lit(SemBucketMask)).as("bucket"))
-    val earlier = sk.select(col("vec_id").as("_eid"),
-      col("embedding").as("_ve"), col("bucket"))
-    val close = sk.select(col("vec_id"), col("embedding"), col("bucket"))
-      .join(earlier, Seq("bucket"))
-      .filter(col("vec_id") > col("_eid"))
-      .filter(round(Similarity.cosine(col("embedding"), col("_ve")), 6)
+    val close = sk
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("vec_id").as("id"),
+        col("embedding").as("v"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .filter(assert_true(size(col("ms")) <= lit(SemMaxBucket),
+        concat(lit("semantic-dedup bucket exceeds "), lit(SemMaxBucket),
+          lit(" vectors (got "), size(col("ms")),
+          lit("): raise the sketch bit granularity — see q78 scaladoc")))
+        .isNull)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") > col("b.id"))
+      .filter(round(Similarity.cosine(col("a.v"), col("b.v")), 6)
         >= SemThreshold)
+      .select(col("a.id").as("vec_id"))
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_close"))
     sk.select(col("vec_id"), col("bucket"))
@@ -89,7 +102,12 @@ object Pipeline7 {
   private val BoilerplateFrac = 0.5
 
   private val q79: Q = (s, d) => {
+    // documents arrive as one parquet file = one partition; spread the
+    // per-passage md5 work across cores first (at 100 TB the scan has
+    // many splits and this repartition is unnecessary — the q31 note)
     val withP = documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         TextOps.passageHashes(col("text"), PassageLen).as("_pks"))
       .select(col("doc_id"), size(col("_pks")).cast("long").as("n_passages"),
@@ -193,18 +211,31 @@ object Pipeline7 {
 
   // ------------------------------------------------------------------- q81
   // Edit-distance near-dup verification — the character-level second
-  // opinion on the SAME LSH candidate pairs q32/q61 score with Jaccard
-  // (exact-substring pipelines verify with edit similarity; 3-gram
-  // Jaccard is blind to word order, Levenshtein is not). Candidates come
-  // from the memoized clustering lineage (ClusterMemo.scoredPairs — zero
-  // marginal MinHash/LSH cost after q50), so the quadratic-per-pair DP
-  // runs ONLY on band-blocked pairs, never the corpus cross product; the
-  // normalized texts join onto the pair list by id, two shuffles of
-  // (id, text) rows.
+  // opinion on the pairs the MinHash sketch NOMINATES (est_jaccard >=
+  // the clustering threshold): exact-substring pipelines verify with
+  // edit similarity because 3-gram Jaccard is blind to word order,
+  // Levenshtein is not. The expensive O(len²) DP is gated behind the
+  // FREE estimate already riding the memoized scored pairs
+  // (ClusterMemo — zero marginal MinHash/LSH cost after q50): at sf0.1
+  // the LSH bucket chance-collisions alone are ~235k pairs and a DP on
+  // every one measured 58 s, while the sketch nominates ~2k — the same
+  // cheap-gate-then-verify economics q61's scaladoc derives for the
+  // Jaccard pass. The normalized texts join onto the gated pair list by
+  // id, two shuffles of (id, text) rows.
   private val EditRelThreshold = 0.4
+  private val EditEstGate = 0.5 // = the q50 clustering threshold
 
   private val q81: Q = (s, d) => {
-    val cand = ClusterMemo.scoredPairs(s, d).select(col("id_a"), col("id_b"))
+    // the gated pair list is byte-TINY but CPU-heavy (an O(len²) DP per
+    // row), and AQE coalesces post-shuffle partitions by BYTES — left
+    // alone it serializes the verify stage onto one core (measured 5x).
+    // An explicit pair-keyed repartition pins the DP's parallelism:
+    // user-specified partition counts are exempt from AQE coalescing.
+    val par = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val cand = ClusterMemo.scoredPairs(s, d)
+      .filter(col("est_jaccard") >= EditEstGate)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .repartition(par, col("id_a"), col("id_b"))
     val t = documents(s, d).select(col("doc_id"),
       TextOps.normalize(col("text")).as("_n"))
     cand
@@ -220,8 +251,8 @@ object Pipeline7 {
           .otherwise(round(col("edit_dist").cast("double") /
             greatest(length(col("_na")), length(col("_nb"))), 6)))
       .withColumn("is_near", col("rel_dist") <= EditRelThreshold)
-      .select(col("id_a"), col("id_b"), col("edit_dist"), col("rel_dist"),
-        col("is_near"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        col("edit_dist"), col("rel_dist"), col("is_near"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -235,8 +266,17 @@ object Pipeline7 {
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.doc_id < b.doc_id)
-    SELECT c.id_a, c.id_b,
+        ON a.band = b.band AND a.doc_id < b.doc_id),
+    gated AS (
+      SELECT c.id_a, c.id_b,
+             round((${OracleSql.sigAgreeSql(ClusterMemo.NumHashes)})
+               / ${ClusterMemo.NumHashes}.0, 6) AS est_jaccard
+      FROM cand c
+        JOIN sig a ON a.doc_id = c.id_a
+        JOIN sig b ON b.doc_id = c.id_b
+      WHERE round((${OracleSql.sigAgreeSql(ClusterMemo.NumHashes)})
+        / ${ClusterMemo.NumHashes}.0, 6) >= $EditEstGate)
+    SELECT g.id_a, g.id_b, g.est_jaccard,
            CAST(levenshtein(na.n, nb.n) AS BIGINT) AS edit_dist,
            CASE WHEN greatest(length(na.n), length(nb.n)) = 0 THEN 0.0
                 ELSE round(CAST(levenshtein(na.n, nb.n) AS DOUBLE)
@@ -246,10 +286,10 @@ object Pipeline7 {
                  ELSE round(CAST(levenshtein(na.n, nb.n) AS DOUBLE)
                    / greatest(length(na.n), length(nb.n)), 6) END)
              <= $EditRelThreshold AS is_near
-    FROM cand c
-      JOIN nd na ON na.doc_id = c.id_a
-      JOIN nd nb ON nb.doc_id = c.id_b
-    ORDER BY c.id_a, c.id_b"""
+    FROM gated g
+      JOIN nd na ON na.doc_id = g.id_a
+      JOIN nd nb ON nb.doc_id = g.id_b
+    ORDER BY g.id_a, g.id_b"""
 
   // ------------------------------------------------------------------- q82
   // Near-dup cluster size histogram — the observability artifact a dedup

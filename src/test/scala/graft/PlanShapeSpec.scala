@@ -74,12 +74,16 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("passage dedup shuffles 16-byte keys, not passage strings") {
     // the dup-set join and both aggregates key on md5(passage); the only
-    // acceptable exchange payloads are (pk[, doc_id]) rows — a plan that
-    // exchanges a `passage`/text column re-shuffles the corpus text
+    // acceptable KEYED exchange payloads are (pk[, doc_id]) rows — a
+    // plan that hash-exchanges a `passage`/text column re-shuffles the
+    // corpus text. (The one round-robin exchange that does carry text is
+    // the deliberate single-file scan spread — unnecessary at real scan
+    // widths, see the q31 note — and is excluded here by matching
+    // hashpartitioning only.)
     val p = planString("q79_passage_dedup")
     for (st <- subtrees(p, "Exchange hashpartitioning"))
       assert(!st.linesIterator.next().contains("text"),
-        "q79 must not shuffle raw text/passages — key on md5 hashes")
+        "q79 must not hash-shuffle raw text/passages — key on md5 hashes")
   }
 
   test("top-k queries use the bounded aggregate, not a per-query window") {
