@@ -200,6 +200,38 @@ object DedupOps {
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Cross-document passage dedup stats (the CCNet/RefinedWeb
+    * repeated-passage pass — the granularity between [[exactDedup]]'s
+    * whole-doc fingerprints and [[nearDupClusters]]): per doc, how many
+    * of its non-overlapping `len`-word passage hashes
+    * ([[TextOps.passageHashes]] — the one generator, shared with the
+    * streaming Bloom admission probe) appear in >= 2 DISTINCT docs.
+    * Returns (idCol, n_passages, n_dup_passages).
+    *
+    * Scale shape: two shuffles, both keyed on the 16-byte passage hash —
+    * the passage STRING never leaves its scan — and the dup-set join is
+    * a plain shuffle join ON PURPOSE: boilerplate sets are corpus-sized,
+    * never a broadcast candidate (AQE may still downgrade from ACTUAL
+    * size, which is the right call at the right layer).
+    */
+  def passageDupStats(docs: DataFrame, idCol: String, textCol: String,
+                      len: Int): DataFrame = {
+    val withP = docs
+      .select(col(idCol), TextOps.passageHashes(col(textCol), len).as("_pks"))
+      .select(col(idCol), size(col("_pks")).cast("long").as("n_passages"),
+        col("_pks"))
+    val pp = withP.select(col(idCol), explode(col("_pks")).as("pk"))
+    val dup = pp.distinct()
+      .groupBy(col("pk")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= 2).select(col("pk"))
+    val hits = pp.join(dup, Seq("pk"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_passages"))
+    withP.select(col(idCol), col("n_passages"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_passages"),
+        coalesce(col("n_dup_passages"), lit(0L)).as("n_dup_passages"))
+  }
+
   /** LSH candidate pairs (id_a < id_b, distinct) from a MinHash signature
     * frame: band keys over adjacent signature pairs, then pairs within
     * each band bucket.

@@ -28,46 +28,16 @@ object Pipeline7 {
   // Plan: ONE shuffle — bucket member lists via collect_list (the q32
   // band shape, including its hard bucket cap with a loud error naming
   // the fix), pairs generated scan-local off the lists, one
-  // map-side-combinable count, one left join back. Per-bucket work is
-  // quadratic in bucket size by design — SemDeDup's contract is that
-  // clusters are small; the cap makes a violated contract FAIL instead
-  // of silently exploding, and denser corpora raise the bucket
-  // granularity (more sketch bits, or IVF cells as in q36) the same way
-  // q32 raises bands.
+  // map-side-combinable count, one left join back — see
+  // Similarity.semanticDedup (the operator; ScaleSpec stresses its cap
+  // on a one-bucket dense corpus).
   private val SemThreshold = 0.2
-  private val SemBucketMask = 255 // low 8 of the 16 hyperplane bits
-  private val SemMaxBucket = 4096
 
-  private val q78: Q = (s, d) => {
-    import graft.sim.Similarity
-    val sk = embeddings(s, d).select(col("vec_id"), col("embedding"),
-      Similarity.hyperplaneSketch16(col("embedding"), 64)
-        .bitwiseAND(lit(SemBucketMask)).as("bucket"))
-    val close = sk
-      .groupBy(col("bucket"))
-      .agg(collect_list(struct(col("vec_id").as("id"),
-        col("embedding").as("v"))).as("ms"))
-      .filter(size(col("ms")) > 1)
-      .filter(assert_true(size(col("ms")) <= lit(SemMaxBucket),
-        concat(lit("semantic-dedup bucket exceeds "), lit(SemMaxBucket),
-          lit(" vectors (got "), size(col("ms")),
-          lit("): raise the sketch bit granularity — see q78 scaladoc")))
-        .isNull)
-      .select(explode(col("ms")).as("a"), col("ms"))
-      .select(col("a"), explode(col("ms")).as("b"))
-      .filter(col("a.id") > col("b.id"))
-      .filter(round(Similarity.cosine(col("a.v"), col("b.v")), 6)
-        >= SemThreshold)
-      .select(col("a.id").as("vec_id"))
-      .groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("n_close"))
-    sk.select(col("vec_id"), col("bucket"))
-      .join(close, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("bucket"),
-        coalesce(col("n_close"), lit(0L)).as("n_close"),
-        col("n_close").isNull.as("keep"))
+  private val q78: Q = (s, d) =>
+    graft.sim.Similarity.semanticDedup(
+      embeddings(s, d).select(col("vec_id"), col("embedding")),
+      threshold = SemThreshold)
       .orderBy(col("vec_id"))
-  }
 
   private lazy val q78Sql = s"""
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -101,32 +71,18 @@ object Pipeline7 {
   private val PassageLen = 4
   private val BoilerplateFrac = 0.5
 
-  private val q79: Q = (s, d) => {
-    // documents arrive as one parquet file = one partition; spread the
-    // per-passage md5 work across cores first (at 100 TB the scan has
-    // many splits and this repartition is unnecessary — the q31 note)
-    val withP = documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        TextOps.passageHashes(col("text"), PassageLen).as("_pks"))
-      .select(col("doc_id"), size(col("_pks")).cast("long").as("n_passages"),
-        col("_pks"))
-    val pp = withP.select(col("doc_id"), explode(col("_pks")).as("pk"))
-    val dup = pp.distinct()
-      .groupBy(col("pk")).agg(count(lit(1)).as("_nd"))
-      .filter(col("_nd") >= 2).select(col("pk"))
-    val hits = pp.join(dup, Seq("pk"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_passages"))
-    withP.select(col("doc_id"), col("n_passages"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_passages"),
-        coalesce(col("n_dup_passages"), lit(0L)).as("n_dup_passages"))
+  private val q79: Q = (s, d) =>
+    graft.dedup.DedupOps.passageDupStats(
+      // documents arrive as one parquet file = one partition; spread the
+      // per-passage md5 work across cores first (at 100 TB the scan has
+      // many splits and this repartition is unnecessary — the q31 note)
+      documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism),
+      "doc_id", "text", PassageLen)
       .withColumn("dup_fraction",
         round(col("n_dup_passages").cast("double") / col("n_passages"), 6))
       .withColumn("is_boilerplate", col("dup_fraction") >= BoilerplateFrac)
       .orderBy(col("doc_id"))
-  }
 
   private lazy val q79Sql = s"""
     WITH nd AS (

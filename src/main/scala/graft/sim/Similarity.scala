@@ -124,6 +124,53 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("hamming"), col("sim"))
   }
 
+  /** Semantic dedup (the SemDeDup recipe): bucket the embedding space by
+    * the low `bucketBits` md5-parity hyperplane signs (engine-portable;
+    * each plane is an independent additive term of the 16-bit sketch, so
+    * the bucket = sketch16 masked to its low bits), then drop any vector
+    * whose bucket holds a LOWER-id vector at rounded cosine >=
+    * `threshold`. Deterministic one-pass keep rule — no transitive
+    * chasing; the kept set is exactly `n_close = 0`.
+    *
+    * Scale shape: ONE shuffle (bucket member lists via collect_list, the
+    * q32 band pattern), pairs generated scan-local off the lists, one
+    * combinable count, one left join back. Per-bucket work is quadratic
+    * in bucket size by SemDeDup's small-cluster contract, so buckets are
+    * capped at `maxBucket` with a loud error — a denser corpus raises
+    * the bucket granularity (more sketch bits, or IVF cells as in
+    * [[kmeansCells]]) exactly the way LSH raises bands.
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double, dim: Int = 64,
+                    bucketMask: Int = 255, maxBucket: Int = 4096,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val sk = emb.select(col(idCol), col(vecCol),
+      hyperplaneSketch16(col(vecCol), dim)
+        .bitwiseAND(lit(bucketMask)).as("bucket"))
+    val close = sk
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col(idCol).as("id"),
+        col(vecCol).as("v"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .filter(assert_true(size(col("ms")) <= lit(maxBucket),
+        concat(lit("semantic-dedup bucket exceeds "), lit(maxBucket),
+          lit(" vectors (got "), size(col("ms")),
+          lit("): raise the sketch bit granularity — see " +
+            "Similarity.semanticDedup scaladoc"))).isNull)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") > col("b.id"))
+      .filter(round(cosine(col("a.v"), col("b.v")), 6) >= threshold)
+      .select(col("a.id").as(idCol))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_close"))
+    sk.select(col(idCol), col("bucket"))
+      .join(close, Seq(idCol), "left")
+      .select(col(idCol), col("bucket"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        col("n_close").isNull.as("keep"))
+  }
+
   /** Cosine similarity — native one-pass [[DotCosine]] expression (the
     * interpreted HOF lambda arithmetic was the entire q35 cost; the fused
     * loop is bit-identical — see [[DotCosine]]'s scaladoc and the

@@ -240,6 +240,69 @@ class ScaleSpec extends AnyFunSuite {
       s"largest shard ${m.max} docs is not file-sized")
   }
 
+  test("passage dedup recovers family structure at 10x sf0.1") {
+    import graft.dedup.DedupOps
+    // 3,950 families x 10 near-dup docs (12 shared md5-derived words +
+    // a per-member trailing token) + 1,000 fully-unique docs. 13 words
+    // -> 4 non-overlapping 4-word passages: a family member's first 3
+    // passages repeat in all 10 members (cross-doc dup), and its
+    // single-word tail passage "tokN" repeats across ALL families — so
+    // family docs are 100% boilerplate while unique docs are 0%.
+    val f = (col("id") / 10).cast("long")
+    val family = concat_ws(" ",
+      (0 until 12).map(i =>
+        substring(md5(to_binary(
+          concat(f.cast("string"), lit(s"_w$i")), lit("utf-8"))), 1, 8)) :+
+      concat(lit("tok"), pmod(col("id"), lit(10))): _*)
+    val unique = concat_ws(" ",
+      (0 until 13).map(i =>
+        substring(md5(to_binary(
+          concat(col("id").cast("string"), lit(s"_u$i")), lit("utf-8"))),
+          1, 8)): _*)
+    val docs = spark.range(40500).select(col("id").as("doc_id"),
+      when(col("id") < 39500, family).otherwise(unique).as("text"))
+
+    val stats = DedupOps.passageDupStats(docs, "doc_id", "text", 4)
+    assert(stats.count() == 40500L)
+    assert(stats.filter(col("n_passages") =!= 4).count() == 0)
+    val famWrong = stats.filter(col("doc_id") < 39500 &&
+      col("n_dup_passages") =!= 4).count()
+    assert(famWrong == 0, s"$famWrong family docs not fully boilerplate")
+    val uniqWrong = stats.filter(col("doc_id") >= 39500 &&
+      col("n_dup_passages") =!= 0).count()
+    assert(uniqWrong == 0, s"$uniqWrong unique docs falsely flagged")
+  }
+
+  test("semantic-dedup bucket cap fails loudly on a one-bucket corpus") {
+    import graft.sim.Similarity
+    val vec = typedlit((0 until 64).map(i => (i + 1).toFloat))
+    // 5,000 identical vectors land in ONE sketch bucket — past the
+    // default 4,096 cap the m^2 pair stage must fail loudly, not OOM
+    val dense = spark.range(5000)
+      .select(col("id").as("vec_id"), vec.as("embedding"))
+    // reference a close-side column: a bare count() lets Catalyst
+    // eliminate the left join (unique-key right side, no refs) and the
+    // capped subtree would never run
+    val e = intercept[Exception] {
+      Similarity.semanticDedup(dense, threshold = 0.2)
+        .filter(col("keep")).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("semantic-dedup bucket") && m.contains("granularity")))
+
+    // under the cap the dense bucket resolves deterministically: every
+    // vector beyond the smallest id has all lower ids at cosine 1, so
+    // exactly one survivor and n_close(i) = i
+    val small = spark.range(100)
+      .select(col("id").as("vec_id"), vec.as("embedding"))
+    val out = Similarity.semanticDedup(small, threshold = 0.2)
+    assert(out.filter(col("keep")).count() == 1L)
+    assert(out.filter(col("n_close") =!= col("vec_id")).count() == 0)
+  }
+
   test("approximate scale-path twins track the exact operators") {
     // The oracle-gated queries use EXACT forms (engine-portable values);
     // at 100 TB the drop-in production variants are the sketch
