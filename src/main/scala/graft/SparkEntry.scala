@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.Pipeline4.queries ++
       graft.queries.Pipeline5.queries ++
       graft.queries.Pipeline6.queries ++
-      graft.queries.Pipeline7.queries
+      graft.queries.Pipeline7.queries ++
+      graft.queries.Pipeline8.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.Pipeline4.oracleSql ++
       graft.queries.Pipeline5.oracleSql ++
       graft.queries.Pipeline6.oracleSql ++
-      graft.queries.Pipeline7.oracleSql
+      graft.queries.Pipeline7.oracleSql ++
+      graft.queries.Pipeline8.oracleSql
 }

@@ -232,6 +232,53 @@ object DedupOps {
         coalesce(col("n_dup_passages"), lit(0L)).as("n_dup_passages"))
   }
 
+  /** Fuzzy-containment pairs (the GPT-3-style subset-duplicate check that
+    * symmetric Jaccard is blind to: a short doc quoted whole inside a 10×
+    * longer one has Jaccard ≈ 0.1 and MinHash-LSH never nominates it).
+    * Candidates are doc pairs sharing a RARE word-`n`-gram — document
+    * frequency in [dfMin, dfMax] — and each candidate is verified with
+    * the exact overlap of its distinct-gram sets:
+    * `containment = |A∩B| / min(|A|,|B|)` (the smaller side's coverage).
+    *
+    * Scale shape: the gram STRING never leaves its scan (df counting and
+    * the candidate join key on its 16-byte md5); df counting is a
+    * map-side-combinable aggregate; member lists are built ONLY for grams
+    * already filtered to df <= dfMax, so every list is <= dfMax elements
+    * and per-gram pair fan-out is <= dfMax² — the df cap IS the bound
+    * (frequent grams are boilerplate, not containment evidence, so
+    * skipping them is the semantics, not an approximation shortcut).
+    * Verification joins the two sorted distinct gram arrays back by id
+    * and intersects them scan-local. Returns (id_a, id_b, n_a, n_b,
+    * n_common, containment).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, dfMin: Int = 2, dfMax: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val g = docs.select(col(idCol),
+      column(NGramArray(expression(col(textCol)), n)).as("_g"))
+    val dg = g.select(col(idCol), explode(col("_g")).as("_gram"))
+      .select(col(idCol), md5(to_binary(col("_gram"), lit("utf-8"))).as("gk"))
+    val rare = dg.groupBy(col("gk")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df").between(dfMin, dfMax)).select(col("gk"))
+    val pairs = dg.join(rare, Seq("gk"))
+      .groupBy(col("gk")).agg(collect_list(col(idCol)).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    pairs
+      .join(g.select(col(idCol).as("id_a"), col("_g").as("_ga")), Seq("id_a"))
+      .join(g.select(col(idCol).as("id_b"), col("_g").as("_gb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(col("_ga")).cast("long").as("n_a"),
+        size(col("_gb")).cast("long").as("n_b"),
+        size(array_intersect(col("_ga"), col("_gb"))).cast("long")
+          .as("n_common"))
+      .withColumn("containment",
+        round(col("n_common").cast("double") /
+          least(col("n_a"), col("n_b")), 6))
+  }
+
   /** LSH candidate pairs (id_a < id_b, distinct) from a MinHash signature
     * frame: band keys over adjacent signature pairs, then pairs within
     * each band bucket.

@@ -263,4 +263,42 @@ object Similarity {
     finishTopK(joined, k, qId, cId, Seq(cell))
       .select(col(qId), col(cell), col(cId), col("sim"), col("rnk"))
   }
+
+  /** Hard-negative mining for contrastive training: for EVERY vector, the
+    * top-k most-cosine-similar vectors carrying a DIFFERENT label. Unlike
+    * [[topK]] the anchor side is the whole corpus, so nothing here may be
+    * broadcast: candidates come from the anchor's hyperplane-sketch
+    * bucket (the low `bucketMask` bits of the deterministic md5-parity
+    * sketch — same-bucket vectors ARE the near-cosine ones, which is
+    * exactly where hard negatives live), via one corpus×corpus equi-join
+    * SHUFFLED on the bucket id. Per-anchor ranking is the bounded
+    * [[TopKByScore]] k-heap with map-side partial combine, so the m²
+    * per-bucket pair stream is consumed as it is produced — at most k
+    * rows per anchor per partition ever reach the final shuffle. A denser
+    * corpus raises the bucket granularity (wider mask / more sketch
+    * bits / IVF cells via [[kmeansCells]]) exactly the way LSH raises
+    * bands; AQE's skew-join split handles residual bucket skew.
+    *
+    * Anchors whose bucket holds no different-label vector emit no rows
+    * (they have no in-bucket negative), and null cosines (zero-norm
+    * vectors) are excluded from ranking per [[finishTopK]]'s contract.
+    * Ties break on (sim desc, id asc) after rounding — engine-portable.
+    */
+  def hardNegatives(emb: DataFrame, k: Int, dim: Int = 64,
+                    bucketMask: Int = 255, idCol: String = "vec_id",
+                    labelCol: String = "label",
+                    vecCol: String = "embedding"): DataFrame = {
+    val sk = emb.select(col(idCol), col(labelCol), col(vecCol),
+      hyperplaneSketch16(col(vecCol), dim)
+        .bitwiseAND(lit(bucketMask)).as("bucket"))
+    val anchors = sk.select(col(idCol).as("q_id"), col(labelCol).as("_ql"),
+      col(vecCol).as("q_vec"), col("bucket"))
+    val cands = sk.select(col(idCol).as("vec_id"), col(labelCol).as("_cl"),
+      col(vecCol).as("_c_vec"), col("bucket"))
+    val joined = cands.join(anchors, Seq("bucket"))
+      .filter(col("_ql") =!= col("_cl"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("_c_vec")), 6))
+    finishTopK(joined, k, "q_id", "vec_id", Nil)
+      .select(col("q_id"), col("vec_id"), col("sim"), col("rnk"))
+  }
 }
