@@ -327,4 +327,74 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
       "q48 must shuffle once (the dedup groupBy)")
   }
+
+  test("edit-distance verify pins the DP's parallelism explicitly") {
+    // the gated pair list is byte-tiny but CPU-heavy; AQE coalesces
+    // post-shuffle partitions by BYTES and serialized the Levenshtein
+    // stage onto one core (measured 5x) — the explicit pair-keyed
+    // repartition is exempt from coalescing and must survive edits
+    val p = planString("q81_editdist_neardup")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      "q81 must repartition the gated pairs with an explicit count")
+    assert(p.contains("levenshtein"), "q81 must verify via Levenshtein")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("cluster consumers read the memo, not the lineage") {
+    // q82/q83 are observability/selection passes over q50's clustering;
+    // with the memo warm their plans must read the checkpointed labels
+    // (an RDD scan), never re-run MinHash — a 100 TB pipeline does not
+    // recompute a clustering to read its manifest
+    graft.queries.ClusterMemo.clusters(spark, d, threshold = 0.5).count()
+    for (q <- Seq("q82_cluster_histogram", "q83_cluster_best_rep")) {
+      val p = planString(q)
+      assert(!p.contains("minhash_sig"),
+        s"$q must not recompute signatures when the memo is warm")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q must read the memoized clustering checkpoint")
+    }
+  }
+
+  test("cluster best-rep takes its argmax as an aggregate, not a window") {
+    val p = planString("q83_cluster_best_rep")
+    assert(!p.contains("Window"),
+      "q83's per-cluster argmax must be max(struct), not a ranking window")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("hard negatives never broadcast and rank via the bounded aggregate") {
+    // BOTH sides of q84's candidate join are the corpus — with the
+    // size-based auto-broadcast off, any BroadcastExchange left in the
+    // plan would be an explicit corpus-side hint (the q76 defect class)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planString("q84_hard_negatives")
+      assert(!p.contains("BroadcastExchange"),
+        "q84 must not broadcast either corpus side of the bucket join")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        "q84 candidates come from the bucket equi-join only")
+      assert(p.contains("topk_by_score") && !p.contains("Window"),
+        "q84 must rank via TopKByScore, not a per-anchor window")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("containment keys its shuffles on 16-byte gram hashes, not grams") {
+    // df counting and the candidate join key on md5(gram); an exchange
+    // KEYED on the raw gram re-shuffles corpus text (the q79 rule —
+    // id-keyed exchanges may carry gram ARRAYS to the verify join, which
+    // is the house gram-join pattern, so only the keys are gated)
+    val p = planString("q86_containment_pairs")
+    for (st <- subtrees(p, "Exchange hashpartitioning"))
+      assert(!st.linesIterator.next().contains("_gram"),
+        "q86 must not hash-shuffle raw grams — key on md5 hashes")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

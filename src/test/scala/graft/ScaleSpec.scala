@@ -303,6 +303,58 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.filter(col("n_close") =!= col("vec_id")).count() == 0)
   }
 
+  test("containment finds subset dups Jaccard misses; the df cap kills boilerplate fan-out") {
+    import graft.dedup.DedupOps
+    // 10,000 families: a 100-word base doc + a "quote" doc = its first 20
+    // words (3-gram Jaccard vs base ~ 0.17 — below the 0.5 clustering
+    // threshold, so MinHash-LSH dedup never nominates the pair) — plus
+    // 20,000 IDENTICAL boilerplate docs whose grams all have df=20,000:
+    // without the df cap those grams alone would fan out ~2x10^8
+    // candidate pairs; with it they produce ZERO (identical docs are the
+    // exact-dedup layer's job, not containment's).
+    val fam = (col("id") % 10000).cast("long")
+    def w(i: org.apache.spark.sql.Column) = substring(md5(to_binary(
+      concat(fam.cast("string"), lit("_"), i.cast("string")), lit("utf-8"))),
+      1, 8)
+    val base = concat_ws(" ", (0 until 100).map(i => w(lit(i))): _*)
+    val quote = concat_ws(" ", (0 until 20).map(i => w(lit(i))): _*)
+    val docs = spark.range(40000).select(col("id").as("doc_id"),
+      when(col("id") < 10000, base)
+        .when(col("id") < 20000, quote)
+        .otherwise(lit("all aboard the boilerplate express " * 10))
+        .as("text"))
+
+    val pairs = DedupOps.containmentPairs(docs, "doc_id", "text", n = 8)
+      .localCheckpoint()
+    // exactly the (base, quote) pairs: quotes' 13 8-grams all sit in the
+    // matching base and nowhere else (df=2 -> every one is a candidate
+    // key), so containment = 13/13 = 1.0; no cross-family or
+    // boilerplate pair survives the df window
+    assert(pairs.count() == 10000L)
+    assert(pairs.filter(col("id_b") =!= col("id_a") + 10000).count() == 0)
+    assert(pairs.filter(col("containment") =!= 1.0).count() == 0)
+    assert(pairs.filter(col("n_common") =!= 13).count() == 0)
+  }
+
+  test("hard negatives stay bounded and deterministic on a dense bucket") {
+    import graft.sim.Similarity
+    // 4,000 identical vectors (one sketch bucket, ~8M streamed pairs)
+    // with two labels: the k-heap consumes the m^2 pair stream map-side,
+    // and with every cosine = 1.0 ties break on vec_id — each anchor's
+    // negatives are exactly the 3 lowest ids of the OTHER label
+    val vec = typedlit((0 until 64).map(i => (i + 1).toFloat))
+    val emb = spark.range(4000).select(col("id").as("vec_id"),
+      (col("id") % 2).cast("int").as("label"), vec.as("embedding"))
+    val out = Similarity.hardNegatives(emb, k = 3).localCheckpoint()
+    assert(out.count() == 4000L * 3)
+    assert(out.filter(col("sim") =!= 1.0).count() == 0)
+    // anchor of label 0 -> negatives {1, 3, 5}; label 1 -> {0, 2, 4}
+    val bad = out.filter(
+      col("vec_id") =!= (lit(1) - pmod(col("q_id"), lit(2)))
+        + (col("rnk") - 1) * 2).count()
+    assert(bad == 0, s"$bad negative rows deviate from the deterministic top-3")
+  }
+
   test("approximate scale-path twins track the exact operators") {
     // The oracle-gated queries use EXACT forms (engine-portable values);
     // at 100 TB the drop-in production variants are the sketch
