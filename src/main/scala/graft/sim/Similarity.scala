@@ -264,6 +264,66 @@ object Similarity {
       .select(col(qId), col(cell), col(cId), col("sim"), col("rnk"))
   }
 
+  /** Static corpus bucket index for ingestion-time SEMANTIC admission
+    * (the embedding twin of [[graft.dedup.DedupOps.bandIndex]]): one row
+    * per hyperplane-sketch bucket holding the bucket's member list
+    * (id + vector) as the broadcastable probe payload, id-sorted so the
+    * index artifact is deterministic. Bucket lists carry the same cap as
+    * [[semanticDedup]] (SemDeDup's small-cluster contract), so index
+    * size is bounded by #occupied-buckets × maxBucket — at 100 TB the
+    * index holds the KEPT representatives (the deduped set), is rebuilt
+    * per corpus snapshot and broadcast per micro-batch; past broadcast
+    * budget, raise the bucket granularity or quantize the stored vectors
+    * ([[QuantizeInt8]], 4× smaller) before sharding the index.
+    */
+  def bucketIndex(corpus: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding", dim: Int = 64,
+                  bucketMask: Int = 255, maxBucket: Int = 4096): DataFrame =
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        hyperplaneSketch16(col(vecCol), dim)
+          .bitwiseAND(lit(bucketMask)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("id"), col("v"))))
+        .as("cands"))
+      .filter(assert_true(size(col("cands")) <= lit(maxBucket),
+        concat(lit("bucket index exceeds maxBucket="), lit(maxBucket),
+          lit(" vectors (got "), size(col("cands")),
+          lit("): raise the sketch bit granularity — see " +
+            "Similarity.semanticDedup scaladoc"))).isNull)
+
+  /** Probes every vector of `docs` — a STREAM or a batch frame — against
+    * a static [[bucketIndex]]: the arriving vector's sketch bucket is
+    * computed scan-local, the index rides ONE broadcast left-join on the
+    * bucket id, and the cosine verify plus the candidate aggregation run
+    * as array lambdas INSIDE the row — no state store, no watermark, no
+    * streaming aggregation (the stream-static shape of q78 run at the
+    * ingestion door). Appends `n_close` (verified corpus members),
+    * `closest_id` (smallest of them, null when none) and
+    * `is_semantic_dup`.
+    */
+  def probeBucketIndex(docs: DataFrame, index: DataFrame, threshold: Double,
+                       dim: Int = 64, bucketMask: Int = 255,
+                       vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val idType = index.schema("cands").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]("id").dataType
+    val closeIds = coalesce(
+      transform(filter(col("_cands"), x =>
+        round(cosine(col(vecCol), x.getField("v")), 6) >= threshold),
+        x => x.getField("id")),
+      array().cast(ArrayType(idType)))
+    docs
+      .withColumn("_bucket", hyperplaneSketch16(col(vecCol), dim)
+        .bitwiseAND(lit(bucketMask)))
+      .join(broadcast(index.select(col("bucket").as("_bucket"),
+        col("cands").as("_cands"))), Seq("_bucket"), "left")
+      .withColumn("_close", closeIds)
+      .withColumn("n_close", size(col("_close")).cast("long"))
+      .withColumn("closest_id", array_min(col("_close")))
+      .withColumn("is_semantic_dup", col("n_close") > 0)
+      .drop("_bucket", "_cands", "_close")
+  }
+
   /** Hard-negative mining for contrastive training: for EVERY vector, the
     * top-k most-cosine-similar vectors carrying a DIFFERENT label. Unlike
     * [[topK]] the anchor side is the whole corpus, so nothing here may be

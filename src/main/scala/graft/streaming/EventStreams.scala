@@ -251,6 +251,32 @@ object EventStreams {
         (col("_dup").isNull && col("n_near") === 0).as("is_new"))
   }
 
+  /** embeddings.parquet physical schema (for the semantic admission twin). */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(embeddingsSchema).parquet(dir)
+
+  /** Streaming SEMANTIC admission — the embedding-space member of the
+    * admission family ([[admissionFilter]] exact, [[nearDupAdmission]]
+    * lexical, [[passageAdmission]] passage-level): each arriving vector
+    * probes its hyperplane-sketch bucket against the broadcast STATIC
+    * corpus bucket index ([[graft.sim.Similarity.bucketIndex]], rebuilt
+    * per corpus snapshot) and cosine-verifies the bucket members inside
+    * its own row — stateless per micro-batch, the q78 SemDeDup rule run
+    * at the ingestion door: admit iff no already-kept vector sits within
+    * `threshold` cosine in the same bucket. StreamingSpec pins stream
+    * verdicts == the batch bucket-join rule on the same fixture.
+    */
+  def semanticAdmission(vecs: DataFrame, corpusIndex: DataFrame,
+                        threshold: Double = 0.2): DataFrame =
+    graft.sim.Similarity.probeBucketIndex(vecs, corpusIndex, threshold)
+      .select(col("vec_id"), col("n_close"), col("closest_id"),
+        (!col("is_semantic_dup")).as("admit"))
+
   /** Streaming PASSAGE-level admission — the ingestion twin of batch q79
     * (as [[admissionFilter]]/[[nearDupAdmission]] are of q76's layers):
     * per arriving document, the fraction of its non-overlapping passage

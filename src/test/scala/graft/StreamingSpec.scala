@@ -277,6 +277,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic admission agrees with the batch bucket rule") {
+    import org.apache.spark.sql.functions._
+    import graft.sim.Similarity
+    val dir = Files.createTempDirectory("vecs_semantic")
+    Files.copy(Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val all = spark.read.parquet(s"$dir/part-0.parquet")
+    val corpus = all.filter(col("vec_id") % 5 =!= 4)
+    val index = Similarity.bucketIndex(corpus)
+    val stream = EventStreams.semanticAdmission(
+      EventStreams.readEmbeddings(spark, dir.toString)
+        .filter(col("vec_id") % 5 === 4), index)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("semantic_admit").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("semantic_admit")
+      // the batch rule, computed independently as a plain bucket
+      // equi-join: an arriving vector is a semantic dup iff some CORPUS
+      // vector shares its sketch bucket at rounded cosine >= threshold
+      def sk(df: org.apache.spark.sql.DataFrame, id: String, v: String) =
+        df.select(col("vec_id").as(id), col("embedding").as(v),
+          Similarity.hyperplaneSketch16(col("embedding"), 64)
+            .bitwiseAND(lit(255)).as("bucket"))
+      val close = sk(all.filter(col("vec_id") % 5 === 4), "vec_id", "_qv")
+        .join(sk(corpus, "_cid", "_cv"), Seq("bucket"))
+        .filter(round(Similarity.cosine(col("_qv"), col("_cv")), 6) >= 0.2)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_close"), min(col("_cid")).as("closest_id"))
+      val want = all.filter(col("vec_id") % 5 === 4).select(col("vec_id"))
+        .join(close, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("n_close"), lit(0L)).as("n_close"),
+          col("closest_id"), col("n_close").isNull.as("admit"))
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        "per-vector stream verdicts must equal the batch bucket rule")
+      // both verdict classes must occur or the pin is vacuous
+      assert(got.filter(col("admit")).count() > 0)
+      assert(got.filter(!col("admit")).count() > 0,
+        "fixture must contain at least one semantic-dup rejection")
+    } finally q.stop()
+  }
+
   test("stream-static admission filter drops known fingerprints at the door") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("docs_admit")
