@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.Pipeline5.queries ++
       graft.queries.Pipeline6.queries ++
       graft.queries.Pipeline7.queries ++
-      graft.queries.Pipeline8.queries
+      graft.queries.Pipeline8.queries ++
+      graft.queries.Pipeline9.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.queries.Pipeline5.oracleSql ++
       graft.queries.Pipeline6.oracleSql ++
       graft.queries.Pipeline7.oracleSql ++
-      graft.queries.Pipeline8.oracleSql
+      graft.queries.Pipeline8.oracleSql ++
+      graft.queries.Pipeline9.oracleSql
 }

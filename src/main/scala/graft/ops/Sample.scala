@@ -86,4 +86,56 @@ object Sample {
     s"substr(md5(CAST($keyCol AS VARCHAR)), 1, 4) < " +
       s"(CASE $strataCol $whens ELSE '${hexThreshold(defaultRate)}' END)"
   }
+
+  /** Temperature-weighted multinomial source mixing (the T5 / Llama
+    * data-mix rule with α = 1/2): stratum s gets a share of the target
+    * proportional to n_s^α, so small sources are up-weighted relative
+    * to their natural frequency and no single giant source dominates.
+    * Per-row keep rate r_s = min(1, targetFrac·Σn · sqrt(n_s)/Σsqrt(n) /
+    * n_s), applied with the same md5-bucket predicate as
+    * [[stratifiedHashSample]] — deterministic, shuffle-free on the fact
+    * side at any corpus size.
+    *
+    * DERIVED rates are where engine portability gets won or lost: α is
+    * fixed at 1/2 because IEEE `sqrt` is correctly rounded everywhere
+    * (`pow` is not — the repo's one cross-engine ulp divergence came
+    * from libm pow), the cross-stratum Σsqrt(n) and the rate are rounded
+    * to 6 dp so summation-order wobble (~1e-12) cannot move a bucket
+    * threshold, and the threshold string is the same %04x formatting on
+    * floor(rate·65536) in both engines ([[temperatureThresholdSql]]).
+    *
+    * Plan shape: one tiny map-side-combinable count per stratum, the
+    * per-stratum threshold frame BROADCAST back, the keep predicate in
+    * the scan stage — the fact table is scanned once and never shuffled.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
+                        targetFrac: Double): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+    val tot = counts.agg(sum(col("_n")).as("_total"),
+      round(sum(sqrt(col("_n"))), 6).as("_ssum"))
+    val thresh = counts.crossJoin(broadcast(tot))
+      .withColumn("_rate", least(lit(1.0), round(
+        lit(targetFrac) * col("_total") * sqrt(col("_n")) /
+          col("_ssum") / col("_n"), 6)))
+      .withColumn("_b", floor(col("_rate") * lit(Buckets)))
+      .select(col(strataCol),
+        when(col("_b") >= Buckets, lit("zzzz"))
+          .when(col("_b") <= 0L, lit("0000"))
+          .otherwise(format_string("%04x", col("_b"))).as("_thresh"))
+    df.join(broadcast(thresh), Seq(strataCol))
+      .filter(bucket(col(keyCol)) < col("_thresh"))
+      .drop("_thresh")
+  }
+
+  /** DuckDB mirror of [[temperatureSample]]'s per-stratum threshold,
+    * as a SQL expression over columns `n` (stratum count), `total` and
+    * `ssum` (the rounded Σsqrt(n)) — one generator shared with the
+    * oracle so the two engines cannot disagree on a formula detail.
+    */
+  def temperatureThresholdSql(targetFrac: Double): String = {
+    val b = s"floor(least(1.0, round($targetFrac * total * sqrt(n) " +
+      "/ ssum / n, 6)) * 65536)"
+    s"(CASE WHEN $b >= 65536 THEN 'zzzz' WHEN $b <= 0 THEN '0000' " +
+      s"ELSE printf('%04x', CAST($b AS BIGINT)) END)"
+  }
 }

@@ -1,0 +1,64 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Character-trigram language-model scoring — the KenLM-style
+  * perplexity-proxy quality filter (CCNet / Llama data curation): score
+  * every document by the mean log-probability of its character trigrams
+  * under a model estimated from the corpus itself, so "fluent" text
+  * (built from common trigrams) scores high and gibberish / OCR noise /
+  * wrong-charset text scores low. Unlike the heuristic quality score
+  * ([[TextOps.qualityScore]]) this is a STATISTICAL filter: the corpus
+  * defines what normal text looks like.
+  *
+  * Scale shape: the model table is bounded by the trigram space of the
+  * normalized charset — at most a few tens of thousands of rows at ANY
+  * corpus size — so model estimation is one map-side-combinable count
+  * whose shuffle carries ≤ |V| rows per partition, and scoring rides a
+  * BROADCAST join of that table into the trigram scan, then ONE shuffle
+  * keyed on doc_id with partial aggregation (sum/count combine
+  * map-side). The corpus is scanned twice (estimate, then score) — the
+  * standard two-pass LM shape; a 100 TB deployment estimates the model
+  * from a deterministic hash sample ([[graft.ops.Sample.keep]]) and
+  * scores everyone, turning pass one into a cheap sampled scan.
+  *
+  * Add-one smoothing with V = distinct observed trigrams keeps the
+  * formula exact and engine-portable: logp(t) = ln((c_t + 1) / (N + V)).
+  */
+object TrigramLm {
+
+  /** Character trigrams of the normalized text as an array column
+    * (overlapping windows; empty array when fewer than 3 chars — the
+    * guard matters because `sequence(1, n)` counts DOWN for n < 1).
+    */
+  def trigrams(text: Column): Column = {
+    val n = TextOps.normalize(text)
+    when(length(n) >= 3,
+      transform(sequence(lit(1), length(n) - 2), i => n.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (id, n_tri, lm_score): mean trigram log-probability per document,
+    * rounded to 6 dp (sum order across engines/partitions wobbles below
+    * 1e-12; the rounding pins the value). Documents shorter than one
+    * trigram keep n_tri = 0 and a null score.
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tri = docs.select(col(idCol).as("_id"),
+        explode(trigrams(col(textCol))).as("tri"))
+    val model = tri.groupBy(col("tri")).agg(count(lit(1)).as("c"))
+    val totals = model.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val logp = model.crossJoin(broadcast(totals))
+      .select(col("tri"),
+        log((col("c") + lit(1.0)) / (col("n") + col("v"))).as("logp"))
+    val scored = tri.join(broadcast(logp), Seq("tri"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("logp")).as("_s"))
+    docs.select(col(idCol).as("_id"))
+      .join(scored, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(col("_s") / col("n_tri"), 6).as("lm_score"))
+  }
+}

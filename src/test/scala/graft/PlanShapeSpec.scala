@@ -397,4 +397,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("trigram LM probes the model via broadcast, never a tri shuffle") {
+    // the model table is bounded by the charset's trigram space, so the
+    // scoring join must broadcast it; a shuffle join keyed on the raw
+    // trigram re-shuffles O(corpus chars) rows at 100 TB
+    val p = planString("q87_trigram_lm_score")
+    for (m <- Seq("SortMergeJoin", "ShuffledHashJoin");
+         st <- subtrees(p, m))
+      assert(!st.linesIterator.next().contains("tri#"),
+        s"q87 scoring join must broadcast the model, got $m on tri")
+    assert(p.contains("BroadcastHashJoin"),
+      "q87 must probe the trigram model through a broadcast join")
+  }
+
+  test("temperature mixing never shuffles the fact side") {
+    // derived per-source thresholds are a handful of rows: they ride a
+    // broadcast back onto the scan; the only exchanges allowed are the
+    // tiny count aggregation's and the final presentation sort
+    val p = planString("q88_temperature_mix")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "q88's threshold join must be broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    for (st <- subtrees(p, "Exchange hashpartitioning"))
+      assert(!st.linesIterator.next().contains("doc_id"),
+        "q88 must not hash-shuffle the fact table")
+  }
 }

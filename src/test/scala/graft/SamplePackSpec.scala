@@ -92,4 +92,36 @@ class SamplePackSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Pack.packSequences(df, "shard", "ord", "toks", 0L))
   }
+
+  test("temperature mixing up-weights small sources and clamps at 1") {
+    // n = 9000/900/90; sqrt-share targets give rate(a) ~ 0.392 while
+    // b and c over-subscribe (rate > 1) and clamp to keep-all
+    val docs = ((0L until 9000L).map((_, "a")) ++
+      (9000L until 9900L).map((_, "b")) ++
+      (9900L until 9990L).map((_, "c"))).toDF("id", "s")
+    val kept = Sample.temperatureSample(docs, "id", "s", 0.5)
+    val bySrc = kept.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("b") == 900L && bySrc("c") == 90L,
+      "over-subscribed small sources clamp to keep-all")
+    // a's derived rate: 4995 * sqrt(9000)/ssum / 9000 ~ 0.3919;
+    // 9000 md5-uniform draws stay well within 5 sigma (+-240)
+    assert(math.abs(bySrc("a") - 0.3919 * 9000) < 300,
+      s"source a kept ${bySrc("a")}, expected ~3527")
+    // the temperature effect: small sources keep a HIGHER fraction
+    assert(bySrc("c").toDouble / 90 > bySrc("a").toDouble / 9000)
+    // deterministic: the identical id set on a re-run
+    val again = Sample.temperatureSample(docs, "id", "s", 0.5)
+    assert(kept.exceptAll(again).count() == 0 &&
+      again.exceptAll(kept).count() == 0)
+  }
+
+  test("temperature mixing on uniform sources reduces to plain rate") {
+    val docs = (0L until 4000L).map(i => (i, s"s${i % 4}")).toDF("id", "s")
+    val kept = Sample.temperatureSample(docs, "id", "s", 0.5)
+    // uniform strata -> every derived rate = targetFrac = 0.5
+    val fracs = kept.groupBy("s").count().collect()
+      .map(r => r.getLong(1).toDouble / 1000)
+    assert(fracs.length == 4 && fracs.forall(f => math.abs(f - 0.5) < 0.08))
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TrigramLm
+
+/** Character-trigram LM scoring: hand-computed smoothing arithmetic,
+  * the fluent-vs-gibberish ordering the filter exists for, and the
+  * short-document edge.
+  */
+class TrigramLmSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("hand-computed add-one smoothing on a two-doc corpus") {
+    // both docs = "abab": trigrams aba, bab each twice over the corpus;
+    // N = 4 instances, V = 2 distinct -> every logp = ln((2+1)/(4+2))
+    // = ln(1/2); each doc's mean is ln(1/2) = -0.693147 at 6 dp
+    val docs = Seq((1L, "abab"), (2L, "abab")).toDF("doc_id", "text")
+    val got = TrigramLm.score(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.length == 2)
+    for (r <- got) {
+      assert(r.getLong(1) == 2L, "abab has 2 trigram instances")
+      assert(r.getDouble(2) == -0.693147)
+    }
+  }
+
+  test("gibberish scores strictly below every fluent document") {
+    val fluent = (1L to 20L).map(i =>
+      (i, "the cat sat on the mat and the dog sat on the log"))
+    val docs = (fluent :+ (99L, "zqxjwv kpqzx jvwqk xzjqp wkvzq"))
+      .toDF("doc_id", "text")
+    val scores = TrigramLm.score(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val worstFluent = (1L to 20L).map(scores).min
+    assert(scores(99L) < worstFluent,
+      "rare-trigram text must score below common-trigram text")
+  }
+
+  test("documents shorter than one trigram get n_tri 0 and null score") {
+    val docs = Seq((1L, "ab"), (2L, "abcd")).toDF("doc_id", "text")
+    val got = TrigramLm.score(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 0L && got(0).isNullAt(2))
+    // "abcd" -> abc, bcd
+    assert(got(1).getLong(1) == 2L && !got(1).isNullAt(2))
+  }
+
+  test("normalization feeds the model: case and whitespace collapse") {
+    // "AB  AB" normalizes to "ab ab" == "ab ab" verbatim -> same score
+    val docs = Seq((1L, "AB  AB"), (2L, "ab ab")).toDF("doc_id", "text")
+    val got = TrigramLm.score(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) == got(2L))
+  }
+}
