@@ -28,16 +28,20 @@ import org.apache.spark.sql.functions._
   */
 object TrigramLm {
 
-  /** Character trigrams of the normalized text as an array column
-    * (overlapping windows; empty array when fewer than 3 chars — the
-    * guard matters because `sequence(1, n)` counts DOWN for n < 1).
+  /** Character trigrams of an ALREADY-NORMALIZED string column as an
+    * array (overlapping windows; empty array when fewer than 3 chars —
+    * the guard matters because `sequence(1, n)` counts DOWN for n < 1).
+    *
+    * Takes the normalized column, not the raw text, on purpose: Spark's
+    * CSE does not cross lambda boundaries, so embedding
+    * `TextOps.normalize` here would re-run the whole-document regexp
+    * once PER TRIGRAM — O(len²) per doc (measured 20.7 s vs 2.4 s at
+    * sf0.1). Materialize the normalization in a projection first.
     */
-  def trigrams(text: Column): Column = {
-    val n = TextOps.normalize(text)
+  def trigramsOfNormalized(n: Column): Column =
     when(length(n) >= 3,
       transform(sequence(lit(1), length(n) - 2), i => n.substr(i, lit(3))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** (id, n_tri, lm_score): mean trigram log-probability per document,
     * rounded to 6 dp (sum order across engines/partitions wobbles below
@@ -45,8 +49,10 @@ object TrigramLm {
     * trigram keep n_tri = 0 and a null score.
     */
   def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tri = docs.select(col(idCol).as("_id"),
-        explode(trigrams(col(textCol))).as("tri"))
+    val tri = docs
+      .select(col(idCol).as("_id"),
+        TextOps.normalize(col(textCol)).as("_n"))
+      .select(col("_id"), explode(trigramsOfNormalized(col("_n"))).as("tri"))
     val model = tri.groupBy(col("tri")).agg(count(lit(1)).as("c"))
     val totals = model.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
     val logp = model.crossJoin(broadcast(totals))
