@@ -74,11 +74,65 @@ object Pipeline9 {
     WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < th
     ORDER BY doc_id"""
 
+  // ------------------------------------------------------------------- q89
+  // Event attribution via the bounded-interval join: every purchase
+  // paired with the same user's views at most 12 h before it, then one
+  // count + max per purchase. The join is ops.IntervalJoin.bucketed —
+  // an EQUI-join on (user, time-bucket) with the right side exploding
+  // its two candidate buckets, so per-key candidate work is bounded by
+  // the window, never by a power user's total history (the naive
+  // key-equi + range-filter plan is quadratic per key at 100 TB); the
+  // streaming twin is EventStreams.attributionPairs, pinned to this
+  // pair set in StreamingSpec.
+  private val AttrWindowSec = 43200L
+
+  private val q89: Q = (s, d) => {
+    // events.ts is epoch-nanos (see Tables.events); ts_t is the proper
+    // microsecond TimestampType — truncation matches the oracle's
+    // CAST(ns AS TIMESTAMP)
+    val e = eventsMicros(s, d).select(col("event_id"), col("ts_t").as("ts"),
+      col("user_id"), col("event_type"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val attributed = graft.ops.IntervalJoin.bucketed(
+        v, p, "user_id", "view_ts", "purchase_ts", AttrWindowSec)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_views"), max(col("view_ts")).as("last_view_ts"))
+    p.join(attributed, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        col("last_view_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private lazy val q89Sql = s"""
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      event_type FROM events),
+    v AS (SELECT user_id, ts AS view_ts FROM e WHERE event_type = 'view'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          FROM e WHERE event_type = 'purchase'),
+    j AS (SELECT p.purchase_id, v.view_ts
+          FROM p JOIN v ON v.user_id = p.user_id
+            AND v.view_ts <= p.purchase_ts
+            AND p.purchase_ts < v.view_ts + INTERVAL $AttrWindowSec SECONDS),
+    a AS (SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_views,
+                 max(view_ts) AS last_view_ts
+          FROM j GROUP BY purchase_id)
+    SELECT p.purchase_id, p.user_id, p.purchase_ts,
+           coalesce(a.n_views, CAST(0 AS BIGINT)) AS n_views,
+           a.last_view_ts
+    FROM p LEFT JOIN a USING (purchase_id) ORDER BY purchase_id"""
+
   val queries: Map[String, Q] = Map(
     "q87_trigram_lm_score" -> q87,
-    "q88_temperature_mix" -> q88)
+    "q88_temperature_mix" -> q88,
+    "q89_event_attribution" -> q89)
 
   val oracleSql: Map[String, String] = Map(
     "q87_trigram_lm_score" -> q87Sql,
-    "q88_temperature_mix" -> q88Sql)
+    "q88_temperature_mix" -> q88Sql,
+    "q89_event_attribution" -> q89Sql)
 }

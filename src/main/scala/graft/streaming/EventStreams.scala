@@ -311,4 +311,57 @@ object EventStreams {
         round(col("n_dup_est").cast("double") / col("n_passages"), 6))
       .withColumn("admit", col("dup_frac_est") < maxDupFrac)
   }
+
+  /** STREAM-STREAM bounded-interval attribution join: every purchase
+    * paired with the same user's view events at most `window` before it
+    * — both sides are live streams (the one streaming join class the
+    * stream-static family can't express). Uses the canonical
+    * range-condition form — equi-key plus a raw time bound on the two
+    * event times — which is exactly what Spark's watermark-driven state
+    * eviction requires: each side buffers only `watermark + window` of
+    * history per user, so state is bounded at any stream rate. Inner
+    * matches emit as found (append mode); the batch/backfill twin is
+    * the bucketed equi-join [[graft.ops.IntervalJoin.bucketed]]
+    * (StreamingSpec pins identical pair sets on the same fixture).
+    */
+  def attributionPairs(views: DataFrame, purchases: DataFrame,
+                       window: String = "12 hours",
+                       watermark: String = "1 hour"): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+        col("ts").as("view_ts"), col("user_id"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("user_id").as("_puid"))
+      .withWatermark("purchase_ts", watermark)
+    v.join(p, expr(s"""user_id = _puid AND purchase_ts >= view_ts
+        AND purchase_ts < view_ts + INTERVAL $window"""))
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        col("purchase_ts"), col("view_ts"))
+  }
+
+  /** Streaming statistical quality scoring — q87's trigram LM run at
+    * the ingestion door: the bounded model rides ONE broadcast row
+    * ([[graft.text.TrigramLm.modelFrame]]: logp map + unseen-trigram
+    * default) joined on a constant key, and the per-doc mean
+    * log-probability folds over the trigram array INSIDE the row — no
+    * shuffle, no state store, stateless per micro-batch. Scores equal
+    * batch [[graft.text.TrigramLm.score]] wherever the doc's trigrams
+    * are covered by the model corpus; novel trigrams take the
+    * smoothed default (exactly what an out-of-corpus doc should pay).
+    */
+  def lmScoreStream(docs: DataFrame, model: DataFrame): DataFrame = {
+    import graft.text.{TextOps, TrigramLm}
+    docs
+      .select(col("doc_id"), TextOps.normalize(col("text")).as("_n"))
+      .select(col("doc_id"),
+        TrigramLm.trigramsOfNormalized(col("_n")).as("_tris"),
+        lit(1).as("_k"))
+      .join(broadcast(model.withColumn("_k", lit(1))), Seq("_k"))
+      .select(col("doc_id"),
+        size(col("_tris")).cast("long").as("n_tri"),
+        round(aggregate(col("_tris"), lit(0.0), (acc, t) =>
+          acc + coalesce(element_at(col("logp_map"), t),
+            col("default_logp"))) /
+          size(col("_tris")), 6).as("lm_score"))
+  }
 }

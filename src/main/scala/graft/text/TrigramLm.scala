@@ -43,6 +43,42 @@ object TrigramLm {
       transform(sequence(lit(1), length(n) - 2), i => n.substr(i, lit(3))))
       .otherwise(array().cast("array<string>"))
 
+  /** Corpus trigram counts (tri, c) — the mergeable model state. */
+  def counts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(TextOps.normalize(col(textCol)).as("_n"))
+      .select(explode(trigramsOfNormalized(col("_n"))).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("c"))
+
+  /** Incremental model maintenance — the loop a continuous ingestion
+    * pipeline runs: fold a day's admitted documents into the stored
+    * count table without re-scanning the corpus. Equal to a full
+    * rebuild exactly (counts are integers; spec-pinned), and the
+    * shuffle is bounded by the trigram space, not the corpus.
+    */
+  def mergeCounts(stored: DataFrame, newDocs: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    stored.unionByName(counts(newDocs, idCol, textCol))
+      .groupBy(col("tri")).agg(sum(col("c")).as("c"))
+
+  /** The model as ONE broadcastable row: `logp` map over the observed
+    * trigram space plus the unseen-trigram default ln(1/(N+V)) — the
+    * probe payload for scan-local scoring of a document STREAM
+    * ([[graft.streaming.EventStreams.lmScoreStream]]), where the
+    * per-doc aggregation must happen inside the row (no shuffle, no
+    * state store). Bounded by the charset's trigram space at any
+    * corpus size.
+    */
+  def modelFrame(cnts: DataFrame): DataFrame = {
+    val totals = cnts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    cnts.crossJoin(broadcast(totals))
+      .select(col("tri"),
+        log((col("c") + lit(1.0)) / (col("n") + col("v"))).as("logp"),
+        (col("n") + col("v")).as("_nv"))
+      .agg(map_from_entries(collect_list(struct(col("tri"), col("logp"))))
+        .as("logp_map"),
+        log(lit(1.0) / max(col("_nv"))).as("default_logp"))
+  }
+
   /** (id, n_tri, lm_score): mean trigram log-probability per document,
     * rounded to 6 dp (sum order across engines/partitions wobbles below
     * 1e-12; the rounding pins the value). Documents shorter than one

@@ -411,6 +411,22 @@ class PlanShapeSpec extends AnyFunSuite {
       "q87 must probe the trigram model through a broadcast join")
   }
 
+  test("interval attribution joins on (user, bucket), never a nested loop") {
+    // the naive plan — equi-join on user_id with the 12h range as a
+    // post-join FILTER over the full per-user history — is quadratic in
+    // a power user's event count; the bucketed form keys the join on
+    // (user_id, _bkt) so candidate cells are window-bounded
+    val p = planString("q89_event_attribution")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "q89 must not build per-user cross products")
+    val joins = subtrees(p, "Join").map(_.linesIterator.next()) ++
+      p.linesIterator.filter(l => l.contains("HashJoin") ||
+        l.contains("SortMergeJoin"))
+    assert(joins.exists(_.contains("_bkt")),
+      "q89's candidate join must be keyed on the time bucket")
+  }
+
   test("temperature mixing never shuffles the fact side") {
     // derived per-source thresholds are a handful of rows: they ride a
     // broadcast back onto the scan; the only exchanges allowed are the

@@ -321,6 +321,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches the batch bucketed interval join") {
+    val dir = stageDir()
+    def side(tpe: String) = EventStreams.readEvents(spark, dir)
+      .filter(col("event_type") === tpe)
+      .select(col("event_id"), col("ts_t").as("ts"), col("user_id"))
+    val q = EventStreams.attributionPairs(side("view"), side("purchase"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attribution").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attribution")
+        .select(col("purchase_id"), col("view_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch twin: the bucketed equi-join on the same static fixture
+      val e = spark.read.parquet(s"$dir/part-0.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+          col("user_id"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("user_id"))
+      val want = graft.ops.IntervalJoin.bucketed(
+          v, p, "user_id", "view_ts", "purchase_ts", 43200L)
+        .select(col("purchase_id"), col("view_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty, "fixture must contain attributable purchases")
+      assert(got == want,
+        "streamed pair set must equal the batch bucketed interval join")
+    } finally q.stop()
+  }
+
+  test("streaming LM scoring equals batch q87 when the model covers the stream") {
+    import graft.text.TrigramLm
+    val dir = Files.createTempDirectory("docs_lm")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docs = spark.read.parquet(s"$dir/part-0.parquet")
+    val model = TrigramLm.modelFrame(TrigramLm.counts(docs, "doc_id", "text"))
+    val stream = EventStreams.lmScoreStream(
+      EventStreams.readDocuments(spark, dir.toString), model)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("lm_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("lm_stream")
+      val want = TrigramLm.score(docs, "doc_id", "text")
+      assert(got.count() == want.count() && got.count() > 0)
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        "scan-local streamed scores must equal the batch two-pass scores")
+    } finally q.stop()
+  }
+
   test("stream-static admission filter drops known fingerprints at the door") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("docs_admit")

@@ -54,6 +54,29 @@ class TrigramLmSpec extends AnyFunSuite {
     assert(got(1).getLong(1) == 2L && !got(1).isNullAt(2))
   }
 
+  test("incremental count merge equals a full rebuild") {
+    val day1 = Seq((1L, "the cat sat"), (2L, "on the mat")).toDF("doc_id", "text")
+    val day2 = Seq((3L, "the dog sat"), (4L, "zq xj")).toDF("doc_id", "text")
+    val merged = TrigramLm.mergeCounts(
+      TrigramLm.counts(day1, "doc_id", "text"), day2, "doc_id", "text")
+    val rebuilt = TrigramLm.counts(day1.unionByName(day2), "doc_id", "text")
+    assert(merged.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(merged).count() == 0)
+  }
+
+  test("model frame scores unseen trigrams at the smoothed default") {
+    import graft.streaming.EventStreams
+    val corpus = Seq((1L, "abab")).toDF("doc_id", "text")
+    // model: aba, bab once each -> N=2, V=2; default = ln(1/4)
+    val model = TrigramLm.modelFrame(
+      TrigramLm.counts(corpus, "doc_id", "text"))
+    // "xyzw" -> xyz, yzw: both unseen -> mean = ln(1/4) = -1.386294
+    val got = EventStreams.lmScoreStream(
+      Seq((9L, "xyzw")).toDF("doc_id", "text"), model).collect()
+    assert(got.head.getLong(1) == 2L)
+    assert(got.head.getDouble(2) == -1.386294)
+  }
+
   test("normalization feeds the model: case and whitespace collapse") {
     // "AB  AB" normalizes to "ab ab" == "ab ab" verbatim -> same score
     val docs = Seq((1L, "AB  AB"), (2L, "ab ab")).toDF("doc_id", "text")
