@@ -126,13 +126,53 @@ object Pipeline9 {
            a.last_view_ts
     FROM p LEFT JOIN a USING (purchase_id) ORDER BY purchase_id"""
 
+  // ------------------------------------------------------------------- q90
+  // Corpus snapshot diff (crawl N vs crawl N+1): which doc ids were
+  // added / removed / changed / unchanged, content compared by the
+  // 16-byte normalized-text fingerprint so the full outer join never
+  // shuffles document text (ops.SnapshotDiff — the one full-outer-join
+  // plan class on the board; plan-gated). Snapshots are carved
+  // deterministically from the documents table: the old snapshot drops
+  // ids ≡ 0 (mod 7), the new drops ids ≡ 0 (mod 5) and rewrites the
+  // text of ids ≡ 0 (mod 11) — every status class is exercised.
+  private val q90: Q = (s, d) => {
+    import graft.text.TextOps
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    val nw = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), TextOps.fingerprint(
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text"))).as("fp"))
+    graft.ops.SnapshotDiff.diff(old, nw, "doc_id", "fp")
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q90Sql = s"""
+    WITH a AS (SELECT doc_id, md5(${OracleSql.normSql}) AS fp
+               FROM documents WHERE doc_id % 7 <> 0),
+    b0 AS (SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' updated'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 5 <> 0),
+    b AS (SELECT doc_id, md5(${OracleSql.normSql}) AS fp FROM b0)
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.fp <> b.fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "q87_trigram_lm_score" -> q87,
     "q88_temperature_mix" -> q88,
-    "q89_event_attribution" -> q89)
+    "q89_event_attribution" -> q89,
+    "q90_snapshot_diff" -> q90)
 
   val oracleSql: Map[String, String] = Map(
     "q87_trigram_lm_score" -> q87Sql,
     "q88_temperature_mix" -> q88Sql,
-    "q89_event_attribution" -> q89Sql)
+    "q89_event_attribution" -> q89Sql,
+    "q90_snapshot_diff" -> q90Sql)
 }

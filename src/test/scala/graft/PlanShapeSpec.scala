@@ -427,6 +427,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "q89's candidate join must be keyed on the time bucket")
   }
 
+  test("snapshot diff joins 16-byte fingerprints, never document text") {
+    // the full outer join must see only (id, fp) projections: text is
+    // fingerprinted in the scan stage and pruned before any exchange
+    val p = planString("q90_snapshot_diff")
+    assert(p.contains("FullOuter"), "q90 must be a full outer join")
+    // every id-keyed exchange must sit ABOVE the md5 projection (text is
+    // consumed by the scan-stage fingerprint, so the exchange rows carry
+    // (id, fp) only — text feeding md5 below the exchange is the point)
+    for (st <- subtrees(p, "Exchange hashpartitioning")) {
+      assert(st.contains("md5("),
+        "q90 exchanges must shuffle fingerprinted projections")
+      val exchangeLine = st.linesIterator.next()
+      assert(!exchangeLine.contains("text#"),
+        "q90 must not key an exchange on document text")
+    }
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("temperature mixing never shuffles the fact side") {
     // derived per-source thresholds are a handful of rows: they ride a
     // broadcast back onto the scan; the only exchanges allowed are the
