@@ -93,5 +93,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("topk_by_score", 2)(es =>
         TopKByScore(Cast(es.head, DoubleType), Cast(es(1), LongType), k = 5)
           .toAggregateExpression())))
+    e.injectFunction((FunctionIdentifier("kmv_distinct"),
+      info("kmv_distinct", "KMV distinct-count estimate (k=256) over 52-bit hashes; engine-portable, mergeable"),
+      arity("kmv_distinct", 1)(es =>
+        graft.dedup.KmvSketch(Cast(es.head, LongType), k = 256)
+          .toAggregateExpression())))
   }
 }

@@ -164,15 +164,61 @@ object Pipeline9 {
     FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
     ORDER BY doc_id"""
 
+  // ------------------------------------------------------------------- q91
+  // KMV cardinality estimate vs exact — the sketch-audit artifact (the
+  // q61 shape for distinct counts): per-source vocabulary size from the
+  // bounded k-minimum-values sketch (dedup.KmvSketch — k longs per
+  // group per task, mergeable map-side, engine-portable 52-bit md5
+  // hashes) next to the exact distinct count. Vocabulary is
+  // language-bounded so the exact side is affordable here — the sketch
+  // is the path for UNBOUNDED id spaces (users, URLs, pair keys) where
+  // the exact groupBy cannot run; the audit pins its error.
+  private val KmvK = 256
+
+  private val q91: Q = (s, d) => {
+    import graft.dedup.Kmv
+    import graft.text.TextOps
+    val toks = documents(s, d).select(col("source"),
+      explode(split(TextOps.normalize(col("text")), " ")).as("tok"))
+    val est = toks
+      .select(col("source"), Kmv.hash52(col("tok")).as("hv"))
+      .groupBy(col("source"))
+      .agg(round(Kmv.kmvDistinct(col("hv"), KmvK), 6).as("est_distinct"))
+    toks.groupBy(col("source"))
+      .agg(countDistinct(col("tok")).as("n_distinct"))
+      .join(est, Seq("source"))
+      .select(col("source"), col("n_distinct"), col("est_distinct"),
+        round(abs(col("est_distinct") - col("n_distinct")) /
+          col("n_distinct"), 6).as("rel_err"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q91Sql = s"""
+    WITH nd AS (SELECT source,
+                  unnest(string_split(${OracleSql.normSql}, ' ')) AS tok
+                FROM documents),
+    t AS (SELECT DISTINCT source AS grp,
+            CAST('0x' || substr(md5(tok), 1, 13) AS BIGINT) AS hv
+          FROM nd),
+    e AS (${graft.dedup.Kmv.estimateSql(KmvK)}),
+    x AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+          FROM nd GROUP BY source)
+    SELECT x.source, x.n_distinct, round(e.est, 6) AS est_distinct,
+           round(abs(round(e.est, 6) - n_distinct) / n_distinct, 6)
+             AS rel_err
+    FROM x JOIN e ON e.grp = x.source ORDER BY source"""
+
   val queries: Map[String, Q] = Map(
     "q87_trigram_lm_score" -> q87,
     "q88_temperature_mix" -> q88,
     "q89_event_attribution" -> q89,
-    "q90_snapshot_diff" -> q90)
+    "q90_snapshot_diff" -> q90,
+    "q91_kmv_distinct" -> q91)
 
   val oracleSql: Map[String, String] = Map(
     "q87_trigram_lm_score" -> q87Sql,
     "q88_temperature_mix" -> q88Sql,
     "q89_event_attribution" -> q89Sql,
-    "q90_snapshot_diff" -> q90Sql)
+    "q90_snapshot_diff" -> q90Sql,
+    "q91_kmv_distinct" -> q91Sql)
 }

@@ -47,6 +47,14 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(agg.map(r => (r.getLong(0), r.getDouble(1))) ==
         Seq(25L -> 3.0, 30L -> 3.0, 26L -> 2.5, 20L -> 2.0, 15L -> 1.5))
 
+      // kmv_distinct: 100 distinct < k=256 -> the sketch is exact
+      val kmv = spark.sql("""
+        SELECT kmv_distinct(CAST(conv(substring(md5(CAST(v AS STRING)),
+          1, 13), 16, 10) AS BIGINT)) AS est
+        FROM (SELECT explode(sequence(1, 100)) AS v)
+      """).head().getDouble(0)
+      assert(kmv == 100.0)
+
       // wrong arity fails at analysis with the function named, not with
       // a builder IndexOutOfBoundsException
       val arityErr = intercept[Exception] {
