@@ -312,6 +312,27 @@ object EventStreams {
       .withColumn("admit", col("dup_frac_est") < maxDupFrac)
   }
 
+  /** Watermarked per-window distinct-user estimation via the KMV sketch
+    * ([[graft.dedup.KmvSketch]]) — the streaming cardinality monitor a
+    * pipeline dashboards (unique users per window per event type)
+    * without `dropDuplicates` state proportional to the distinct count:
+    * the state store holds ONE k-long sketch per open (window, type)
+    * group, merged incrementally per micro-batch like any algebraic
+    * aggregate. Below k distinct the estimate is exact; above it the
+    * bounded (k-1)/u_k estimator takes over. == the identical batch
+    * aggregation on the same data (StreamingSpec).
+    */
+  def windowedDistinctUsers(events: DataFrame, k: Int = 256): DataFrame = {
+    import graft.dedup.Kmv
+    events
+      .withWatermark("ts_t", "10 minutes")
+      .groupBy(window(col("ts_t"), "5 minutes"), col("event_type"))
+      .agg(round(Kmv.kmvDistinct(Kmv.hash52(col("user_id")), k), 6)
+        .as("est_users"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("est_users"))
+  }
+
   /** STREAM-STREAM bounded-interval attribution join: every purchase
     * paired with the same user's view events at most `window` before it
     * — both sides are live streams (the one streaming join class the

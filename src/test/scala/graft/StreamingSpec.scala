@@ -321,6 +321,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed KMV distinct-user estimates: streaming == batch") {
+    import graft.dedup.Kmv
+    val dir = stageDir()
+    val q = EventStreams.windowedDistinctUsers(
+        EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_windows").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("kmv_windows")
+      val want = spark.read.parquet(s"$dir/part-0.parquet")
+        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ts_t"), "5 minutes"), col("event_type"))
+        .agg(round(Kmv.kmvDistinct(Kmv.hash52(col("user_id")), 256), 6)
+          .as("est_users"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("est_users"))
+      assert(got.count() > 0 && got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        "per-window sketch estimates must equal the batch aggregation")
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join matches the batch bucketed interval join") {
     val dir = stageDir()
     def side(tpe: String) = EventStreams.readEvents(spark, dir)
