@@ -77,6 +77,34 @@ class TrigramLmSpec extends AnyFunSuite {
     assert(got.head.getDouble(2) == -1.386294)
   }
 
+  test("a hash-sampled model reproduces full-model scores closely") {
+    // the 100 TB shape: estimate the model from a deterministic 50%
+    // md5 sample (ops.Sample.keep), score everyone. Trigram frequencies
+    // are stable under halving, so per-doc scores track the full model
+    // tightly — the divergence bound here is what licenses the
+    // sampled-model deployment note in the scaladoc
+    import graft.ops.Sample
+    import graft.streaming.EventStreams
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val full = graft.text.TrigramLm.modelFrame(
+      graft.text.TrigramLm.counts(docs, "doc_id", "text"))
+    val half = graft.text.TrigramLm.modelFrame(
+      graft.text.TrigramLm.counts(
+        docs.filter(Sample.keep(col("doc_id"), 0.5)), "doc_id", "text"))
+    val a = EventStreams.lmScoreStream(docs, full)
+      .select(col("doc_id"), col("lm_score").as("s_full"))
+    val b = EventStreams.lmScoreStream(docs, half)
+      .select(col("doc_id"), col("lm_score").as("s_half"))
+    val diffs = a.join(b, Seq("doc_id"))
+      .select(abs(col("s_full") - col("s_half")).as("d"))
+      .agg(max(col("d")).as("mx"), avg(col("d")).as("mean")).head()
+    assert(diffs.getDouble(1) < 0.05,
+      s"mean |Δscore| ${diffs.getDouble(1)} too large for a half-corpus model")
+    assert(diffs.getDouble(0) < 0.30,
+      s"max |Δscore| ${diffs.getDouble(0)} too large for a half-corpus model")
+  }
+
   test("normalization feeds the model: case and whitespace collapse") {
     // "AB  AB" normalizes to "ab ab" == "ab ab" verbatim -> same score
     val docs = Seq((1L, "AB  AB"), (2L, "ab ab")).toDF("doc_id", "text")
