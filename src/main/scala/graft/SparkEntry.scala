@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.Pipeline6.queries ++
       graft.queries.Pipeline7.queries ++
       graft.queries.Pipeline8.queries ++
-      graft.queries.Pipeline9.queries
+      graft.queries.Pipeline9.queries ++
+      graft.queries.Pipeline10.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.queries.Pipeline6.oracleSql ++
       graft.queries.Pipeline7.oracleSql ++
       graft.queries.Pipeline8.oracleSql ++
-      graft.queries.Pipeline9.oracleSql
+      graft.queries.Pipeline9.oracleSql ++
+      graft.queries.Pipeline10.oracleSql
 }

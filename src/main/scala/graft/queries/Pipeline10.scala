@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Training-data curation batch ten: in-engine supervised classification
+  * (multinomial Naive Bayes over the labeled corpus) and BM25 retrieval
+  * scoring — the two ML-adjacent operators a curation stack runs inside
+  * the engine rather than shipping data out to a model server.
+  */
+object Pipeline10 {
+
+  type Q = (SparkSession, String) => DataFrame
+  import Tables._
+
+  // ------------------------------------------------------------------- q92
+  // Multinomial Naive Bayes language classifier, trained AND applied
+  // in-engine (the fasttext-precursor shape of CCNet-style lang/quality
+  // filters): per-(word, lang) add-one-smoothed log-likelihoods plus
+  // doc-count log-priors, every doc scored by summing its words'
+  // per-lang logps, predicted = argmax; output is the confusion matrix
+  // against the corpus' own labels. Scale shape: the model is
+  // vocab-bounded (one row per word, one logp column per lang) so it
+  // BROADCASTS into the token scan; scoring is one doc_id-keyed shuffle
+  // with map-side partial sums; the tiny per-lang totals ride 1-row
+  // broadcasts. Scores are 6-dp-pinned BEFORE the argmax so summation-
+  // order ulps can never flip a prediction between engines; analytic
+  // ties resolve to the lexicographically largest language in both.
+  private val Langs = Seq("de", "en", "es", "fr", "zh")
+
+  private val q92: Q = (s, d) => {
+    val toks = documents(s, d).select(col("doc_id"), col("lang"),
+      explode(split(TextOps.normalize(col("text")), " ")).as("w"))
+    // per-(word, lang) instance counts, pivoted to one row per word
+    val wl = toks.groupBy(col("w")).pivot("lang", Langs)
+      .agg(count(lit(1)))
+      .select(col("w") +: Langs.map(l =>
+        coalesce(col(l), lit(0L)).as(s"c_$l")): _*)
+    // per-lang instance totals + vocab size + doc-count priors
+    // zero-fill the fixed-lang pivots: a language absent from the corpus
+    // otherwise yields NULL totals that null out every score; priors are
+    // Laplace-smoothed (+1 / +|langs|) so an absent language gets a
+    // small finite prior instead of ln(0) — which Spark evaluates to
+    // null but DuckDB to -inf
+    val cl = toks.groupBy().pivot("lang", Langs).agg(count(lit(1)))
+      .select(Langs.map(l => coalesce(col(l), lit(0L)).as(s"cl_$l")): _*)
+    val v = toks.agg(countDistinct(col("w")).as("v"))
+    val pri = documents(s, d).groupBy().pivot("lang", Langs)
+      .agg(count(lit(1)))
+      .select(Langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+      .withColumn("n_all", Langs.map(l => col(s"n_$l")).reduce(_ + _))
+    val model = wl.crossJoin(broadcast(cl)).crossJoin(broadcast(v))
+      .select(col("w") +: Langs.map(l =>
+        log((col(s"c_$l") + lit(1.0)) / (col(s"cl_$l") + col("v")))
+          .as(s"lp_$l")): _*)
+    val sumCols = Langs.map(l => sum(col(s"lp_$l")).as(s"s_$l"))
+    val sums = toks.join(broadcast(model), Seq("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sumCols.head, sumCols.tail: _*)
+    val scored = sums.crossJoin(broadcast(pri))
+      .select(col("doc_id") +: col("lang") +: Langs.map(l =>
+        round(col(s"s_$l") +
+          log((col(s"n_$l") + lit(1.0)) /
+            (col("n_all") + lit(Langs.size))), 6)
+          .as(s"sc_$l")): _*)
+    // argmax with ties to the lexicographically LARGEST lang: test langs
+    // in reverse order, each >= all others
+    val pred = Langs.reverse.foldRight(lit(Langs.head): Column) {
+      case (l, acc) =>
+        when(Langs.filter(_ != l).map(o =>
+          col(s"sc_$l") >= col(s"sc_$o")).reduce(_ && _), lit(l))
+          .otherwise(acc)
+    }
+    scored.withColumn("pred", pred)
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  private lazy val q92Sql = {
+    val cnt = (l: String) =>
+      s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END)"
+    val scoreCols = Langs.map(l =>
+      s"""round(s_$l + ln((n_$l + 1.0) / (n_all + ${Langs.size})), 6)
+          AS sc_$l""").mkString(", ")
+    // same reverse-order >= chain as the Spark side
+    val predCase = Langs.reverse.init.map { l =>
+      val ge = Langs.filter(_ != l).map(o => s"sc_$l >= sc_$o")
+        .mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }.mkString(" ")
+    s"""
+    WITH toks AS (SELECT doc_id, lang,
+        unnest(string_split(${OracleSql.normSql}, ' ')) AS w
+      FROM documents),
+    wl AS (SELECT w, ${Langs.map(l => s"${cnt(l)} AS c_$l").mkString(", ")}
+           FROM toks GROUP BY w),
+    cl AS (SELECT ${Langs.map(l => s"${cnt(l)} AS cl_$l").mkString(", ")}
+           FROM toks),
+    v AS (SELECT count(DISTINCT w) AS v FROM toks),
+    pri AS (SELECT
+        ${Langs.map(l => s"${cnt(l)} AS n_$l").mkString(", ")},
+        count(*) AS n_all
+      FROM documents),
+    model AS (SELECT w,
+        ${Langs.map(l =>
+          s"ln((c_$l + 1.0) / (cl_$l + v)) AS lp_$l").mkString(", ")}
+      FROM wl, cl, v),
+    sums AS (SELECT doc_id, lang,
+        ${Langs.map(l => s"sum(lp_$l) AS s_$l").mkString(", ")}
+      FROM toks JOIN model USING (w) GROUP BY doc_id, lang),
+    scored AS (SELECT doc_id, lang, $scoreCols FROM sums, pri),
+    p AS (SELECT lang, CASE $predCase ELSE '${Langs.head}' END AS pred
+          FROM scored)
+    SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY lang, pred ORDER BY lang, pred"""
+  }
+
+  // ------------------------------------------------------------------- q93
+  // BM25 retrieval top-20 for a fixed term query — the ranking function
+  // RAG retrieval stacks run over the chunk store (q59): idf saturating
+  // tf with the k1/b length normalization. Scale shape: the query's
+  // per-term document frequencies and the corpus constants (N, avgdl)
+  // are a handful of values riding broadcasts; per-doc term frequencies
+  // and lengths come off the token scan with map-side combine; the
+  // global top-20 is the bounded TopKByScore k-heap — no global sort,
+  // no per-query window.
+  private val BmQuery = Seq("spark", "window", "merge")
+  private val BmK1 = 1.2
+  private val BmB = 0.75
+  private val BmTopK = 20
+
+  private val q93: Q = (s, d) => {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val toks = documents(s, d).select(col("doc_id"),
+      explode(split(TextOps.normalize(col("text")), " ")).as("w"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val consts = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(dl.agg(avg(col("dl")).as("avgdl"))))
+    val qtoks = toks.filter(col("w").isin(BmQuery: _*))
+    val dfs = qtoks.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val tf = qtoks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("f"))
+    val term = tf.join(dl, Seq("doc_id"))
+      .join(broadcast(dfs), Seq("w"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("f") * (lit(BmK1) + 1.0)) /
+          (col("f") + lit(BmK1) *
+            (lit(1.0) - lit(BmB) + lit(BmB) * col("dl") / col("avgdl"))))
+          .as("ts"))
+    val scores = term.groupBy(col("doc_id"))
+      .agg(round(sum(col("ts")), 6).as("score"))
+    val top = scores.agg(column(graft.sim.TopKByScore(
+        expression(col("score")), expression(col("doc_id")), BmTopK)
+        .toAggregateExpression()).as("top"))
+      .select(posexplode(col("top")).as(Seq("p", "e")))
+      .select(col("e.id").as("doc_id"), col("e.score").as("score"),
+        (col("p") + 1).cast("long").as("rnk"))
+    top.orderBy(col("rnk"))
+  }
+
+  private lazy val q93Sql = {
+    val inList = BmQuery.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH toks AS (SELECT doc_id,
+        unnest(string_split(${OracleSql.normSql}, ' ')) AS w
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    consts AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT avg(dl) FROM dl) AS avgdl),
+    qt AS (SELECT doc_id, w FROM toks WHERE w IN ($inList)),
+    dfs AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM qt GROUP BY w),
+    tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS f
+           FROM qt GROUP BY doc_id, w),
+    term AS (SELECT tf.doc_id,
+        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+          (f * ($BmK1 + 1.0)) /
+          (f + $BmK1 * (1.0 - $BmB + $BmB * dl.dl / avgdl)) AS ts
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dfs ON tf.w = dfs.w
+        CROSS JOIN consts),
+    scores AS (SELECT doc_id, round(sum(ts), 6) AS score
+               FROM term GROUP BY doc_id),
+    ranked AS (SELECT doc_id, score, row_number() OVER
+                 (ORDER BY score DESC, doc_id) AS rnk
+               FROM scores)
+    SELECT doc_id, score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= $BmTopK ORDER BY rnk"""
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q92_nb_lang_confusion" -> q92,
+    "q93_bm25_topk" -> q93)
+
+  val oracleSql: Map[String, String] = Map(
+    "q92_nb_lang_confusion" -> q92Sql,
+    "q93_bm25_topk" -> q93Sql)
+}

@@ -446,6 +446,21 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("NB classifier broadcasts the model; BM25 ranks via the k-heap") {
+    // q92's vocab-bounded model and q93's per-term stats must ride
+    // broadcasts into the token scan — a shuffle join keyed on the raw
+    // word re-shuffles O(corpus tokens) rows; q93's global top-20 must
+    // be the bounded aggregate, never a Window over all doc scores
+    val p92 = planString("q92_nb_lang_confusion")
+    for (m <- Seq("SortMergeJoin", "ShuffledHashJoin");
+         st <- subtrees(p92, m))
+      assert(!st.linesIterator.next().contains("w#"),
+        s"q92 scoring join must broadcast the model, got $m on w")
+    val p93 = planString("q93_bm25_topk")
+    assert(p93.contains("topk_by_score") && !p93.contains("Window"),
+      "q93 must rank via TopKByScore, not a global window")
+  }
+
   test("temperature mixing never shuffles the fact side") {
     // derived per-source thresholds are a handful of rows: they ride a
     // broadcast back onto the scan; the only exchanges allowed are the
