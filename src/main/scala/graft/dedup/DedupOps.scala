@@ -232,6 +232,50 @@ object DedupOps {
         coalesce(col("n_dup_passages"), lit(0L)).as("n_dup_passages"))
   }
 
+  /** Reconstructive cross-document passage dedup — the CCNet-style pass
+    * that REMOVES corpus-repeated passages instead of counting them
+    * ([[passageDupStats]] is the stats sibling; same passage semantics
+    * via [[TextOps.passageHashes]]): every non-overlapping `len`-word
+    * window of the normalized text survives only at its globally FIRST
+    * occurrence — min (doc id, position) over the passage's md5, a
+    * total order, so the verdict is deterministic under any
+    * partitioning — and each document's surviving passages are
+    * re-joined in order.
+    *
+    * Scale shape: keeper election is a map-side-combinable `min`
+    * aggregate over (16-byte pk → (id, pos)) — narrow rows, ONE
+    * shuffle, no window sort; keepers project to (id, pos) pairs that
+    * group into a per-doc kept-position array (second narrow shuffle);
+    * the TEXT rides exactly one exchange — the doc-keyed join of that
+    * small array back to the documents scan — and reconstruction
+    * slices the word array scan-local. Passage strings never ride an
+    * exchange (the q79 rule). A doc whose every passage first occurred
+    * elsewhere survives with empty text (left join, empty default).
+    * Returns (id, n_passages, n_kept, clean_text).
+    */
+  def passageDedupRewrite(docs: DataFrame, idCol: String, textCol: String,
+                          len: Int): DataFrame = {
+    val keyed = docs.select(col(idCol).as("_id"),
+      posexplode(TextOps.passageHashes(col(textCol), len))
+        .as(Seq("_p", "_pk")))
+    val keepers = keyed.groupBy(col("_pk"))
+      .agg(min(struct(col("_id"), col("_p"))).as("_k"))
+      .select(col("_k._id").as("_id"), col("_k._p").as("_p"))
+    val keptPos = keepers.groupBy(col("_id"))
+      .agg(sort_array(collect_list(col("_p"))).as("_kp"))
+    val w = split(TextOps.normalize(col(textCol)), " ")
+    docs.select(col(idCol).as("_id"), col(textCol))
+      .join(keptPos, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        floor((size(w) + lit(len - 1)) / lit(len)).cast("long")
+          .as("n_passages"),
+        coalesce(size(col("_kp")), lit(0)).cast("long").as("n_kept"),
+        array_join(transform(
+            coalesce(col("_kp"), array().cast("array<int>")),
+            p => array_join(slice(w, p * len + 1, lit(len)), " ")),
+          " ").as("clean_text"))
+  }
+
   /** Fuzzy-containment pairs (the GPT-3-style subset-duplicate check that
     * symmetric Jaccard is blind to: a short doc quoted whole inside a 10×
     * longer one has Jaccard ≈ 0.1 and MinHash-LSH never nominates it).
@@ -277,6 +321,124 @@ object DedupOps {
       .withColumn("containment",
         round(col("n_common").cast("double") /
           least(col("n_a"), col("n_b")), 6))
+  }
+
+  /** EXACT `n`-gram-set Jaccard similarity join via prefix filtering
+    * (the AllPairs/PPJoin family) — the provably-COMPLETE counterpart
+    * of the MinHash-LSH path: LSH nominates with false negatives at a
+    * rate set by its band/row geometry; prefix filtering finds EVERY
+    * pair with J >= threshold, because two sets with Jaccard >= t must
+    * share an element among each one's (|d| - ceil(t·|d|) + 1)
+    * rarest-first elements (if all prefix elements differed, the
+    * overlap couldn't reach t). Use it when the dedup contract is
+    * exactness — legal/compliance removal lists — and LSH when
+    * approximate recall is acceptable. Gram semantics == [[NGramArray]]
+    * == the q50 clustering's verify stage, so its output is directly
+    * comparable to the LSH pipeline's.
+    *
+    * Scale shape: the corpus is reduced ONCE to a per-doc HASHED gram
+    * table (`_rare`, rarest-first) in exactly two shuffles — gram
+    * document frequencies come from a count window over the 16-byte
+    * md5 of the gram (the q79/q86 rule: gram text never rides an
+    * exchange, and md5 equality is the house identity for grams; a
+    * window, not an agg+join, because the df must land back on every
+    * (doc, gram) row and one exchange does both), then one id-keyed
+    * aggregation orders each doc's grams by (df, hash) — ties break
+    * on the hash, engine-portable. That table is `localCheckpoint`ed
+    * (the ClusterMemo rule: prefix generation AND both verification
+    * probes read it, and a pipeline never re-grams its corpus three
+    * times); candidates come from a prefix-gram member-list
+    * pre-aggregation (the q32 bucket shape) — fan-out per gram is
+    * |posting list of a doc-RAREST gram|², naturally small and
+    * hard-capped at `maxBucket` with the house loud error — pruned by
+    * the PPJoin positional bound; verification merge-counts the two
+    * HASH-sorted arrays scan-local ([[SortedArraysJaccard]] — Jaccard
+    * over per-doc-distinct md5s == Jaccard over grams).
+    * Returns (id_a, id_b, jaccard >= t).
+    */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, nGram: Int = 3,
+                         maxBucket: Int = 10000): DataFrame =
+    prefixJaccardImpl(docs, idCol, textCol, threshold, nGram, maxBucket,
+      materialize = true)
+
+  /** The un-materialized q94 lineage, for plan gating (the checkpoint
+    * in [[prefixJaccardPairs]] would hide the upstream exchanges from
+    * `.explain` — the ClusterMemo.scoredPairsPlan pattern).
+    */
+  def prefixJaccardPairsPlan(docs: DataFrame, idCol: String,
+                             textCol: String, threshold: Double,
+                             nGram: Int = 3,
+                             maxBucket: Int = 10000): DataFrame =
+    prefixJaccardImpl(docs, idCol, textCol, threshold, nGram, maxBucket,
+      materialize = false)
+
+  private def prefixJaccardImpl(docs: DataFrame, idCol: String,
+                                textCol: String, threshold: Double,
+                                nGram: Int, maxBucket: Int,
+                                materialize: Boolean): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val g = docs.select(col(idCol).as("_id"),
+      column(NGramArray(expression(col(textCol)), nGram)).as("_g"))
+    val dg = g.select(col("_id"), explode(col("_g")).as("_gram"))
+      .select(col("_id"), md5(to_binary(col("_gram"), lit("utf-8"))).as("_gk"))
+    val dgdf = dg.withColumn("_df",
+      count(lit(1)).over(Window.partitionBy(col("_gk"))))
+    val ranked0 = dgdf
+      .groupBy(col("_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("_df"), col("_gk")))),
+        x => x.getField("_gk")).as("_rare"))
+    val ranked =
+      if (materialize) ranked0.localCheckpoint() else ranked0
+    // postings carry (id, set size, 1-based prefix position) so the
+    // PPJoin positional filter can prune before the verify join: a pair
+    // meeting at prefix positions (pa, pb) can share at most
+    // 1 + min(na-pa, nb-pb) elements, and J >= t needs overlap
+    // >= t(na+nb)/(1+t); the bound is compared as a raw double (no
+    // ceil) so float error can only let a doomed candidate THROUGH to
+    // verification, never drop a true pair (DedupParitySpec pins
+    // completeness vs brute force)
+    val prefix = ranked
+      .withColumn("_n", size(col("_rare")))
+      .withColumn("_plen",
+        (col("_n") - ceil(lit(threshold) * col("_n")) + 1).cast("int"))
+      .select(col("_id"), col("_n"),
+        posexplode(slice(col("_rare"), lit(1), col("_plen")))
+          .as(Seq("_p0", "_gk")))
+      .select(col("_gk"),
+        struct(col("_id"), col("_n"), (col("_p0") + 1).as("_p")).as("_e"))
+    val pairs = prefix.groupBy(col("_gk"))
+      .agg(collect_list(col("_e")).as("es"))
+      .filter(assert_true(size(col("es")) <= lit(maxBucket),
+        concat(lit("prefix posting list exceeds maxBucket="), lit(maxBucket),
+          lit(" ids (got "), size(col("es")),
+          lit("): run exact dedup first or raise maxBucket"))).isNull)
+      .select(explode(col("es")).as("_a"), col("es"))
+      .select(col("_a"), explode(col("es")).as("_b"))
+      .filter(col("_a._id") < col("_b._id"))
+      .filter((lit(1) + least(col("_a._n") - col("_a._p"),
+          col("_b._n") - col("_b._p"))).cast("double") >=
+        lit(threshold / (1.0 + threshold)) *
+          (col("_a._n") + col("_b._n")))
+      .select(col("_a._id").as("id_a"), col("_b._id").as("id_b"))
+      .distinct()
+    // verify against the SAME materialized table: hash-sorted per-doc
+    // sets, merge-counted scan-local — no second pass over the corpus
+    val sets = ranked.select(col("_id"), sort_array(col("_rare")).as("_set"))
+    pairs
+      .join(sets.select(col("_id").as("id_a"), col("_set").as("_ga")),
+        Seq("id_a"))
+      .join(sets.select(col("_id").as("id_b"), col("_set").as("_gb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(column(SortedArraysJaccard(
+          expression(col("_ga")), expression(col("_gb")))), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** LSH candidate pairs (id_a < id_b, distinct) from a MinHash signature

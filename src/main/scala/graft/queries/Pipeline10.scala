@@ -195,11 +195,55 @@ object Pipeline10 {
     FROM ranked WHERE rnk <= $BmTopK ORDER BY rnk"""
   }
 
+  // ------------------------------------------------------------------- q94
+  // EXACT word-set Jaccard similarity join via prefix filtering
+  // (AllPairs/PPJoin) — the provably-complete counterpart of the
+  // MinHash-LSH nomination path: finds EVERY pair with J >= 0.5, no
+  // false negatives. Candidates share a token among each doc's
+  // rarest-first prefix (|d| - ceil(t·|d|) + 1 tokens); verification
+  // merge-counts the sorted word arrays scan-local. See
+  // DedupOps.prefixJaccardPairs for the completeness argument and the
+  // posting-list cap; DedupParitySpec pins parity with brute force.
+  private val PrefixT = 0.5
+
+  private val q94: Q = (s, d) =>
+    graft.dedup.DedupOps.prefixJaccardPairs(
+      documents(s, d).select(col("doc_id"), col("text")),
+      "doc_id", "text", PrefixT)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private lazy val q94Sql = s"""
+    WITH nd AS (SELECT doc_id,
+                  string_split(${OracleSql.normSql}, ' ') AS w
+                FROM documents),
+    g AS (SELECT doc_id, ${OracleSql.grams3Sql} AS gr FROM nd),
+    dg AS (SELECT doc_id, md5(gram) AS gk
+           FROM (SELECT doc_id, unnest(gr) AS gram FROM g)),
+    dfs AS (SELECT gk, count(*) AS df FROM dg GROUP BY gk),
+    ranked AS (SELECT doc_id, array_agg(gk ORDER BY df, gk) AS rare
+               FROM dg JOIN dfs USING (gk) GROUP BY doc_id),
+    pre AS (SELECT doc_id, unnest(rare[1 : CAST(len(rare) -
+              ceil($PrefixT * len(rare)) + 1 AS INTEGER)]) AS gk
+            FROM ranked),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM pre a JOIN pre b
+               ON a.gk = b.gk AND a.doc_id < b.doc_id),
+    v AS (SELECT id_a, id_b,
+            round(CAST(len(list_intersect(ga.gr, gb.gr)) AS DOUBLE) /
+              len(list_distinct(ga.gr || gb.gr)), 6) AS jaccard
+          FROM cand
+            JOIN g ga ON ga.doc_id = id_a
+            JOIN g gb ON gb.doc_id = id_b)
+    SELECT id_a, id_b, jaccard FROM v
+    WHERE jaccard >= $PrefixT ORDER BY id_a, id_b"""
+
   val queries: Map[String, Q] = Map(
     "q92_nb_lang_confusion" -> q92,
-    "q93_bm25_topk" -> q93)
+    "q93_bm25_topk" -> q93,
+    "q94_prefix_jaccard_pairs" -> q94)
 
   val oracleSql: Map[String, String] = Map(
     "q92_nb_lang_confusion" -> q92Sql,
-    "q93_bm25_topk" -> q93Sql)
+    "q93_bm25_topk" -> q93Sql,
+    "q94_prefix_jaccard_pairs" -> q94Sql)
 }

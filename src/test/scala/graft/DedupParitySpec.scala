@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.dedup.DedupOps
+import graft.dedup.{DedupOps, NGramArray, SortedArraysJaccard}
 
 /** Native Catalyst dedup expressions vs their composed-HOF twins, and the
   * pigeonhole-banded SimHash pair join vs the brute-force all-pairs form
@@ -236,5 +236,24 @@ class DedupParitySpec extends AnyFunSuite {
     // each pair must emerge exactly once (no distinct pass in the plan)
     assert(ball.groupBy("id_a", "id_b").count()
       .filter(col("count") > 1).isEmpty)
+  }
+
+  test("prefix-filtered Jaccard join is COMPLETE vs brute force") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    // the property that distinguishes it from LSH: EVERY pair with
+    // J >= t must appear — no false negatives — and nothing below t may
+    val t = 0.5
+    val g = docs.select(col("doc_id"),
+      column(NGramArray(expression(col("text")), 3)).as("g"))
+    val brute = g.select(col("doc_id").as("id_a"), col("g").as("ga"))
+      .join(g.select(col("doc_id").as("id_b"), col("g").as("gb")),
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(column(SortedArraysJaccard(
+          expression(col("ga")), expression(col("gb")))), 6).as("jaccard"))
+      .filter(col("jaccard") >= t)
+    val fast = DedupOps.prefixJaccardPairs(docs, "doc_id", "text", t)
+    assert(brute.exceptAll(fast).isEmpty && fast.exceptAll(brute).isEmpty)
+    assert(brute.count() > 0, "fixture should contain J >= 0.5 pairs")
   }
 }

@@ -446,6 +446,26 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("prefix join shuffles gram hashes, never gram text") {
+    // df counting (count window), the posting-list aggregation and the
+    // verify probes all key on the 16-byte md5 (the q79/q86 rule); the
+    // raw gram string must never ride an exchange. Gated on the
+    // UN-materialized lineage (the ClusterMemo.scoredPairsPlan pattern
+    // — the production op's localCheckpoint would hide the upstream
+    // exchanges from the plan).
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val p = graft.dedup.DedupOps
+      .prefixJaccardPairsPlan(docs, "doc_id", "text", 0.5)
+      .queryExecution.executedPlan.toString
+    for (st <- subtrees(p, "Exchange hashpartitioning"))
+      assert(!st.linesIterator.next().contains("_gram"),
+        "q94 must not hash-shuffle raw grams — key on md5 hashes")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("NB classifier broadcasts the model; BM25 ranks via the k-heap") {
     // q92's vocab-bounded model and q93's per-term stats must ride
     // broadcasts into the token scan — a shuffle join keyed on the raw
