@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.Pipeline7.queries ++
       graft.queries.Pipeline8.queries ++
       graft.queries.Pipeline9.queries ++
-      graft.queries.Pipeline10.queries
+      graft.queries.Pipeline10.queries ++
+      graft.queries.Pipeline11.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -51,5 +52,6 @@ object SparkEntry {
       graft.queries.Pipeline7.oracleSql ++
       graft.queries.Pipeline8.oracleSql ++
       graft.queries.Pipeline9.oracleSql ++
-      graft.queries.Pipeline10.oracleSql
+      graft.queries.Pipeline10.oracleSql ++
+      graft.queries.Pipeline11.oracleSql
 }

@@ -360,6 +360,22 @@ object EventStreams {
         col("purchase_ts"), col("view_ts"))
   }
 
+  /** Streaming count-min sketch maintainer — q97's term-frequency
+    * sketch built over a document STREAM: same seeded buckets and
+    * one-pass fold as the batch build ([[graft.text.Cms.sketch]] runs
+    * unchanged on the streaming frame), but as a continuously-updated
+    * stateful aggregation whose ENTIRE state is the ≤ 3×4096 counters —
+    * the bounded-memory vocabulary tracker a 100 TB ingestion pipeline
+    * keeps live (an exact per-word streaming count grows state with the
+    * vocabulary; this never does). Run in update/complete mode;
+    * StreamingSpec pins the final counters == the batch sketch on the
+    * same fixture.
+    */
+  def cmsSketchStream(docs: DataFrame): DataFrame =
+    graft.text.Cms.sketch(
+      docs.select(explode(split(
+        graft.text.TextOps.normalize(col("text")), " ")).as("w")), "w")
+
   /** Streaming statistical quality scoring — q87's trigram LM run at
     * the ingestion door: the bounded model rides ONE broadcast row
     * ([[graft.text.TrigramLm.modelFrame]]: logp map + unseen-trigram

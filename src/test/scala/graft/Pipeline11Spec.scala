@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch-eleven semantics on constructed corpora: reconstructive passage
+  * dedup must keep exactly one occurrence per distinct passage and
+  * rebuild texts in order; DSIR weighting must separate a disjoint-vocab
+  * target slice; CMS estimates can only ever over-count.
+  */
+class Pipeline11Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def stage(rows: Seq[(Long, String, String)]): String = {
+    val dir = Files.createTempDirectory("docs_p11").toString
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("passage rewrite keeps first occurrence and rebuilds in order") {
+    // doc 0: two passages (a b c d | e f g h). doc 1 repeats doc 0's
+    // first passage then adds its own -> only its own survives. doc 2
+    // is entirely doc 0's passages -> survives EMPTY.
+    val d = stage(Seq(
+      (0L, "a b c d e f g h", "en"),
+      (1L, "a b c d x y z w", "en"),
+      (2L, "e f g h a b c d", "en")))
+    val out = SparkEntry.queries("q95_passage_rewrite")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) == ((2L, 2L, "a b c d e f g h")))
+    assert(out(1L) == ((2L, 1L, "x y z w")))
+    assert(out(2L) == ((2L, 0L, "")))
+  }
+
+  test("passage rewrite globally: one survivor per distinct passage") {
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val distinctPk = docs.select(explode(
+        graft.text.TextOps.passageHashes(col("text"), 4)).as("pk"))
+      .distinct().count()
+    val agg = SparkEntry.queries("q95_passage_rewrite")(spark, d)
+      .agg(sum(col("n_kept")).as("k"), sum(col("n_passages")).as("n"))
+      .head()
+    assert(agg.getLong(0) == distinctPk, "every distinct passage kept once")
+    assert(agg.getLong(0) <= agg.getLong(1))
+  }
+
+  test("DSIR separates a disjoint-vocab target slice") {
+    // target (en) vocabulary is disjoint from the rest: every en doc
+    // must score > 0 and be selected, every zh doc < 0 and not
+    val d = stage(Seq(
+      (0L, "alpha beta alpha beta", "en"),
+      (1L, "beta alpha beta beta", "en"),
+      (2L, "gamma delta gamma delta", "zh"),
+      (3L, "delta gamma delta delta", "zh")))
+    val rows = SparkEntry.queries("q96_dsir_weights")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    for (id <- Seq(0L, 1L)) {
+      assert(rows(id)._1 > 0 && rows(id)._2, s"en doc $id selected")
+    }
+    for (id <- Seq(2L, 3L)) {
+      assert(rows(id)._1 < 0 && !rows(id)._2, s"zh doc $id rejected")
+    }
+  }
+
+  /** Stages an events.parquet with epoch-NANOS long ts (the production
+    * read shape under nanosAsLong), returns the dir.
+    */
+  private def stageEvents(rows: Seq[(Long, Long, Long, String)]): String = {
+    val dir = Files.createTempDirectory("events_p11").toString
+    rows.map { case (id, sec, user, typ) => (id, sec * 1000000000L, user, typ) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("retention cohorts anchor on first event day") {
+    val day = 86400L
+    val d = stageEvents(Seq(
+      (0L, 0L, 1L, "view"), (1L, 8 * day, 1L, "view"),   // offsets 0, 1
+      (2L, 10L, 2L, "click"),                            // offset 0 only
+      (3L, day, 3L, "view"), (4L, 20 * day, 3L, "view")))// day-2 cohort
+    val out = SparkEntry.queries("q98_retention_cohorts")(spark, d)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      ("1970-01-01", 0) -> 2L, ("1970-01-01", 1) -> 1L,
+      ("1970-01-02", 0) -> 1L, ("1970-01-02", 2) -> 1L))
+  }
+
+  test("funnel honors event order, not mere presence") {
+    val d = stageEvents(Seq(
+      // user 1: clean view -> click -> purchase
+      (0L, 10L, 1L, "view"), (1L, 20L, 1L, "click"), (2L, 30L, 1L, "purchase"),
+      // user 2: purchase BEFORE first view -> stops at stage 1
+      (3L, 5L, 2L, "purchase"), (4L, 10L, 2L, "view"),
+      // user 3: click before first view -> stops at stage 1
+      (5L, 5L, 3L, "click"), (6L, 10L, 3L, "view"), (7L, 20L, 3L, "purchase"),
+      // user 4: purchase before the qualifying click -> stops at stage 2
+      (8L, 10L, 4L, "view"), (9L, 15L, 4L, "click"), (10L, 12L, 4L, "purchase")))
+    val out = SparkEntry.queries("q99_event_funnel")(spark, d)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out == Map(1 -> 4L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("CMS never under-counts; exact on a collision-free vocabulary") {
+    val est = SparkEntry.queries("q97_cms_term_counts")(
+      spark, "/root/testdata/sf0.001")
+    assert(est.filter(col("overestimate") < 0).isEmpty,
+      "count-min is an upper bound by construction")
+    // tiny disjoint vocabulary -> no 3-way bucket agreement plausible;
+    // the min over rows recovers exact counts
+    val d = stage(Seq(
+      (0L, "red red green blue", "en"),
+      (1L, "blue green red red", "en")))
+    val small = SparkEntry.queries("q97_cms_term_counts")(spark, d)
+    assert(small.filter(col("overestimate") =!= 0).isEmpty,
+      "3-row min recovers exact counts on a 3-word vocabulary")
+  }
+}

@@ -466,6 +466,46 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("passage rewrite keeps text out of the hash-keyed shuffles") {
+    // keeper election and kept-position grouping ride narrow (pk, id,
+    // pos) rows; the document text joins back on doc_id exactly once
+    val p = planString("q95_passage_rewrite")
+    for (st <- subtrees(p, "Exchange hashpartitioning(_pk")) {
+      // the exchanged ROW is the immediate child's output; computing
+      // hashes FROM text inside the subtree (scan-side Generate) is fine
+      val childLine = st.linesIterator.drop(1).take(1).mkString
+      assert(!childLine.contains("text#"),
+        "q95 keeper election must not carry the document text")
+    }
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("DSIR and CMS broadcast their bounded models into the scan") {
+    // q96's 4096-bucket ratio table and q97's 3x4096 sketch counters
+    // are bounded by construction — a shuffle join keyed on the bucket
+    // would re-shuffle O(corpus tokens) rows
+    for (q <- Seq("q96_dsir_weights", "q97_cms_term_counts")) {
+      val p = planString(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: model must broadcast")
+      for (m <- Seq("SortMergeJoin", "ShuffledHashJoin");
+           st <- subtrees(p, m))
+        assert(!st.linesIterator.next().matches(".*\\bb[0-9]?#.*"),
+          s"$q token-side join must broadcast the bounded table, got $m")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("cohorts and funnel stay window-free on narrow keys") {
+    // q98/q99 are user-keyed min-aggregates + equi joins; an ordered
+    // per-user history window would sort every power user's history
+    for (q <- Seq("q98_retention_cohorts", "q99_event_funnel")) {
+      val p = planString(q)
+      assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q plan shape")
+    }
+  }
+
   test("NB classifier broadcasts the model; BM25 ranks via the k-heap") {
     // q92's vocab-bounded model and q93's per-term stats must ride
     // broadcasts into the token scan — a shuffle join keyed on the raw

@@ -399,6 +399,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS counters equal the batch sketch") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("docs_cms")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = EventStreams.cmsSketchStream(
+        EventStreams.readDocuments(spark, dir.toString))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cms_stream")
+      val want = graft.text.Cms.sketch(
+        spark.read.parquet(s"$dir/part-0.parquet")
+          .select(explode(split(
+            graft.text.TextOps.normalize(col("text")), " ")).as("w")), "w")
+      assert(got.count() > 0 && got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        "the streamed aggregation state must BE the batch sketch")
+    } finally q.stop()
+  }
+
   test("stream-static admission filter drops known fingerprints at the door") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("docs_admit")
