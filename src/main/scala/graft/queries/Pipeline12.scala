@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Event-analytics batch twelve: windowed rate anomaly detection (the
+  * monitoring query an ingestion pipeline alerts on), per-user event
+  * transition matrices, and schema-on-read JSON property aggregation —
+  * the semi-structured column path.
+  */
+object Pipeline12 {
+
+  type Q = (SparkSession, String) => DataFrame
+  import Tables._
+
+  // ------------------------------------------------------------------ q100
+  // Hourly event-rate anomaly detection: per (event type, hour) counts,
+  // z-scored against the trailing 24 present windows. The moment
+  // statistics are built from EXACT integer window sums (sum n, sum n²,
+  // row count — all BIGINT), so mean/variance/z are a fixed short
+  // sequence of IEEE ops on identical inputs in both engines —
+  // bit-identical, no summation-order ulps (unlike avg/stddev_samp,
+  // whose accumulation order is engine-private). Scale shape: the
+  // windowed count is a map-side-combinable aggregate onto
+  // calendar-bounded keys (hours × types); the trailing-window pass
+  // partitions by type and sorts a calendar-bounded series — bounded
+  // regardless of event volume.
+  private val AnomalyTrail = 24
+  private val AnomalyZ = 3.0
+
+  private val q100: Q = (s, d) => {
+    val counts = eventsMicros(s, d)
+      .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("ws"))
+      .rowsBetween(-AnomalyTrail, -1)
+    val withMoments = counts
+      .withColumn("_s1", sum(col("n")).over(trail))
+      .withColumn("_s2", sum(col("n") * col("n")).over(trail))
+      .withColumn("_m", count(col("n")).over(trail))
+    val mean = col("_s1").cast("double") / col("_m")
+    val variance = (col("_s2").cast("double") -
+      col("_s1").cast("double") * col("_s1") / col("_m")) / (col("_m") - 1)
+    withMoments
+      .withColumn("z",
+        when(col("_m") >= 2 && variance > 0,
+          round((col("n") - mean) / sqrt(variance), 6)))
+      .select(col("ws"), col("event_type"), col("n"), col("z"),
+        coalesce(abs(col("z")) > AnomalyZ, lit(false)).as("is_anomaly"))
+      .orderBy(col("event_type"), col("ws"))
+  }
+
+  private lazy val q100Sql = s"""
+    WITH counts AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT ws, event_type, n,
+             sum(n) OVER t AS s1,
+             sum(n * n) OVER t AS s2,
+             count(n) OVER t AS m
+      FROM counts
+      WINDOW t AS (PARTITION BY event_type ORDER BY ws
+                   ROWS BETWEEN $AnomalyTrail PRECEDING AND 1 PRECEDING)),
+    z AS (
+      SELECT ws, event_type, n,
+             CASE WHEN m >= 2 AND
+                 (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/m)/(m-1) > 0
+               THEN round((n - CAST(s1 AS DOUBLE)/m) /
+                 sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/m)/(m-1)),
+                 6)
+             END AS z
+      FROM m)
+    SELECT ws, event_type, n, z,
+           coalesce(abs(z) > $AnomalyZ, false) AS is_anomaly
+    FROM z ORDER BY event_type, ws"""
+
+  // ------------------------------------------------------------------ q101
+  // Per-user event transition matrix (the first-order Markov view of
+  // behavior): consecutive event pairs within each user's
+  // (ts, event_id)-ordered history, counted by (from, to). The lag
+  // window is partitioned per user and sorts only that user's history —
+  // the sessionize bound, intrinsic to adjacency semantics — and the
+  // event_id tiebreak makes ordering total, so both engines see the
+  // same pairs. The transition count itself is a map-side-combinable
+  // aggregate onto a |types|² key space.
+  private val q101: Q = (s, d) => {
+    val e = eventsMicros(s, d)
+      .select(col("user_id"), col("ts_t"), col("event_id"),
+        col("event_type"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_t"), col("event_id"))
+    e.withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private lazy val q101Sql = """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+      FROM events),
+    lagged AS (
+      SELECT event_type AS to_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type
+      FROM e)
+    SELECT from_type, to_type, count(*) AS n
+    FROM lagged WHERE from_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ------------------------------------------------------------------ q102
+  // Schema-on-read JSON property aggregation: the props column is a
+  // JSON string; from_json with an explicit (not inferred) schema
+  // parses it inside the scan — a codegen'd native expression, no UDF,
+  // and at 100 TB no sampling-based schema inference pass — and the
+  // typed field feeds a plain grouped aggregate. Doubles are summed
+  // then 6-dp-rounded (the house FP rule for cross-engine sums).
+  private val q102: Q = (s, d) => {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    eventsMicros(s, d)
+      .select(from_json(col("props"), schema).getField("k").as("k"),
+        col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("value")), 6).as("avg_value"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .orderBy(col("k"))
+  }
+
+  private lazy val q102Sql = """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           count(*) AS n_events,
+           round(avg(value), 6) AS avg_value,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY 1 ORDER BY 1"""
+
+  val queries: Map[String, Q] = Map(
+    "q100_rate_anomaly" -> q100,
+    "q101_event_transitions" -> q101,
+    "q102_json_props_agg" -> q102)
+
+  val oracleSql: Map[String, String] = Map(
+    "q100_rate_anomaly" -> q100Sql,
+    "q101_event_transitions" -> q101Sql,
+    "q102_json_props_agg" -> q102Sql)
+}

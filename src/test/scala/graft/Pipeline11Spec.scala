@@ -5,10 +5,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Batch-eleven semantics on constructed corpora: reconstructive passage
-  * dedup must keep exactly one occurrence per distinct passage and
-  * rebuild texts in order; DSIR weighting must separate a disjoint-vocab
-  * target slice; CMS estimates can only ever over-count.
+/** Batch-eleven/twelve semantics on constructed corpora: reconstructive
+  * passage dedup must keep exactly one occurrence per distinct passage
+  * and rebuild texts in order; DSIR weighting must separate a
+  * disjoint-vocab target slice; CMS estimates can only ever over-count;
+  * cohorts/funnel/anomaly/transitions must honor event ORDER, not mere
+  * presence; JSON props parse schema-on-read with null-safe groups.
   */
 class Pipeline11Spec extends AnyFunSuite {
 
@@ -116,6 +118,52 @@ class Pipeline11Spec extends AnyFunSuite {
     val out = SparkEntry.queries("q99_event_funnel")(spark, d)
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(out == Map(1 -> 4L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("rate anomaly flags the spike hour, not the trailing noise") {
+    // 24 hours alternating 9/11 events, then a 30-event spike, then a
+    // quiet hour: only the spike's window may flag (the first two hours
+    // have no computable variance; the quiet hour's trail absorbs the
+    // spike into a wide stddev)
+    val rows = for {
+      h <- 0 to 25
+      n = if (h == 24) 30 else if (h == 25) 10 else if (h % 2 == 0) 9 else 11
+      i <- 0 until n
+    } yield ((h * 100L + i), h * 3600L + i * 10L, 1L, "view")
+    val d = stageEvents(rows)
+    val out = SparkEntry.queries("q100_rate_anomaly")(spark, d).collect()
+    val flagged = out.filter(_.getBoolean(4)).map(_.getLong(2)).toSeq
+    assert(flagged == Seq(30L), "exactly the spike window flags")
+    val spikeZ = out.find(_.getLong(2) == 30L).get.getDouble(3)
+    assert(spikeZ > 3.0)
+  }
+
+  test("transition matrix orders by (ts, event_id) within user") {
+    val d = stageEvents(Seq(
+      (1L, 10L, 1L, "view"), (2L, 20L, 1L, "click"),
+      (3L, 20L, 1L, "purchase"),   // ts tie with event 2: id breaks it
+      (4L, 5L, 2L, "error"), (5L, 15L, 2L, "error")))
+    val out = SparkEntry.queries("q101_event_transitions")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(
+      ("view", "click") -> 1L, ("click", "purchase") -> 1L,
+      ("error", "error") -> 1L))
+  }
+
+  test("JSON props parse schema-on-read; absent keys group as null") {
+    val dir = Files.createTempDirectory("events_json").toString
+    Seq((1L, 1000000000L, 1L, "view", 2.0, """{"k": 7}"""),
+        (2L, 2000000000L, 1L, "view", 4.0, """{"k": 7}"""),
+        (3L, 3000000000L, 2L, "view", 9.0, """{}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q102_json_props_agg")(spark, dir)
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getInt(0))) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out == Map(Some(7) -> ((2L, 3.0, 6.0)),
+      None -> ((1L, 9.0, 9.0))))
   }
 
   test("CMS never under-counts; exact on a collision-free vocabulary") {

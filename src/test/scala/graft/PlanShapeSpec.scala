@@ -496,6 +496,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("JSON props parse stays native and pruned") {
+    // from_json with an explicit schema is a codegen'd expression in
+    // the scan — never a UDF — and the parquet read prunes to the two
+    // used columns (no sampling-based inference pass, no full-row read)
+    val p = planString("q102_json_props_agg")
+    assert(p.contains("from_json") && !p.contains("BatchEvalPython"))
+    for (st <- subtrees(p, "FileScan"))
+      assert(!st.linesIterator.next().contains("event_type#"),
+        "q102 scan must prune unused event columns")
+  }
+
   test("cohorts and funnel stay window-free on narrow keys") {
     // q98/q99 are user-keyed min-aggregates + equi joins; an ordered
     // per-user history window would sort every power user's history
