@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.text.TextOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
@@ -141,13 +142,79 @@ object Pipeline12 {
     FROM events
     GROUP BY 1 ORDER BY 1"""
 
+  // ------------------------------------------------------------------ q103
+  // BPE pair statistics — round one of tokenizer training (graft.text
+  // .Bpe.learn is the full iterative learner, golden-pinned in BpeSpec;
+  // the driver oracle checks the aggregate the loop is built from):
+  // weighted adjacent-symbol-pair counts over the corpus vocabulary,
+  // top 20 by (count, pair) — a total order, so the cut is
+  // deterministic. Scale shape: ONE corpus pass builds the word count;
+  // pair explosion runs on the vocabulary (corpus-bounded, far smaller
+  // than the corpus) via shifted-slice zip_with — no positional self
+  // -join — and the pair count map-side-combines onto the symbol-pair
+  // space.
+  private val BpeTopK = 20
+
+  private val q103: Q = (s, d) => {
+    val vocab = documents(s, d)
+      .select(explode(split(TextOps.normalize(col("text")), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), graft.text.Bpe.initSymbols(col("w")).as("syms"))
+    graft.text.Bpe.pairCounts(vocab)
+      .orderBy(col("n").desc, col("sym_a"), col("sym_b"))
+      .limit(BpeTopK)
+  }
+
+  private lazy val q103Sql = s"""
+    WITH toks AS (
+      SELECT unnest(string_split(${OracleSql.normSql}, ' ')) AS w
+      FROM documents),
+    vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+    syms AS (SELECT cnt,
+               list_append(string_split_regex(w, ''), '</w>') AS s
+             FROM vocab),
+    pairs AS (SELECT s[i] AS sym_a, s[i+1] AS sym_b, cnt
+              FROM syms, unnest(generate_series(1, len(s) - 1)) t(i)),
+    agg AS (SELECT sym_a, sym_b, CAST(sum(cnt) AS BIGINT) AS n
+            FROM pairs GROUP BY 1, 2)
+    SELECT sym_a, sym_b, n FROM agg
+    ORDER BY n DESC, sym_a, sym_b LIMIT $BpeTopK"""
+
+  // ------------------------------------------------------------------ q104
+  // Fixed-column pivot: per-source document counts spread wide over the
+  // known language set (the q26 unpivot's inverse). Pivoting on an
+  // EXPLICIT value list keeps the plan a single grouped aggregate with
+  // conditional counts — no distinct-values discovery pass, which at
+  // 100 TB is a full extra scan — and zero-fill makes absent cells
+  // engine-exact.
+  private val PivotLangs = Seq("de", "en", "es", "fr", "zh")
+
+  private val q104: Q = (s, d) =>
+    documents(s, d)
+      .groupBy(col("source")).pivot("lang", PivotLangs)
+      .agg(count(lit(1)))
+      .select(col("source") +: PivotLangs.map(l =>
+        coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+      .orderBy(col("source"))
+
+  private lazy val q104Sql = {
+    val cells = PivotLangs.map(l =>
+      s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS n_$l")
+      .mkString(", ")
+    s"SELECT source, $cells FROM documents GROUP BY source ORDER BY source"
+  }
+
   val queries: Map[String, Q] = Map(
     "q100_rate_anomaly" -> q100,
     "q101_event_transitions" -> q101,
-    "q102_json_props_agg" -> q102)
+    "q102_json_props_agg" -> q102,
+    "q103_bpe_pair_counts" -> q103,
+    "q104_pivot_matrix" -> q104)
 
   val oracleSql: Map[String, String] = Map(
     "q100_rate_anomaly" -> q100Sql,
     "q101_event_transitions" -> q101Sql,
-    "q102_json_props_agg" -> q102Sql)
+    "q102_json_props_agg" -> q102Sql,
+    "q103_bpe_pair_counts" -> q103Sql,
+    "q104_pivot_matrix" -> q104Sql)
 }
