@@ -273,6 +273,44 @@ class ScaleSpec extends AnyFunSuite {
     assert(uniqWrong == 0, s"$uniqWrong unique docs falsely flagged")
   }
 
+  test("passage rewrite keeps one global survivor per passage at 10x") {
+    import graft.dedup.DedupOps
+    // same family corpus as the stats test: within a family the first
+    // member claims the 3 shared passages; the 10 one-word tail
+    // passages "tokN" are claimed once GLOBALLY (by docs 0..9); unique
+    // docs keep everything
+    val f = (col("id") / 10).cast("long")
+    val family = concat_ws(" ",
+      (0 until 12).map(i =>
+        substring(md5(to_binary(
+          concat(f.cast("string"), lit(s"_w$i")), lit("utf-8"))), 1, 8)) :+
+      concat(lit("tok"), pmod(col("id"), lit(10))): _*)
+    val unique = concat_ws(" ",
+      (0 until 13).map(i =>
+        substring(md5(to_binary(
+          concat(col("id").cast("string"), lit(s"_u$i")), lit("utf-8"))),
+          1, 8)): _*)
+    val docs = spark.range(40500).select(col("id").as("doc_id"),
+      when(col("id") < 39500, family).otherwise(unique).as("text"))
+
+    val out = DedupOps.passageDedupRewrite(docs, "doc_id", "text", 4)
+      .localCheckpoint()
+    // unique docs survive whole: their normalized text IS the rebuild
+    assert(out.filter(col("doc_id") >= 39500 &&
+      (col("n_kept") =!= 4 || length(col("clean_text")) === 0)).count() == 0)
+    // family leaders (beyond family 0) keep exactly their 3 shared
+    // passages; followers are fully boilerplate and survive empty
+    assert(out.filter(col("doc_id") >= 10 && col("doc_id") < 39500 &&
+      pmod(col("doc_id"), lit(10)) === 0 && col("n_kept") =!= 3)
+      .count() == 0)
+    assert(out.filter(col("doc_id") >= 10 && col("doc_id") < 39500 &&
+      pmod(col("doc_id"), lit(10)) =!= 0 &&
+      (col("n_kept") =!= 0 || col("clean_text") =!= "")).count() == 0)
+    // global invariant: total survivors == distinct passages
+    // (3,950 x 3 family + 10 tok tails + 1,000 x 4 unique)
+    assert(out.agg(sum(col("n_kept"))).head().getLong(0) == 15860L)
+  }
+
   test("semantic-dedup bucket cap fails loudly on a one-bucket corpus") {
     import graft.sim.Similarity
     val vec = typedlit((0 until 64).map(i => (i + 1).toFloat))
