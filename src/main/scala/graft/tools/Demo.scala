@@ -66,6 +66,18 @@ object Demo {
     println(s"[demo] admission filter passes ${admitted.count()} of ${docs.count()} docs")
     admitted.explain("formatted")
 
+    // batch-eleven ops: exact prefix-filtered similarity join,
+    // reconstructive passage dedup, BPE learning over the corpus vocab
+    val pj = graft.dedup.DedupOps.prefixJaccardPairsPlan(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text", 0.5)
+    pj.orderBy("id_a", "id_b").show(5)
+    pj.explain("formatted")
+    val rewritten = graft.dedup.DedupOps.passageDedupRewrite(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text", 4)
+    rewritten.orderBy("doc_id").show(3, truncate = false)
+    val (merges, _) = graft.text.Bpe.learn(docs, "text", 3)
+    println(s"[demo] first BPE merges learned from the corpus: $merges")
+
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cent = graft.sim.Similarity.groupCentroids(emb, "label")
     val sims = emb.join(broadcast(cent), Seq("label"))
