@@ -67,38 +67,22 @@ object Pipeline11 {
   // 4096-bucket space — 3 hex chars of md5, the engine-portable q51
   // idiom — which is the whole scale trick: both models are
   // bucket-bounded aggregates (map-side combinable into <= 4096 keys,
-  // constant shuffle at any corpus size) and the ratio table BROADCASTS
-  // into the scoring scan; scoring is one doc_id-keyed shuffle with
-  // map-side partial sums. Per-bucket ratios are 6-dp-pinned before the
-  // sum (the q92 rule) so summation-order ulps can't move a score
-  // between engines. Target slice: lang = 'en' (the reference-corpus
+  // constant shuffle at any corpus size) and the whole ratio table
+  // compresses to ONE broadcast row (lr map + unseen default), so
+  // scoring is a scan-local array fold with NO shuffle — the same
+  // expression runs unchanged at the streaming ingestion door
+  // (EventStreams.dsirScoreStream, pinned == this query's scores in
+  // StreamingSpec). Per-bucket ratios are 6-dp-pinned before the sum
+  // (the q92 rule). Target slice: lang = 'en' (the reference-corpus
   // stand-in); selected = more target-like than raw-like.
-  private val DsirBuckets = 4096
+  private val DsirBuckets = graft.text.Dsir.Buckets
   private val DsirTargetLang = "en"
 
   private val q96: Q = (s, d) => {
-    val bk = documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        explode(split(TextOps.normalize(col("text")), " ")).as("w"))
-      .select(col("doc_id"), col("lang"),
-        substring(md5(to_binary(col("w"), lit("utf-8"))), 1, 3).as("b"))
-    val raw = bk.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgt = bk.filter(col("lang") === DsirTargetLang)
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    // target tokens are a subset of raw tokens, so raw LEFT JOIN tgt
-    // covers every occupied bucket; totals ride a 1-row broadcast
-    val model = raw.join(tgt, Seq("b"), "left")
-      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
-    val tot = model.agg(sum(col("ct")).as("t"), sum(col("cr")).as("r"))
-    val lr = model.crossJoin(broadcast(tot))
-      .select(col("b"), round(
-        log((col("ct") + lit(1.0)) / (col("t") + lit(DsirBuckets))) -
-          log((col("cr") + lit(1.0)) / (col("r") + lit(DsirBuckets))),
-        6).as("lr"))
-    bk.join(broadcast(lr), Seq("b"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("lr")), 6).as("dsir_score"))
+    val docs = documents(s, d)
+    val model = graft.text.Dsir.modelFrame(docs, "text",
+      col("lang") === DsirTargetLang)
+    graft.text.Dsir.score(docs, "doc_id", "text", model)
       .withColumn("selected", col("dsir_score") > 0)
       .orderBy(col("doc_id"))
   }

@@ -360,6 +360,20 @@ object EventStreams {
         col("purchase_ts"), col("view_ts"))
   }
 
+  /** Streaming DSIR importance scoring — q96's target-vs-raw
+    * log-likelihood-ratio selection run at the ingestion door: the
+    * 4096-bucket model rides ONE broadcast row ([[graft.text.Dsir
+    * .modelFrame]]: lr map + unseen-bucket default) and the per-doc
+    * score folds over the token array inside the row — no shuffle, no
+    * state store, stateless per micro-batch. A bucket the model corpus
+    * never saw takes the smoothed ct = cr = 0 default, exactly what an
+    * out-of-distribution token should pay. Scores == batch q96 on any
+    * fixture (same expression — StreamingSpec pins it).
+    */
+  def dsirScoreStream(docs: DataFrame, model: DataFrame): DataFrame =
+    graft.text.Dsir.score(docs, "doc_id", "text", model)
+      .withColumn("selected", col("dsir_score") > 0)
+
   /** Streaming count-min sketch maintainer — q97's term-frequency
     * sketch built over a document STREAM: same seeded buckets and
     * one-pass fold as the batch build ([[graft.text.Cms.sketch]] runs

@@ -487,13 +487,24 @@ class PlanShapeSpec extends AnyFunSuite {
     // would re-shuffle O(corpus tokens) rows
     for (q <- Seq("q96_dsir_weights", "q97_cms_term_counts")) {
       val p = planString(q)
-      assert(p.contains("BroadcastHashJoin"), s"$q: model must broadcast")
       for (m <- Seq("SortMergeJoin", "ShuffledHashJoin");
            st <- subtrees(p, m))
         assert(!st.linesIterator.next().matches(".*\\bb[0-9]?#.*"),
           s"$q token-side join must broadcast the bounded table, got $m")
       assert(!p.contains("CartesianProduct"))
     }
+    // q97's counter probes are bucket-keyed broadcast hash joins
+    assert(planString("q97_cms_term_counts").contains("BroadcastHashJoin"),
+      "q97: sketch counters must broadcast")
+    // q96's model is ONE row joined on a constant key — Catalyst folds
+    // that to a BroadcastNestedLoopJoin over an identity broadcast (the
+    // q87 LM shape), and scoring is a scan-local fold: no doc-keyed
+    // aggregation shuffle anywhere (rangepartitioning output sort is
+    // fine)
+    val p96 = planString("q96_dsir_weights")
+    assert(p96.contains("BroadcastExchange"), "q96: model must broadcast")
+    assert(!p96.contains("Exchange hashpartitioning(doc_id"),
+      "q96 scoring must not shuffle on doc_id")
   }
 
   test("JSON props parse stays native and pruned") {

@@ -399,6 +399,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming DSIR scores equal the batch query") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("docs_dsir")
+    // staged as documents.parquet so the SAME dir serves the streaming
+    // source (reads every parquet in the dir) and the batch query
+    // (reads $dir/documents.parquet)
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val model = graft.text.Dsir.modelFrame(batchDocs, "text",
+      col("lang") === "en")
+    val q = EventStreams.dsirScoreStream(
+        EventStreams.readDocuments(spark, dir.toString), model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dsir_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dsir_stream")
+      val want = SparkEntry.queries("q96_dsir_weights")(
+        spark, dir.toString.stripSuffix("/"))
+      // same expression, same model -> identical scores and verdicts
+      assert(got.count() == want.count() && got.count() > 0)
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        "door scores must equal the batch selection scores")
+    } finally q.stop()
+  }
+
   test("streaming CMS counters equal the batch sketch") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("docs_cms")
