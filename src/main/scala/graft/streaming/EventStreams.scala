@@ -360,6 +360,61 @@ object EventStreams {
         col("purchase_ts"), col("view_ts"))
   }
 
+  case class FunnelEv(user_id: Long, ts_us: Long, event_type: String)
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+  case class FunnelProgress(user_id: Long, stage: Int)
+
+  /** Streaming ordered-funnel tracker — batch q99 run as live state:
+    * per user, the state is exactly THREE timestamps (first qualifying
+    * view / click-after-view / purchase-after-click), so per-key state
+    * is constant-size no matter how long the user's history grows —
+    * the property that makes a funnel streamable at all (buffering
+    * histories is unbounded). Events inside a micro-batch process in
+    * ts order, which reproduces the batch conditional-min chain exactly
+    * (a stage's min qualifying time is known before any later event
+    * needs it: qualifying times only come from earlier events). Emits
+    * each user's current stage per batch (update mode). Bounded-state
+    * tradeoff, documented: an out-of-order view arriving in a LATER
+    * micro-batch can lower t1, but clicks discarded against the older
+    * t1 are gone — the same beyond-watermark approximation class as
+    * [[dedupEvents]]; feed in-order (or batch-replay) streams for exact
+    * parity, which StreamingSpec pins against q99.
+    */
+  def funnelStream(events: DataFrame,
+                   steps: Seq[String] = Seq("view", "click", "purchase"))
+      : Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val Unset = Long.MaxValue
+
+    def update(userId: Long, rows: Iterator[FunnelEv],
+               state: GroupState[FunnelState]): Iterator[FunnelProgress] = {
+      var s = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset))
+      rows.toSeq.sortBy(e => (e.ts_us, e.user_id)).foreach { e =>
+        if (e.event_type == steps(0)) {
+          if (e.ts_us < s.t1) s = s.copy(t1 = e.ts_us)
+        } else if (e.event_type == steps(1)) {
+          if (e.ts_us >= s.t1 && e.ts_us < s.t2) s = s.copy(t2 = e.ts_us)
+        } else if (e.event_type == steps(2)) {
+          if (e.ts_us >= s.t2 && e.ts_us < s.t3) s = s.copy(t3 = e.ts_us)
+        }
+      }
+      state.update(s)
+      val stage =
+        if (s.t3 != Unset) 3 else if (s.t2 != Unset) 2
+        else if (s.t1 != Unset) 1 else 0
+      Iterator.single(FunnelProgress(userId, stage))
+    }
+
+    events
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"))
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming DSIR importance scoring — q96's target-vs-raw
     * log-likelihood-ratio selection run at the ingestion door: the
     * 4096-bucket model rides ONE broadcast row ([[graft.text.Dsir

@@ -21,6 +21,14 @@ object Prof94 {
         .prefixJaccardPairs(docs, "doc_id", "text", 0.5).count()
       println(f"PROF rep$rep ${(System.nanoTime - t0) / 1e9}%.2f s ($n pairs)")
     }
+    // Bench-shaped reps: the registered query (orderBy included) through
+    // the noop sink, exactly what Bench times
+    for (rep <- 1 to 3) {
+      val t0 = System.nanoTime
+      graft.SparkEntry.queries("q94_prefix_jaccard_pairs")(spark, d)
+        .write.format("noop").mode("overwrite").save()
+      println(f"PROF noop-rep$rep ${(System.nanoTime - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

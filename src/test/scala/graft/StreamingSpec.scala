@@ -399,6 +399,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel state reproduces the batch stage counts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("events_funnel")
+    // the q99 spec fixture: user 1 converts cleanly; user 2's purchase
+    // precedes the first view; user 3's click precedes the first view;
+    // user 4's purchase precedes the qualifying click
+    Seq((0L, 10L, 1L, "view"), (1L, 20L, 1L, "click"),
+        (2L, 30L, 1L, "purchase"),
+        (3L, 5L, 2L, "purchase"), (4L, 10L, 2L, "view"),
+        (5L, 5L, 3L, "click"), (6L, 10L, 3L, "view"),
+        (7L, 20L, 3L, "purchase"),
+        (8L, 10L, 4L, "view"), (9L, 15L, 4L, "click"),
+        (10L, 12L, 4L, "purchase"))
+      .map { case (id, sec, u, t) => (id, sec * 1000000000L, u, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("events.parquet").toString)
+    val q = EventStreams.funnelStream(
+        EventStreams.readEvents(spark, dir.resolve("events.parquet").toString))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_stream").start()
+    try {
+      q.processAllAvailable()
+      // latest emitted stage per user vs the batch funnel on the same dir
+      val reached = spark.table("funnel_stream")
+        .groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = SparkEntry.queries("q99_event_funnel")(spark, dir.toString)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val streamed = (1 to 3).map(s =>
+        s -> reached.values.count(_ >= s).toLong).toMap
+      assert(streamed == want,
+        "constant-state funnel must reach the batch stage counts")
+      assert(reached == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2),
+        s"per-user stages: $reached")
+    } finally q.stop()
+  }
+
   test("streaming DSIR scores equal the batch query") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("docs_dsir")
