@@ -204,7 +204,52 @@ object Pipeline12 {
     s"SELECT source, $cells FROM documents GROUP BY source ORDER BY source"
   }
 
+  // ------------------------------------------------------------------ q105
+  // Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+  // every doc gets key ln(u)/w — u a DETERMINISTIC (0,1) uniform from
+  // the md5 of its id (the q51 idiom, so the "random" draw is
+  // reproducible and engine-portable), w = n_chars — and the sample is
+  // the top-k by key. Distributed shape: keys are scan-local; the
+  // global top-50 rides the bounded TopKByScore k-heap (each task
+  // forwards <= k rows — no global sort, the q93 shape); the winner set
+  // then re-joins the corpus as a 50-row broadcast for enrichment.
+  // P(doc in sample) follows its weight share, the A-Res guarantee.
+  private val EsK = 50
+
+  private val q105: Q = (s, d) => {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val keyed = documents(s, d).select(col("doc_id"), col("n_chars"),
+      (log((conv(substring(md5(to_binary(col("doc_id").cast("string"),
+          lit("utf-8"))), 1, 6), 16, 10).cast("double") + 0.5) /
+          lit(16777216.0)) / col("n_chars")).as("es_key"))
+    val top = keyed.agg(column(graft.sim.TopKByScore(
+        expression(col("es_key")), expression(col("doc_id")), EsK)
+        .toAggregateExpression()).as("_top"))
+      .select(posexplode(col("_top")))
+      .select((col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("doc_id"))
+    keyed.join(broadcast(top), Seq("doc_id"))
+      .select(col("rnk"), col("doc_id"), col("n_chars"),
+        round(col("es_key"), 6).as("es_key"))
+      .orderBy(col("rnk"))
+  }
+
+  private lazy val q105Sql = s"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                 + 0.5) / 16777216.0) / n_chars AS es_key
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, n_chars, es_key,
+             row_number() OVER (ORDER BY es_key DESC, doc_id) AS rnk
+      FROM keyed)
+    SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, n_chars,
+           round(es_key, 6) AS es_key
+    FROM ranked WHERE rnk <= $EsK ORDER BY rnk"""
+
   val queries: Map[String, Q] = Map(
+    "q105_weighted_sample" -> q105,
     "q100_rate_anomaly" -> q100,
     "q101_event_transitions" -> q101,
     "q102_json_props_agg" -> q102,
@@ -212,6 +257,7 @@ object Pipeline12 {
     "q104_pivot_matrix" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q105_weighted_sample" -> q105Sql,
     "q100_rate_anomaly" -> q100Sql,
     "q101_event_transitions" -> q101Sql,
     "q102_json_props_agg" -> q102Sql,

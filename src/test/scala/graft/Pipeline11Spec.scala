@@ -166,6 +166,23 @@ class Pipeline11Spec extends AnyFunSuite {
       None -> ((1L, 9.0, 9.0))))
   }
 
+  test("weighted sample favors heavy docs; ranks are key-ordered") {
+    // 250 docs at weight 2000 vs 250 at weight 20 (100:1): the heavy
+    // class must dominate the 50-slot A-Res sample; the draw is
+    // md5-deterministic so this is a fixed outcome, not a flaky one
+    val rows = (0L until 500L).map(i =>
+      (i, "a" * (if (i < 250) 2000 else 20), "en"))
+    val d = stage(rows)
+    val out = SparkEntry.queries("q105_weighted_sample")(spark, d).collect()
+    assert(out.length == 50)
+    assert(out.map(_.getInt(0)).toSeq == (1 to 50),
+      "ranks must be dense 1..k")
+    val keys = out.map(_.getDouble(3)).toSeq
+    assert(keys == keys.sorted.reverse, "ranked by descending ES key")
+    val heavy = out.count(_.getLong(1) < 250L)
+    assert(heavy > 40, s"heavy class won only $heavy of 50 slots")
+  }
+
   test("CMS never under-counts; exact on a collision-free vocabulary") {
     val est = SparkEntry.queries("q97_cms_term_counts")(
       spark, "/root/testdata/sf0.001")

@@ -518,6 +518,14 @@ class PlanShapeSpec extends AnyFunSuite {
         "q102 scan must prune unused event columns")
   }
 
+  test("weighted sample ranks via the k-heap, never a global window") {
+    // a row_number window funnels every doc through one task; the
+    // bounded TopKByScore aggregate forwards <= k rows per map task
+    val p = planString("q105_weighted_sample")
+    assert(p.contains("topk_by_score") && !p.contains("Window"),
+      "q105 must rank via TopKByScore")
+  }
+
   test("cohorts and funnel stay window-free on narrow keys") {
     // q98/q99 are user-keyed min-aggregates + equi joins; an ordered
     // per-user history window would sort every power user's history
