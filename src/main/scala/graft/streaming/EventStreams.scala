@@ -360,6 +360,78 @@ object EventStreams {
         col("purchase_ts"), col("view_ts"))
   }
 
+  case class RateEv(event_type: String, hour_us: Long)
+  case class RateState(openHour: Long, openN: Long,
+                       closed: List[(Long, Long)])
+  case class HourVerdict(event_type: String, ws_us: Long, n: Long,
+                         z: Option[Double], is_anomaly: Boolean)
+
+  /** Streaming hourly rate-anomaly monitor — batch q100 as live state:
+    * per event type the state is ONE open hour counter plus the last 24
+    * CLOSED hour counts (the z-score's trailing window) — constant
+    * size at any stream rate. An hour closes (and emits its verdict)
+    * when a later hour's first event arrives, which is how a monitoring
+    * pipeline actually alerts: at the top of the next hour, not at
+    * end-of-day batch. The z statistics are the exact integer-sum
+    * moments of q100, so on in-order replay every closed hour's verdict
+    * equals the batch row (StreamingSpec pins it); events for an
+    * already-closed hour are dropped — the bounded-state tradeoff,
+    * same class as [[dedupEvents]].
+    */
+  def rateAnomalyStream(events: DataFrame, trail: Int = 24,
+                        zThreshold: Double = 3.0): Dataset[HourVerdict] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val HourUs = 3600L * 1000000L
+
+    def verdict(tpe: String, hour: Long, n: Long,
+                closed: List[(Long, Long)]): HourVerdict = {
+      val m = closed.size.toLong
+      val s1 = closed.map(_._2).sum
+      val s2 = closed.map(c => c._2 * c._2).sum
+      val z =
+        if (m < 2) None
+        else {
+          val variance = (s2.toDouble - s1.toDouble * s1 / m) / (m - 1)
+          if (variance > 0)
+            Some(BigDecimal((n - s1.toDouble / m) / math.sqrt(variance))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          else None
+        }
+      HourVerdict(tpe, hour, n, z, z.exists(math.abs(_) > zThreshold))
+    }
+
+    def update(tpe: String, rows: Iterator[RateEv],
+               state: GroupState[RateState]): Iterator[HourVerdict] = {
+      val counts = rows.toSeq.groupBy(_.hour_us).toSeq.sortBy(_._1)
+      var s = state.getOption.getOrElse(RateState(Long.MinValue, 0L, Nil))
+      var out = List.empty[HourVerdict]
+      counts.foreach { case (hour, evs) =>
+        if (hour == s.openHour || s.openHour == Long.MinValue) {
+          val base = if (s.openHour == Long.MinValue) 0L else s.openN
+          s = RateState(hour, base + evs.size, s.closed)
+        } else if (hour > s.openHour) {
+          // close the open hour against the current trailing window
+          out ::= verdict(tpe, s.openHour, s.openN, s.closed)
+          val closed = ((s.openHour, s.openN) :: s.closed).take(trail)
+          s = RateState(hour, evs.size.toLong, closed)
+        }
+        // hour < openHour: late event for a closed hour — dropped
+      }
+      state.update(s)
+      out.reverseIterator
+    }
+
+    events
+      .select(col("event_type"),
+        (expr("ts div 1000") - pmod(expr("ts div 1000"), lit(HourUs)))
+          .as("hour_us"))
+      .as[RateEv]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   case class FunnelEv(user_id: Long, ts_us: Long, event_type: String)
   case class FunnelState(t1: Long, t2: Long, t3: Long)
   case class FunnelProgress(user_id: Long, stage: Int)

@@ -399,6 +399,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming rate monitor closes hours with batch-equal verdicts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("events_rate")
+    // the q100 spike fixture (24 alternating hours, a 30-event spike,
+    // a quiet hour) plus a 1-event sentinel hour so hour 25 closes
+    val rows = (for {
+      h <- 0 to 25
+      n = if (h == 24) 30 else if (h == 25) 10 else if (h % 2 == 0) 9 else 11
+      i <- 0 until n
+    } yield (h * 100L + i, h * 3600L + i * 10L, 1L, "view")) :+
+      ((9999L, 26 * 3600L, 1L, "view"))
+    rows.map { case (id, sec, u, t) => (id, sec * 1000000000L, u, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("events.parquet").toString)
+    val q = EventStreams.rateAnomalyStream(
+        EventStreams.readEvents(spark, dir.resolve("events.parquet").toString))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("rate_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("rate_stream")
+        .select(timestamp_micros(col("ws_us")).as("ws"), col("event_type"),
+          col("n"), col("z"), col("is_anomaly"))
+      val want = SparkEntry.queries("q100_rate_anomaly")(spark, dir.toString)
+      // the stream has closed hours 0..25; batch rows for those hours
+      // must match verdict-for-verdict
+      val closedHours = got.select(col("ws")).collect().map(_.getTimestamp(0))
+      assert(closedHours.length == 26, s"${closedHours.length} closed")
+      val wantClosed = want.filter(col("ws").isin(closedHours: _*))
+      assert(got.exceptAll(wantClosed).count() == 0 &&
+        wantClosed.exceptAll(got).count() == 0,
+        "closed-hour verdicts must equal the batch rows")
+      // and the spike still flags exactly once
+      assert(got.filter(col("is_anomaly")).select(col("n"))
+        .collect().map(_.getLong(0)).toSeq == Seq(30L))
+    } finally q.stop()
+  }
+
   test("streaming funnel state reproduces the batch stage counts") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
