@@ -248,7 +248,54 @@ object Pipeline12 {
            round(es_key, 6) AS es_key
     FROM ranked WHERE rnk <= $EsK ORDER BY rnk"""
 
+  // ------------------------------------------------------------------ q106
+  // SCD2 merge (the warehouse MERGE a versioned corpus catalog runs per
+  // refresh), applied to q90's deterministically-carved snapshots so
+  // every branch is exercised: unchanged rows stay open, changed ids
+  // close v1 and open v2, removed close, added open. One id-keyed full
+  // outer join of (id, 16-byte fp) projections — text never rides the
+  // exchange — and each joined row expands scan-local into its 1-2
+  // dimension rows (ops.SnapshotDiff.scd2; no four-branch union
+  // re-reading the join).
+  private val q106: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    val nw = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), TextOps.fingerprint(
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text"))).as("fp"))
+    graft.ops.SnapshotDiff.scd2(old, nw, "doc_id", "fp", 1, 2)
+      .orderBy(col("doc_id"), col("valid_from"))
+  }
+
+  private lazy val q106Sql = s"""
+    WITH a AS (SELECT doc_id, md5(${OracleSql.normSql}) AS fp
+               FROM documents WHERE doc_id % 7 <> 0),
+    b0 AS (SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' updated'
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 5 <> 0),
+    b AS (SELECT doc_id, md5(${OracleSql.normSql}) AS fp FROM b0),
+    j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                 a.fp AS fpa, b.fp AS fpb
+          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT doc_id, fpa AS fp, 1 AS valid_from,
+           CAST(NULL AS INTEGER) AS valid_to, true AS is_current
+    FROM j WHERE fpa IS NOT NULL AND fpb IS NOT NULL AND fpa = fpb
+    UNION ALL
+    SELECT doc_id, fpa, 1, 2, false
+    FROM j WHERE fpa IS NOT NULL AND (fpb IS NULL OR fpa <> fpb)
+    UNION ALL
+    SELECT doc_id, fpb, 2, NULL, true
+    FROM j WHERE fpb IS NOT NULL AND fpa IS NOT NULL AND fpa <> fpb
+    UNION ALL
+    SELECT doc_id, fpb, 2, NULL, true
+    FROM j WHERE fpa IS NULL
+    ORDER BY doc_id, valid_from"""
+
   val queries: Map[String, Q] = Map(
+    "q106_scd2_merge" -> q106,
     "q105_weighted_sample" -> q105,
     "q100_rate_anomaly" -> q100,
     "q101_event_transitions" -> q101,
@@ -257,6 +304,7 @@ object Pipeline12 {
     "q104_pivot_matrix" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q106_scd2_merge" -> q106Sql,
     "q105_weighted_sample" -> q105Sql,
     "q100_rate_anomaly" -> q100Sql,
     "q101_event_transitions" -> q101Sql,

@@ -183,6 +183,22 @@ class Pipeline11Spec extends AnyFunSuite {
     assert(heavy > 40, s"heavy class won only $heavy of 50 slots")
   }
 
+  test("SCD2 merge emits exactly the effective-dated rows per branch") {
+    import org.apache.spark.sql.Row
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("doc_id", "fp")
+    val nw = Seq((1L, "a"), (2L, "B2"), (4L, "d"))
+      .toDF("doc_id", "fp")
+    val out = graft.ops.SnapshotDiff.scd2(old, nw, "doc_id", "fp", 1, 2)
+      .orderBy(col("doc_id"), col("valid_from")).collect().toSeq
+    assert(out == Seq(
+      Row(1L, "a", 1, null, true),          // unchanged: stays open
+      Row(2L, "b", 1, 2, false),            // changed: v1 closes...
+      Row(2L, "B2", 2, null, true),         // ...v2 opens
+      Row(3L, "c", 1, 2, false),            // removed: closes
+      Row(4L, "d", 2, null, true)))         // added: opens
+  }
+
   test("CMS never under-counts; exact on a collision-free vocabulary") {
     val est = SparkEntry.queries("q97_cms_term_counts")(
       spark, "/root/testdata/sf0.001")

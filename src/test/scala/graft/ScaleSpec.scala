@@ -311,6 +311,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.agg(sum(col("n_kept"))).head().getLong(0) == 15860L)
   }
 
+  test("prefix join stays complete at 10x; the posting cap fails loudly") {
+    import graft.dedup.DedupOps
+    // family corpus: members share 10 of their (up to) 11 word-3-grams
+    // -> within-family Jaccard 10/12 >= 0.5, cross-family ~0, so the
+    // complete pair set is known analytically: C(10,2) per family
+    val f = (col("id") / 10).cast("long")
+    val family = concat_ws(" ",
+      (0 until 12).map(i =>
+        substring(md5(to_binary(
+          concat(f.cast("string"), lit(s"_w$i")), lit("utf-8"))), 1, 8)) :+
+      concat(lit("tok"), pmod(col("id"), lit(10))): _*)
+    val docs = spark.range(20000).select(col("id").as("doc_id"),
+      family.as("text"))
+    val pairs = DedupOps.prefixJaccardPairs(docs, "doc_id", "text", 0.5)
+      .localCheckpoint()
+    assert(pairs.count() == 2000L * 45,
+      "every within-family pair found, nothing else")
+    assert(pairs.filter(col("jaccard") =!= round(lit(10.0 / 12), 6))
+      .count() == 0)
+    // a doc whose ENTIRE gram set is one shared gram puts that gram in
+    // every copy's prefix: the posting list must hit the cap loudly
+    val dup = spark.range(50).select(col("id").as("doc_id"),
+      lit("same same same").as("text"))
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val e = intercept[Exception] {
+      DedupOps.prefixJaccardPairs(dup, "doc_id", "text", 0.5,
+        maxBucket = 10).count()
+    }
+    assert(messages(e).exists(_.contains("maxBucket")),
+      "cap must name the override knob")
+  }
+
   test("semantic-dedup bucket cap fails loudly on a one-bucket corpus") {
     import graft.sim.Similarity
     val vec = typedlit((0 until 64).map(i => (i + 1).toFloat))
