@@ -294,7 +294,48 @@ object Pipeline12 {
     FROM j WHERE fpa IS NULL
     ORDER BY doc_id, valid_from"""
 
+  // ------------------------------------------------------------------ q107
+  // Multimodal thumbnailing with a REAL decode: documents synthesize a
+  // GRAW container (magic + BE dims header + gray8 frames — the one
+  // format the engine can decode without external codecs), the parser
+  // reads the header back, and a nearest-neighbor kernel resizes frame
+  // 0 to 8x8, reporting mean luma. Partition-local end to end (the
+  // decoder-pool shape); the mean is an exact integer sum / 64 — a
+  // power of two, so the quotient is exact binary and both engines
+  // agree bit-for-bit. Oracle mirrors header arithmetic and the
+  // resize's source-index selection in SQL over the hex payload.
+  private val q107: Q = (s, d) =>
+    graft.multimodal.Multimodal.thumbnailPipeline(s,
+      documents(s, d).select(col("doc_id"), col("text")), "doc_id", "text")
+      .toDF().orderBy(col("doc_id"))
+
+  private lazy val q107Sql = """
+    WITH base AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+             hex(encode(text)) AS hx
+      FROM documents),
+    dims AS (
+      SELECT doc_id, n, hx,
+             CAST(8 + n % 57 AS INTEGER) AS width,
+             CAST(8 + (n * 3) % 41 AS INTEGER) AS height,
+             CAST(1 + n % 4 AS INTEGER) AS n_frames
+      FROM base),
+    pix AS (
+      SELECT doc_id,
+             ('0x' || substr(hx,
+                CAST(2 * ((((y * height) // 8) * width + (x * width) // 8)
+                          % n) + 1 AS INTEGER), 2))::BIGINT AS v
+      FROM dims, unnest(generate_series(0, 7)) tx(x),
+           unnest(generate_series(0, 7)) ty(y)),
+    agg AS (SELECT doc_id, round(sum(v) / 64.0, 6) AS mean_luma
+            FROM pix GROUP BY doc_id)
+    SELECT d.doc_id, width, height, n_frames,
+           CAST(7 + width * height * n_frames AS BIGINT) AS byte_len,
+           mean_luma
+    FROM dims d JOIN agg USING (doc_id) ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "q107_multimodal_thumbnail" -> q107,
     "q106_scd2_merge" -> q106,
     "q105_weighted_sample" -> q105,
     "q100_rate_anomaly" -> q100,
@@ -304,6 +345,7 @@ object Pipeline12 {
     "q104_pivot_matrix" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q107_multimodal_thumbnail" -> q107Sql,
     "q106_scd2_merge" -> q106Sql,
     "q105_weighted_sample" -> q105Sql,
     "q100_rate_anomaly" -> q100Sql,
