@@ -800,6 +800,90 @@ object DedupOps {
     * representative = smallest id per cluster. Returns one row per doc:
     * (idCol, cluster_id, n_members, is_rep).
     */
+  /** Incremental clustering maintenance — fold a BATCH into an existing
+    * corpus clustering WITHOUT re-clustering the corpus (a 100 TB
+    * pipeline never re-runs MinHash→LSH→verify over the whole corpus to
+    * admit a day of documents). New candidate pairs come only from the
+    * batch: batch×batch via LSH over the batch's own signatures, and
+    * batch×corpus by joining the corpus BAND TABLE (the
+    * [[mergeBandIndex]] artifact — derived here, stored and
+    * incrementally maintained in production) with the batch's bands — a
+    * plain equi-join ON PURPOSE (the corpus side is unbounded, the
+    * batch relatively small but absolutely unbounded; AQE broadcasts
+    * from ACTUAL size at runtime, the right call at the right layer).
+    * Verified edges collapse through the old labels into the QUOTIENT
+    * graph — old components as super-nodes plus batch ids — and
+    * connected components run over only the NEW edges. Corpus-internal
+    * candidates were already resolved by the old clustering, and labels
+    * are component MINIMA (so quotient minima equal global minima), so
+    * the result is IDENTICAL to re-clustering the union from scratch —
+    * exactly what the q108 oracle checks: its SQL is the
+    * full-recompute clustering. Returns the q50 shape over the union.
+    */
+  def incrementalClusters(corpus: DataFrame, batch: DataFrame,
+                          oldLabels: DataFrame, idCol: String,
+                          textCol: String, threshold: Double,
+                          k: Int = 5, numHashes: Int = 8,
+                          rowsPerBand: Int = 2, nGram: Int = 3,
+                          maxBucket: Int = MaxBucketIds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val sigRef = (0 until numHashes).map(i => col(s"m$i"))
+    val bandCols = (0 until numHashes / rowsPerBand).map(b =>
+      bandKey(sigRef, b, rowsPerBand))
+    def bandsOf(df: DataFrame): DataFrame =
+      withMinhashSignature(df.select(col(idCol), col(textCol)),
+        textCol, k, numHashes)
+        .select(col(idCol), explode(array(bandCols: _*)).as("band"))
+        .filter(col("band").isNotNull).distinct()
+    val batchSig = withMinhashSignature(
+      batch.select(col(idCol), col(textCol)), textCol, k, numHashes)
+      .drop(textCol)
+    val bb = lshCandidatePairs(batchSig, idCol, numHashes, rowsPerBand,
+      maxBucket)
+    val bc = bandsOf(corpus)
+      .join(bandsOf(batch).select(col(idCol).as("id_a"), col("band")),
+        Seq("band"))
+      .select(col("id_a"), col(idCol).as("id_b")).distinct()
+    val cand = bb.unionByName(bc)
+    val union = corpus.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    val grams = union.select(col(idCol),
+      column(NGramArray(expression(col(textCol)), nGram)).as("_g"))
+    val edges = cand
+      .join(grams.select(col(idCol).as("id_a"), col("_g").as("_ga")),
+        Seq("id_a"))
+      .join(grams.select(col(idCol).as("id_b"), col("_g").as("_gb")),
+        Seq("id_b"))
+      .filter(round(column(SortedArraysJaccard(
+        expression(col("_ga")), expression(col("_gb")))), 6) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    // collapse through the old labels: corpus endpoints become their
+    // component minimum, batch endpoints stay themselves
+    val m = oldLabels.select(col(idCol).as("_mid"),
+      col("cluster_id").as("_ml"))
+    val quotient = edges
+      .join(m.withColumnRenamed("_mid", "id_a")
+        .withColumnRenamed("_ml", "_la"), Seq("id_a"), "left")
+      .join(m.withColumnRenamed("_mid", "id_b")
+        .withColumnRenamed("_ml", "_lb"), Seq("id_b"), "left")
+      .select(coalesce(col("_la"), col("id_a")).as("a"),
+        coalesce(col("_lb"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val superNodes = oldLabels.select(col("cluster_id").as("id")).distinct()
+      .unionByName(batch.select(col(idCol).as("id")))
+    val sc = connectedComponents(superNodes, quotient)
+      .select(col("id").as("_sup"), col("cluster_id"))
+    val docSuper = oldLabels.select(col(idCol), col("cluster_id").as("_sup"))
+      .unionByName(batch.select(col(idCol), col(idCol).as("_sup")))
+    docSuper.join(sc, Seq("_sup"))
+      .select(col(idCol), col("cluster_id"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id")))
+          .cast("long"))
+      .withColumn("is_rep", col(idCol) === col("cluster_id"))
+  }
+
   def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, k: Int = 5, numHashes: Int = 8,
                       rowsPerBand: Int = 2, nGram: Int = 3,

@@ -334,7 +334,40 @@ object Pipeline12 {
            mean_luma
     FROM dims d JOIN agg USING (doc_id) ORDER BY doc_id"""
 
+  // ------------------------------------------------------------------ q108
+  // Incremental clustering maintenance: 10% of docs arrive as "today's
+  // batch" against a corpus already clustered yesterday; only the NEW
+  // edges (batch LSH + batch bands probed against the corpus band
+  // table) are computed and folded through the old labels into a
+  // QUOTIENT graph — the corpus is never re-clustered. The oracle is
+  // the FULL-recompute clustering SQL (q50's), so the driver gate
+  // checks the equivalence theorem itself: incremental == from-scratch,
+  // to the hash. See DedupOps.incrementalClusters.
+  private val IncBatchMod = 10
+
+  private val q108: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val isBatch = col("doc_id") % IncBatchMod === 0
+    val corpus = docs.filter(!isBatch)
+    val batch = docs.filter(isBatch)
+    val oldLabels = graft.dedup.DedupOps
+      .nearDupClusters(corpus, "doc_id", "text", threshold = 0.5)
+      .select(col("doc_id"), col("cluster_id"))
+    graft.dedup.DedupOps.incrementalClusters(
+        corpus, batch, oldLabels, "doc_id", "text", threshold = 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q108Sql = s"""
+    WITH RECURSIVE ${OracleSql.textClusterCtes(0.5)}
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS n_members,
+           doc_id = cluster_id AS is_rep
+    FROM cc ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "q108_incremental_clusters" -> q108,
     "q107_multimodal_thumbnail" -> q107,
     "q106_scd2_merge" -> q106,
     "q105_weighted_sample" -> q105,
@@ -345,6 +378,7 @@ object Pipeline12 {
     "q104_pivot_matrix" -> q104)
 
   val oracleSql: Map[String, String] = Map(
+    "q108_incremental_clusters" -> q108Sql,
     "q107_multimodal_thumbnail" -> q107Sql,
     "q106_scd2_merge" -> q106Sql,
     "q105_weighted_sample" -> q105Sql,

@@ -121,4 +121,27 @@ class DedupClusterSpec extends AnyFunSuite {
     // second read must come from the cache: same frame instance
     assert(graft.queries.ClusterMemo.clusters(spark, d, 0.5) eq memo)
   }
+
+  test("incremental fold == from-scratch clustering, incl. bridge merges") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // a LOW threshold makes the edge set dense, so batch docs routinely
+    // bridge previously-separate corpus clusters — the quotient path's
+    // hardest case (the driver gate already pins threshold 0.5)
+    for (t <- Seq(0.2, 0.5)) {
+      val isBatch = col("doc_id") % 10 === 0
+      val corpus = docs.filter(!isBatch)
+      val batch = docs.filter(isBatch)
+      val oldLabels = DedupOps.nearDupClusters(corpus, "doc_id", "text", t)
+        .select(col("doc_id"), col("cluster_id"))
+      val inc = DedupOps.incrementalClusters(
+        corpus, batch, oldLabels, "doc_id", "text", t)
+      val full = DedupOps.nearDupClusters(docs, "doc_id", "text", t)
+      assert(inc.exceptAll(full).count() == 0 &&
+        full.exceptAll(inc).count() == 0,
+        s"threshold $t: incremental must equal full recompute")
+    }
+  }
 }
