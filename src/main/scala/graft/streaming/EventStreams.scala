@@ -16,8 +16,13 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet physical schema (ts is TIMESTAMP(NANOS) stored as
-    * int64; read via nanosAsLong and converted to micros).
+  /** events.parquet logical columns. `ts` has shipped in two physical
+    * shapes across testdata generations — TIMESTAMP(NANOS), readable only
+    * as int64 epoch-nanos under the nanosAsLong legacy flag, and native
+    * TIMESTAMP(MICROS) without UTC adjustment, which Spark reads as
+    * TIMESTAMP_NTZ — so the `ts` field here is a placeholder that
+    * [[readEvents]] swaps for the shape sniffed from the directory's
+    * parquet footers.
     */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -27,10 +32,28 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming events reader, normalized to the engine contract every
+    * downstream operator builds on: `ts_us` (BIGINT epoch-micros) and
+    * `ts_t` (TimestampType) — the streaming twin of
+    * [[graft.queries.Tables.eventsMicros]]. A one-off batch footer read
+    * resolves which physical `ts` shape the directory holds (streaming
+    * reads need a static schema up front). Sessions pin
+    * spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast reads the naive
+    * wall clock as UTC, matching DuckDB's `epoch_us` on the oracle side.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // legacy nanos data needs the flag even for the footer sniff
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    val withUs = tsType match {
+      case LongType => raw.withColumn("ts_us", expr("ts div 1000"))
+      case _ =>
+        raw.withColumn("ts_us", unix_micros(col("ts").cast(TimestampType)))
+    }
+    withUs.withColumn("ts_t", timestamp_micros(col("ts_us"))).drop("ts")
   }
 
   /** Watermarked 5-minute tumbling counts per event type — the streaming
@@ -122,8 +145,7 @@ object EventStreams {
     // row type carries it (a .map dropping it would disable event-time
     // timeouts)
     events
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"),
-        timestamp_micros(expr("ts div 1000")).as("ts_t"))
+      .select(col("user_id"), col("ts_us"), col("value"), col("ts_t"))
       .withWatermark("ts_t", "1 minute")
       .as[Ev]
       .groupByKey(_.user_id)
@@ -424,8 +446,7 @@ object EventStreams {
 
     events
       .select(col("event_type"),
-        (expr("ts div 1000") - pmod(expr("ts div 1000"), lit(HourUs)))
-          .as("hour_us"))
+        (col("ts_us") - pmod(col("ts_us"), lit(HourUs))).as("hour_us"))
       .as[RateEv]
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Update,
@@ -479,8 +500,7 @@ object EventStreams {
     }
 
     events
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
-        col("event_type"))
+      .select(col("user_id"), col("ts_us"), col("event_type"))
       .as[FunnelEv]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update,

@@ -25,6 +25,21 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
+  /** Batch read of an events fixture with `ts` normalized to TimestampType
+    * micros — handles both physical shapes (epoch-nanos int64 under
+    * nanosAsLong, and TIMESTAMP_NTZ) like Tables.eventsMicros does.
+    */
+  private def batchEvents(path: String) = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
   test("tumbling window counts: streaming == batch (q40 twin)") {
     val dir = stageDir()
     val stream = EventStreams.tumblingCounts(
@@ -50,11 +65,18 @@ class StreamingSpec extends AnyFunSuite {
     // every real session's gap so flatMapGroupsWithState closes them all
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = spark.read.parquet(s"$dir/part-0.parquet")
-    val sentinelTs = base.select(max(col("ts"))).head().getLong(0) +
-      30L * 24 * 3600 * 1000000000L
+    val sentinelUs = batchEvents(s"$dir/part-0.parquet")
+      .select(unix_micros(max(col("ts")))).head().getLong(0) +
+      30L * 24 * 3600 * 1000000L
+    // the appended file must carry the same physical ts shape as part-0
+    // or the stream's static schema can't read both files
+    val sentinelTsCol = base.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(sentinelUs * 1000L)
+      case dt => timestamp_micros(lit(sentinelUs)).cast(dt)
+    }
     base.select(col("user_id")).distinct()
       .withColumn("event_id", lit(-1L))
-      .withColumn("ts", lit(sentinelTs))
+      .withColumn("ts", sentinelTsCol)
       .withColumn("event_type", lit("sentinel"))
       .withColumn("value", lit(0.0))
       .withColumn("props", lit(""))
@@ -68,7 +90,7 @@ class StreamingSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       val got = spark.table("sessions")
-        .filter(col("start_us") < sentinelTs / 1000) // drop sentinel sessions
+        .filter(col("start_us") < sentinelUs) // drop sentinel sessions
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
       val want = graft.queries.Pipeline
@@ -331,8 +353,8 @@ class StreamingSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       val got = spark.table("kmv_windows")
-      val want = spark.read.parquet(s"$dir/part-0.parquet")
-        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      val want = batchEvents(s"$dir/part-0.parquet")
+        .withColumn("ts_t", col("ts"))
         .groupBy(window(col("ts_t"), "5 minutes"), col("event_type"))
         .agg(round(Kmv.kmvDistinct(Kmv.hash52(col("user_id")), 256), 6)
           .as("est_users"))
@@ -359,8 +381,7 @@ class StreamingSpec extends AnyFunSuite {
         .select(col("purchase_id"), col("view_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       // batch twin: the bucketed equi-join on the same static fixture
-      val e = spark.read.parquet(s"$dir/part-0.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val e = batchEvents(s"$dir/part-0.parquet")
       val v = e.filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
           col("user_id"))
