@@ -171,6 +171,36 @@ private[queries] object OracleSql {
                 WHEN de > 0 THEN 'de'
                 ELSE 'und' END"""
 
+  /** The BM25 scoring CTE chain (`toks dl consts qt dfs tf term scores`)
+    * over `documents` for a fixed term set — the SQL mirror of
+    * [[graft.text.Retrieval.bm25Scores]]; `scores` is (doc_id, score)
+    * rounded to 6 decimals. Shared by q93/q109. Splice after WITH.
+    */
+  def bm25ScoresSql(terms: Seq[String], k1: Double, b: Double): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""toks AS (SELECT doc_id,
+        unnest(string_split($normSql, ' ')) AS w
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    consts AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                      (SELECT avg(dl) FROM dl) AS avgdl),
+    qt AS (SELECT doc_id, w FROM toks WHERE w IN ($inList)),
+    dfs AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM qt GROUP BY w),
+    tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS f
+           FROM qt GROUP BY doc_id, w),
+    term AS (SELECT tf.doc_id,
+        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+          (f * ($k1 + 1.0)) /
+          (f + $k1 * (1.0 - $b + $b * dl.dl / avgdl)) AS ts
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dfs ON tf.w = dfs.w
+        CROSS JOIN consts),
+    scores AS (SELECT doc_id, round(sum(ts), 6) AS score
+               FROM term GROUP BY doc_id)"""
+  }
+
   /** Rounded word-3-gram Jaccard over gram lists `$a` and `$b` — the SQL
     * mirror of DedupOps.jaccardOfTexts (round 6).
     */

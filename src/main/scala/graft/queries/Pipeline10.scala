@@ -132,68 +132,19 @@ object Pipeline10 {
   private val BmTopK = 20
 
   private val q93: Q = (s, d) => {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val toks = documents(s, d).select(col("doc_id"),
-      explode(split(TextOps.normalize(col("text")), " ")).as("w"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val consts = documents(s, d).agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(dl.agg(avg(col("dl")).as("avgdl"))))
-    val qtoks = toks.filter(col("w").isin(BmQuery: _*))
-    val dfs = qtoks.groupBy(col("w"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    val tf = qtoks.groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("f"))
-    val term = tf.join(dl, Seq("doc_id"))
-      .join(broadcast(dfs), Seq("w"))
-      .crossJoin(broadcast(consts))
-      .select(col("doc_id"),
-        (log((col("n_docs") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5)) + lit(1.0)) *
-          (col("f") * (lit(BmK1) + 1.0)) /
-          (col("f") + lit(BmK1) *
-            (lit(1.0) - lit(BmB) + lit(BmB) * col("dl") / col("avgdl"))))
-          .as("ts"))
-    val scores = term.groupBy(col("doc_id"))
-      .agg(round(sum(col("ts")), 6).as("score"))
-    val top = scores.agg(column(graft.sim.TopKByScore(
-        expression(col("score")), expression(col("doc_id")), BmTopK)
-        .toAggregateExpression()).as("top"))
-      .select(posexplode(col("top")).as(Seq("p", "e")))
-      .select(col("e.id").as("doc_id"), col("e.score").as("score"),
-        (col("p") + 1).cast("long").as("rnk"))
-    top.orderBy(col("rnk"))
+    import graft.text.Retrieval
+    Retrieval.rankedTopK(
+        Retrieval.bm25Scores(documents(s, d), BmQuery, BmK1, BmB), BmTopK)
+      .orderBy(col("rnk"))
   }
 
-  private lazy val q93Sql = {
-    val inList = BmQuery.map(t => s"'$t'").mkString(", ")
-    s"""
-    WITH toks AS (SELECT doc_id,
-        unnest(string_split(${OracleSql.normSql}, ' ')) AS w
-      FROM documents),
-    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-           FROM toks GROUP BY doc_id),
-    consts AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-                      (SELECT avg(dl) FROM dl) AS avgdl),
-    qt AS (SELECT doc_id, w FROM toks WHERE w IN ($inList)),
-    dfs AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-            FROM qt GROUP BY w),
-    tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS f
-           FROM qt GROUP BY doc_id, w),
-    term AS (SELECT tf.doc_id,
-        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
-          (f * ($BmK1 + 1.0)) /
-          (f + $BmK1 * (1.0 - $BmB + $BmB * dl.dl / avgdl)) AS ts
-      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
-        JOIN dfs ON tf.w = dfs.w
-        CROSS JOIN consts),
-    scores AS (SELECT doc_id, round(sum(ts), 6) AS score
-               FROM term GROUP BY doc_id),
+  private lazy val q93Sql = s"""
+    WITH ${OracleSql.bm25ScoresSql(BmQuery, BmK1, BmB)},
     ranked AS (SELECT doc_id, score, row_number() OVER
                  (ORDER BY score DESC, doc_id) AS rnk
                FROM scores)
     SELECT doc_id, score, CAST(rnk AS BIGINT) AS rnk
     FROM ranked WHERE rnk <= $BmTopK ORDER BY rnk"""
-  }
 
   // ------------------------------------------------------------------- q94
   // EXACT word-set Jaccard similarity join via prefix filtering

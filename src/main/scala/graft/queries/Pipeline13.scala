@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sim.Similarity
+import graft.text.{Retrieval, TextOps}
+
+/** Batch thirteen: hybrid retrieval fusion and distribution-based quality
+  * gating — the two selection ops a RAG-grade training-data stack runs on
+  * top of the scoring primitives already on the board (BM25 q93, cosine
+  * q35, quality q38).
+  */
+object Pipeline13 {
+
+  type Q = (SparkSession, String) => DataFrame
+  import Tables._
+
+  // ------------------------------------------------------------------ q109
+  // Reciprocal-rank-fusion hybrid retrieval (Cormack et al., SIGIR 2009):
+  // fuse a lexical BM25 ranking and a semantic cosine ranking of the same
+  // corpus into one list via rrf = Σ 1/(60 + rank). RRF needs only RANKS,
+  // never comparable scores, which is why it is the standard fusion for
+  // heterogeneous retrievers. Scale shape: each leg compresses the corpus
+  // scan to a bounded k-heap top-50 (TopKByScore — no global sort), so
+  // the fusion itself is a full-outer join of two ≤50-row lists: driver-
+  // trivial at any corpus size, and the two legs share nothing, so they
+  // scan in parallel. The semantic leg broadcasts the single query vector.
+  private val FuseTerms = Seq("spark", "window", "merge")
+  private val FuseQueryVec = 0L
+  private val FuseK = 50
+  private val RrfK = 60
+  private val FuseTopN = 20
+  private val BmK1 = 1.2
+  private val BmB = 0.75
+
+  private val q109: Q = (s, d) => {
+    val lex = Retrieval.rankedTopK(
+        Retrieval.bm25Scores(documents(s, d), FuseTerms, BmK1, BmB), FuseK)
+      .select(col("doc_id"), col("rnk").as("rnk_lex"))
+    val qv = embeddings(s, d).filter(col("vec_id") === FuseQueryVec)
+      .select(col("embedding").as("q_vec"))
+    val sims = embeddings(s, d).crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.cosine(col("embedding"), col("q_vec")), 6).as("sim"))
+    val sem = Retrieval.rankedTopK(sims, FuseK, scoreCol = "sim")
+      .select(col("doc_id"), col("rnk").as("rnk_sem"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rnk_lex"), col("rnk_sem"),
+        round(coalesce(lit(1.0) / (lit(RrfK) + col("rnk_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rnk_sem")), lit(0.0)), 6)
+          .as("rrf"))
+    // global window over ≤ 2*FuseK rows by construction — bounded
+    val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= FuseTopN)
+      .orderBy(col("rnk"))
+  }
+
+  private lazy val q109Sql = {
+    val dot = """list_sum(list_transform(generate_series(1, 64),
+           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))"""
+    val nA = """sqrt(list_sum(list_transform(e.embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
+    val nB = """sqrt(list_sum(list_transform(q.q_vec,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
+    s"""
+    WITH ${OracleSql.bm25ScoresSql(FuseTerms, BmK1, BmB)},
+    lexr AS (SELECT doc_id, score, row_number() OVER
+               (ORDER BY score DESC, doc_id) AS rnk_lex FROM scores),
+    lex AS (SELECT doc_id, rnk_lex FROM lexr WHERE rnk_lex <= $FuseK),
+    qv AS (SELECT embedding AS q_vec FROM embeddings
+           WHERE vec_id = $FuseQueryVec),
+    sims AS (SELECT e.vec_id AS doc_id,
+               round($dot / ($nA * $nB), 6) AS sim
+             FROM embeddings e, qv q),
+    semr AS (SELECT doc_id, sim, row_number() OVER
+               (ORDER BY sim DESC, doc_id) AS rnk_sem FROM sims),
+    sem AS (SELECT doc_id, rnk_sem FROM semr WHERE rnk_sem <= $FuseK),
+    fused AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+        l.rnk_lex, s.rnk_sem,
+        round(coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + l.rnk_lex), 0.0) +
+              coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + s.rnk_sem), 0.0), 6)
+          AS rrf
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id),
+    final AS (SELECT doc_id, rnk_lex, rnk_sem, rrf, row_number() OVER
+                (ORDER BY rrf DESC, doc_id) AS rnk FROM fused)
+    SELECT doc_id, CAST(rnk_lex AS BIGINT) AS rnk_lex,
+           CAST(rnk_sem AS BIGINT) AS rnk_sem, rrf, CAST(rnk AS BIGINT) AS rnk
+    FROM final WHERE rnk <= $FuseTopN ORDER BY rnk"""
+  }
+
+  // ------------------------------------------------------------------ q110
+  // Per-source quantile-threshold quality gate: keep each source's docs
+  // whose quality score sits at or above that source's empirical 90th
+  // percentile — the distribution-relative counterpart of q55's fixed
+  // count quota (a fraction gate adapts to sources whose quality bands
+  // differ; a global absolute cutoff would empty low-register sources).
+  // The threshold is the type-1 empirical quantile — min score whose
+  // cumulative count reaches ceil(0.9·n) — all exact integer arithmetic
+  // ((9n+9) div 10), no interpolation, so both engines agree bit-for-bit.
+  // Scale shape: the per-(source, score) HISTOGRAM aggregates with
+  // map-side combine first, so everything after the scan works on
+  // distinct rounded score values per source (bounded by the 6-decimal
+  // score space, independent of doc count); the threshold is then a
+  // second window over the SAME sorted histogram frame — one corpus
+  // scan, one exchange+sort on source, three windows sharing it, no
+  // self-join (a join against a separately-derived threshold table
+  // would re-scan the corpus). At 100 TB the same shape holds:
+  // histogram agg → per-source windows over ≤10^6 distinct values.
+  private val q110: Q = (s, d) => {
+    val sc = documents(s, d).select(col("source"),
+      round(TextOps.qualityScore(col("text")), 6).as("qs"))
+    val hist = sc.groupBy(col("source"), col("qs")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("qs"))
+    val wTot = Window.partitionBy(col("source"))
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wTot))
+      .withColumn("thr",
+        min(when(col("cum") >= expr("(9 * tot + 9) div 10"), col("qs")))
+          .over(wTot))
+      .groupBy(col("source"))
+      .agg(max(col("thr")).as("thr"),
+        max(col("tot")).as("n_total"),
+        sum(when(col("qs") >= col("thr"), col("c")).otherwise(lit(0L)))
+          .as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q110Sql = s"""
+    WITH sc AS (SELECT doc_id, source, ${OracleSql.qualityScColsSql}
+                FROM documents),
+    qd AS (SELECT source, ${OracleSql.qualitySql} AS qs FROM sc),
+    hist AS (SELECT source, qs, CAST(count(*) AS BIGINT) AS c
+             FROM qd GROUP BY 1, 2),
+    cum AS (SELECT source, qs, c,
+              sum(c) OVER (PARTITION BY source ORDER BY qs) AS cum,
+              sum(c) OVER (PARTITION BY source) AS tot
+            FROM hist),
+    gated AS (SELECT *, min(CASE WHEN cum >= (9 * tot + 9) // 10
+                THEN qs END) OVER (PARTITION BY source) AS thr
+              FROM cum)
+    SELECT source, max(thr) AS thr,
+           CAST(max(tot) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN qs >= thr THEN c ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM gated GROUP BY source ORDER BY source"""
+
+  val queries: Map[String, Q] = Map(
+    "q109_rrf_fusion" -> q109,
+    "q110_quality_gate" -> q110)
+
+  val oracleSql: Map[String, String] = Map(
+    "q109_rrf_fusion" -> q109Sql,
+    "q110_quality_gate" -> q110Sql)
+}
