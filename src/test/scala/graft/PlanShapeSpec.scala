@@ -563,4 +563,34 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!st.linesIterator.next().contains("doc_id"),
         "q88 must not hash-shuffle the fact table")
   }
+
+  test("rrf fusion bounds both legs with the k-heap before any window") {
+    // each retrieval leg must compress its corpus scan into the bounded
+    // TopKByScore aggregate; the only Window allowed is the final rank
+    // over the fused ≤2k-row list (which sits ABOVE the full-outer join
+    // of the two bounded legs, never under a corpus scan)
+    val p = planString("q109_rrf_fusion")
+    assert("topk_by_score".r.findAllIn(p).size >= 2,
+      "both legs must rank via TopKByScore")
+    for (st <- subtrees(p, "Window"))
+      assert(st.contains("FullOuter"),
+        "the only window must rank the bounded fused list (above the " +
+          "full-outer join of the two k-heap legs), not raw corpus rows")
+    // the semantic leg broadcasts the single query vector
+    assert(p.contains("BroadcastNestedLoopJoin Cross") ||
+      p.contains("BroadcastExchange"),
+      "the query vector must ride a broadcast")
+  }
+
+  test("quality gate is one scan, no join, histogram-width windows") {
+    // the quantile pass must run over the per-(source, score) histogram
+    // — ONE corpus scan feeding windows partitioned on source, with no
+    // self-join back against the corpus (a join means a second scan)
+    val p = planString("q110_quality_gate")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "q110 must scan the corpus exactly once")
+    assert(!p.contains("Join"), "q110 must not join")
+    assert(p.contains("struct<text:string,source:string>"),
+      "q110 must prune the scan to text+source")
+  }
 }
