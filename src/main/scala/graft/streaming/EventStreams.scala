@@ -231,6 +231,27 @@ object EventStreams {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Streaming quantile quality-gate admission — the stream twin of
+    * batch q110: each arriving document's quality score is compared
+    * against its source's batch-derived 90th-percentile threshold (the
+    * tiny (source, thr) table from the last corpus snapshot rides a
+    * broadcast into the scan). Stateless per micro-batch — no state
+    * store; a source absent from the threshold table admits by default
+    * (a brand-new source has no distribution to gate against yet; the
+    * next snapshot recompute picks it up). This is the
+    * distribution-relative admission an ingestion pipeline runs
+    * continuously, with q110 as its nightly threshold recompute.
+    */
+  def qualityGateAdmission(docs: DataFrame,
+                           thresholds: DataFrame): DataFrame = {
+    import graft.text.TextOps
+    docs
+      .withColumn("qs", round(TextOps.qualityScore(col("text")), 6))
+      .join(broadcast(thresholds), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("qs"),
+        coalesce(col("qs") >= col("thr"), lit(true)).as("admit"))
+  }
+
   /** Streaming NEAR-dup admission — the stream twin of batch q76's near
     * layer ([[admissionFilter]] is the exact-fingerprint half): each
     * arriving document probes its LSH band keys against the broadcast

@@ -48,6 +48,22 @@ object DemoStreaming {
     println("== dedup == rows=" + spark.table("deduped").count())
     q.stop()
 
+    // quantile quality-gate admission: batch q110 thresholds, doc stream
+    val docsDir = Files.createTempDirectory("docs_demo")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      docsDir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val thresholds = graft.SparkEntry.queries("q110_quality_gate")(spark, sfDir)
+      .select(col("source"), col("thr"))
+    val qg = EventStreams.qualityGateAdmission(
+        EventStreams.readDocuments(spark, docsDir.toString), thresholds)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qgate").start()
+    qg.processAllAvailable()
+    println("== quality gate == admitted=" +
+      spark.table("qgate").filter(col("admit")).count() +
+      " of " + spark.table("qgate").count())
+    qg.stop()
+
     spark.stop()
   }
 }

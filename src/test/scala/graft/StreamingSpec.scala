@@ -164,6 +164,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quality-gate admission: stream verdicts == batch q110 thresholds") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("docs_qgate")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // the static threshold table is the batch q110 output on the corpus
+    val thresholds = SparkEntry
+      .queries("q110_quality_gate")(spark, "/root/testdata/sf0.001")
+      .select(col("source"), col("thr"))
+    val q = EventStreams.qualityGateAdmission(
+        EventStreams.readDocuments(spark, dir.toString), thresholds)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qgate").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("qgate")
+      // independent batch recomputation of every verdict
+      val want = spark.read.parquet(s"$dir/part-0.parquet")
+        .withColumn("qs",
+          round(graft.text.TextOps.qualityScore(col("text")), 6))
+        .join(thresholds, Seq("source"), "left")
+        .select(col("doc_id"), col("source"), col("qs"),
+          coalesce(col("qs") >= col("thr"), lit(true)).as("admit"))
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        "stream verdicts must equal the batch rule")
+      // both verdict classes must occur or the pin is vacuous; the p90
+      // gate rejects ~90% of each source by construction
+      val admits = got.filter(col("admit")).count()
+      assert(admits > 0 && admits < got.count())
+      assert(admits.toDouble / got.count() <= 0.2,
+        "a p90 gate must reject the bulk of the corpus it was fit on")
+    } finally q.stop()
+  }
+
   test("stream-static decontamination flag agrees with batch q56") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
