@@ -460,4 +460,54 @@ class ScaleSpec extends AnyFunSuite {
         s"$src: approx ${approx(src)} vs exact $p90")
     }
   }
+
+  test("batch-13 selection ops stay bounded on a 50k-doc corpus") {
+    import java.nio.file.Files
+    import graft.text.TextOps
+    val dir = Files.createTempDirectory("scale_p13").toString
+    // md5-derived word salad with word lengths 4-8: hex words contain
+    // digits (non-alpha), so the alpha ratio — and with it the quality
+    // score — spreads per doc; every 1000th doc also carries the three
+    // BM25 query terms so the lexical retrieval leg is non-degenerate
+    val salad = concat_ws(" ", (0 until 12).map(i =>
+      substring(md5(to_binary(concat(col("id").cast("string"),
+        lit(s"_w$i")), lit("utf-8"))), 1, (i % 5) + 4)): _*)
+    val text = when(pmod(col("id"), lit(1000)) === 0,
+      concat(salad, lit(" spark window merge"))).otherwise(salad)
+    spark.range(50000).select(col("id").as("doc_id"), text.as("text"),
+        lit("en").as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(20))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.range(50000).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          (pmod(hash(col("id"), j), lit(1000)) / 1000.0).cast("float"))
+          .as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // the gate's claim: the quantile pass touches only the per-(source,
+    // rounded-score) histogram — verify it is orders of magnitude under
+    // the corpus on this 10x-sf0.1 draw
+    val hist = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        round(TextOps.qualityScore(col("text")), 6).as("qs"))
+      .distinct().count()
+    assert(hist < 5000, s"histogram must stay far under 50k docs: $hist")
+    val gate = SparkEntry.queries("q110_quality_gate")(spark, dir).collect()
+    assert(gate.length == 20, "one row per source")
+    gate.foreach { r =>
+      assert(r.getLong(2) == 2500L, "per-source totals")
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= r.getLong(2))
+    }
+
+    // the fusion's claim: output stays exactly top-N with leg ranks
+    // bounded by the k-heap regardless of corpus size
+    val fused = SparkEntry.queries("q109_rrf_fusion")(spark, dir).collect()
+    assert(fused.length == 20, "fused output is the bounded top-20")
+    assert(fused.forall(r => r.getLong(4) >= 1L && r.getLong(4) <= 20L))
+    assert(fused.forall(r => (r.isNullAt(1) || r.getLong(1) <= 50L) &&
+      (r.isNullAt(2) || r.getLong(2) <= 50L)),
+      "leg ranks must come from the bounded top-50 heaps")
+  }
 }
