@@ -147,11 +147,103 @@ object Pipeline13 {
              AS n_kept
     FROM gated GROUP BY source ORDER BY source"""
 
+  // ------------------------------------------------------------------ q111
+  // RM3-style pseudo-relevance feedback (Lavrenko & Croft relevance
+  // models — the public two-stage retrieval classic): BM25-retrieve the
+  // top-10 feedback docs for the original query, mine expansion terms by
+  // relevance-model mass weight(w) = Σ_d (tf(w,d)/len(d))·score(d) over
+  // the feedback docs, then re-score the corpus with the expanded term
+  // set. The op exists for VOCABULARY MISMATCH: stage 2 retrieves
+  // relevant docs sharing no original query term (Pipeline13Spec pins
+  // exactly that). Scale shape: stage 1 is the bounded-k-heap BM25; the
+  // expansion works entirely on the 10 feedback docs' tokens (the
+  // feedback id/score list rides a broadcast into the token scan, and
+  // the term-weight window sorts a 10-doc vocabulary — bounded at any
+  // corpus size); stage 2 broadcasts the ≤8-term expanded set back into
+  // the scan. Two corpus token passes total — the canonical PRF cost.
+  private val RmFbDocs = 10
+  private val RmFbTerms = 5
+
+  private val q111: Q = (s, d) => {
+    import s.implicits._
+    val docs = documents(s, d)
+    val top = Retrieval.rankedTopK(
+      Retrieval.bm25Scores(docs, FuseTerms, BmK1, BmB), RmFbDocs)
+    val toks = docs.select(col("doc_id"),
+      explode(split(TextOps.normalize(col("text")), " ")).as("w"))
+    val fb = toks.join(broadcast(top.select(col("doc_id"), col("score"))),
+      Seq("doc_id"))
+    val fbLen = fb.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dlen"), max(col("score")).as("dscore"))
+    val wgt = fb.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("f"))
+      .join(broadcast(fbLen), Seq("doc_id"))
+      .groupBy(col("w"))
+      .agg(round(sum(col("f") / col("dlen") * col("dscore")), 6).as("wt"))
+      .filter(!col("w").isin(FuseTerms: _*) && length(col("w")) >= 3)
+    // bounded global window: the candidate vocabulary of 10 docs
+    val exp = wgt
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("wt").desc, col("w"))))
+      .filter(col("r") <= RmFbTerms).select(col("w"))
+    val allTerms = exp.unionByName(FuseTerms.toDF("w"))
+    Retrieval.rankedTopK(
+        Retrieval.bm25ScoresOf(docs, allTerms, BmK1, BmB), RmFbDocs)
+      .orderBy(col("rnk"))
+  }
+
+  private lazy val q111Sql = {
+    val inList = FuseTerms.map(t => s"'$t'").mkString(", ")
+    val values = FuseTerms.map(t => s"('$t')").mkString(", ")
+    s"""
+    WITH ${OracleSql.bm25ScoresSql(FuseTerms, BmK1, BmB)},
+    top10 AS (SELECT doc_id, score FROM
+                (SELECT doc_id, score, row_number() OVER
+                   (ORDER BY score DESC, doc_id) AS r FROM scores)
+              WHERE r <= $RmFbDocs),
+    fb AS (SELECT t.doc_id, t.w, s.score FROM toks t
+           JOIN top10 s ON t.doc_id = s.doc_id),
+    fblen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dlen,
+                     max(score) AS dscore FROM fb GROUP BY doc_id),
+    fbtf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS f
+             FROM fb GROUP BY doc_id, w),
+    wgt AS (SELECT w, round(sum(CAST(f AS DOUBLE) / dlen * dscore), 6)
+                     AS wt
+            FROM fbtf JOIN fblen USING (doc_id)
+            WHERE w NOT IN ($inList) AND length(w) >= 3 GROUP BY w),
+    expn AS (SELECT w FROM
+               (SELECT w, row_number() OVER (ORDER BY wt DESC, w) AS r
+                FROM wgt)
+             WHERE r <= $RmFbTerms),
+    terms2 AS (SELECT w FROM expn
+               UNION ALL SELECT w FROM (VALUES $values) v(w)),
+    qt2 AS (SELECT t.doc_id, t.w FROM toks t JOIN terms2 e ON t.w = e.w),
+    dfs2 AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             FROM qt2 GROUP BY w),
+    tf2 AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS f
+            FROM qt2 GROUP BY doc_id, w),
+    term2 AS (SELECT tf2.doc_id,
+        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+          (f * ($BmK1 + 1.0)) /
+          (f + $BmK1 * (1.0 - $BmB + $BmB * dl.dl / avgdl)) AS ts
+      FROM tf2 JOIN dl ON tf2.doc_id = dl.doc_id
+        JOIN dfs2 ON tf2.w = dfs2.w
+        CROSS JOIN consts),
+    scores2 AS (SELECT doc_id, round(sum(ts), 6) AS score
+                FROM term2 GROUP BY doc_id)
+    SELECT doc_id, score, CAST(r AS BIGINT) AS rnk FROM
+      (SELECT doc_id, score, row_number() OVER
+         (ORDER BY score DESC, doc_id) AS r FROM scores2)
+    WHERE r <= $RmFbDocs ORDER BY rnk"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q109_rrf_fusion" -> q109,
-    "q110_quality_gate" -> q110)
+    "q110_quality_gate" -> q110,
+    "q111_rm3_expansion" -> q111)
 
   val oracleSql: Map[String, String] = Map(
     "q109_rrf_fusion" -> q109Sql,
-    "q110_quality_gate" -> q110Sql)
+    "q110_quality_gate" -> q110Sql,
+    "q111_rm3_expansion" -> q111Sql)
 }

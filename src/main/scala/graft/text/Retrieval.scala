@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Lexical retrieval scoring as library operators (q93, q109).
+/** Lexical retrieval scoring as library operators (q93, q109, q111).
   *
   * BM25 is the public Robertson–Spärck Jones ranking function; the
   * constants default to the conventional k1=1.2, b=0.75. Scale shape
@@ -15,19 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Per-document BM25 score of `docs` (columns `doc_id`, `text`) for a
-    * fixed query term set, rounded to 6 decimals. Documents matching no
-    * query term produce no row (score 0 by omission), exactly like an
-    * inverted-index retrieval would.
-    */
-  def bm25Scores(docs: DataFrame, terms: Seq[String],
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       explode(split(TextOps.normalize(col("text")), " ")).as("w"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val consts = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(dl.agg(avg(col("dl")).as("avgdl"))))
-    val qtoks = toks.filter(col("w").isin(terms: _*))
+
+  /** The BM25 pipeline downstream of query-token selection: df/tf
+    * aggregation, the k1/b-saturated per-term score, per-doc sum rounded
+    * to 6 decimals. `qtoks` is (doc_id, w) restricted to query terms.
+    */
+  private def bm25From(qtoks: DataFrame, dl: DataFrame, consts: DataFrame,
+                       k1: Double, b: Double): DataFrame = {
     val dfs = qtoks.groupBy(col("w"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val tf = qtoks.groupBy(col("doc_id"), col("w"))
@@ -43,6 +40,36 @@ object Retrieval {
             (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
           .as("ts"))
     term.groupBy(col("doc_id")).agg(round(sum(col("ts")), 6).as("score"))
+  }
+
+  /** Per-document BM25 score of `docs` (columns `doc_id`, `text`) for a
+    * fixed query term set, rounded to 6 decimals. Documents matching no
+    * query term produce no row (score 0 by omission), exactly like an
+    * inverted-index retrieval would. The static term list filters with
+    * `isin`, which stays scan-local.
+    */
+  def bm25Scores(docs: DataFrame, terms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokens(docs)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val consts = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(dl.agg(avg(col("dl")).as("avgdl"))))
+    bm25From(toks.filter(col("w").isin(terms: _*)), dl, consts, k1, b)
+  }
+
+  /** [[bm25Scores]] with a DATA-DEPENDENT term set: `terms` is a
+    * single-column (`w`) DataFrame — bounded-small by construction (a
+    * query plus its expansion terms) — that rides a broadcast into the
+    * token scan in place of the static IN-list. Used by RM3 expansion
+    * (q111), whose second pass scores terms only known at run time.
+    */
+  def bm25ScoresOf(docs: DataFrame, terms: DataFrame,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokens(docs)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val consts = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(dl.agg(avg(col("dl")).as("avgdl"))))
+    bm25From(toks.join(broadcast(terms), Seq("w")), dl, consts, k1, b)
   }
 
   /** Global bounded top-k of an (id, score) frame through the TopKByScore
