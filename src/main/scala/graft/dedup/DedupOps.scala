@@ -649,10 +649,13 @@ object DedupOps {
     * replaces the whole multi-round propagation loop; at 1-2M edges this
     * is sub-second where the loop costs one Spark job per round.
     */
-  private def ccDriverUnionFind(nodes: DataFrame, e: DataFrame): DataFrame = {
-    val idType = e.schema.fields.head.dataType
-    val pairs = e.select(col("a").cast("long"), col("b").cast("long"))
-      .collect()
+  /** (touched node -> component minimum) over a collected edge list —
+    * the union-find core of [[ccDriverUnionFind]], reusable wherever a
+    * provably small edge set should label nodes via one broadcast map
+    * (nodes absent from the map are isolated: their label is their id).
+    */
+  private[dedup] def driverUnionFindLabels(pairs: Array[(Long, Long)])
+      : Seq[(Long, Long)] = {
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -661,9 +664,7 @@ object DedupOps {
       while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    pairs.foreach { row =>
-      val a = row.getLong(0)
-      val b = row.getLong(1)
+    pairs.foreach { case (a, b) =>
       parent.putIfAbsent(a, a)
       parent.putIfAbsent(b, b)
       val ra = find(a)
@@ -673,7 +674,14 @@ object DedupOps {
       else if (rb < ra) parent.put(ra, rb)
     }
     import scala.jdk.CollectionConverters._
-    val labelRows = parent.keySet().asScala.toSeq.map(v => (v, find(v)))
+    parent.keySet().asScala.toSeq.map(v => (v, find(v)))
+  }
+
+  private def ccDriverUnionFind(nodes: DataFrame, e: DataFrame): DataFrame = {
+    val idType = e.schema.fields.head.dataType
+    val pairs = e.select(col("a").cast("long"), col("b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labelRows = driverUnionFindLabels(pairs)
     val spark = nodes.sparkSession
     import spark.implicits._
     val labels = labelRows.toDF("id", "cluster_id")
@@ -803,14 +811,44 @@ object DedupOps {
   /** Incremental clustering maintenance — fold a BATCH into an existing
     * corpus clustering WITHOUT re-clustering the corpus (a 100 TB
     * pipeline never re-runs MinHash→LSH→verify over the whole corpus to
-    * admit a day of documents). New candidate pairs come only from the
-    * batch: batch×batch via LSH over the batch's own signatures, and
-    * batch×corpus by joining the corpus BAND TABLE (the
-    * [[mergeBandIndex]] artifact — derived here, stored and
-    * incrementally maintained in production) with the batch's bands — a
-    * plain equi-join ON PURPOSE (the corpus side is unbounded, the
-    * batch relatively small but absolutely unbounded; AQE broadcasts
-    * from ACTUAL size at runtime, the right call at the right layer).
+    * admit a day of documents). Convenience form that derives the corpus
+    * [[bandIndex]] inline; the production loop holds that index as a
+    * STORED artifact (maintained by [[mergeBandIndex]]) and calls
+    * [[incrementalClustersFromIndex]] directly, which never touches a
+    * corpus document at all.
+    */
+  def incrementalClusters(corpus: DataFrame, batch: DataFrame,
+                          oldLabels: DataFrame, idCol: String,
+                          textCol: String, threshold: Double,
+                          k: Int = 5, numHashes: Int = 8,
+                          rowsPerBand: Int = 2, nGram: Int = 3,
+                          maxBucket: Int = MaxBucketIds): DataFrame =
+    incrementalClustersFromIndex(
+      bandIndex(corpus, idCol, textCol, k, numHashes, rowsPerBand, nGram,
+        maxBucket),
+      batch, oldLabels, idCol, textCol, threshold, k, numHashes,
+      rowsPerBand, nGram, maxBucket)
+
+  /** The incremental fold proper, against a prebuilt corpus
+    * [[bandIndex]]: the marginal cost of admitting a batch touches ONLY
+    * the batch and the stored index — no corpus document is re-read,
+    * re-grammed or re-hashed, because the index already carries each
+    * member's sorted gram array as the verify payload.
+    *
+    * Shape: the batch is featurized once (id, signature, gram array) and
+    * `localCheckpoint`ed — in production the day's batch arrives
+    * materialized from ingest, and here the checkpoint makes the fold
+    * plan itself source-scan-free (gated in PlanShapeSpec). New
+    * candidate pairs come only from the batch: batch×batch via LSH over
+    * the batch's own signatures; batch×corpus by probing the index with
+    * the batch's (id, band) rows — [[graft.ops.Broadcasts.bounded]] on
+    * the BATCH side (the q76 direction rule: the corpus-sized side never
+    * broadcasts, never shuffles — index buckets explode scan-locally
+    * from their checkpoint blocks). A candidate pair sharing several
+    * bands is verified up to numHashes/rowsPerBand times before the
+    * edge-level distinct — a bounded constant, cheaper than a
+    * pre-verify distinct that would hash gram arrays.
+    *
     * Verified edges collapse through the old labels into the QUOTIENT
     * graph — old components as super-nodes plus batch ids — and
     * connected components run over only the NEW edges. Corpus-internal
@@ -819,45 +857,73 @@ object DedupOps {
     * the result is IDENTICAL to re-clustering the union from scratch —
     * exactly what the q108 oracle checks: its SQL is the
     * full-recompute clustering. Returns the q50 shape over the union.
+    *
+    * Precondition: the index was built over documents disjoint from the
+    * batch (an id present in both would self-pair through its own bands).
     */
-  def incrementalClusters(corpus: DataFrame, batch: DataFrame,
-                          oldLabels: DataFrame, idCol: String,
-                          textCol: String, threshold: Double,
-                          k: Int = 5, numHashes: Int = 8,
-                          rowsPerBand: Int = 2, nGram: Int = 3,
-                          maxBucket: Int = MaxBucketIds): DataFrame = {
+  def incrementalClustersFromIndex(index: DataFrame, batch: DataFrame,
+                                   oldLabels: DataFrame, idCol: String,
+                                   textCol: String, threshold: Double,
+                                   k: Int = 5, numHashes: Int = 8,
+                                   rowsPerBand: Int = 2, nGram: Int = 3,
+                                   maxBucket: Int = MaxBucketIds)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val sigRef = (0 until numHashes).map(i => col(s"m$i"))
-    val bandCols = (0 until numHashes / rowsPerBand).map(b =>
-      bandKey(sigRef, b, rowsPerBand))
-    def bandsOf(df: DataFrame): DataFrame =
-      withMinhashSignature(df.select(col(idCol), col(textCol)),
-        textCol, k, numHashes)
-        .select(col(idCol), explode(array(bandCols: _*)).as("band"))
-        .filter(col("band").isNotNull).distinct()
-    val batchSig = withMinhashSignature(
-      batch.select(col(idCol), col(textCol)), textCol, k, numHashes)
+    val batchF = withMinhashSignature(
+        batch.select(col(idCol), col(textCol)), textCol, k, numHashes)
+      .withColumn("_g", column(NGramArray(expression(col(textCol)), nGram)))
       .drop(textCol)
-    val bb = lshCandidatePairs(batchSig, idCol, numHashes, rowsPerBand,
-      maxBucket)
-    val bc = bandsOf(corpus)
-      .join(bandsOf(batch).select(col(idCol).as("id_a"), col("band")),
-        Seq("band"))
-      .select(col("id_a"), col(idCol).as("id_b")).distinct()
-    val cand = bb.unionByName(bc)
-    val union = corpus.select(col(idCol), col(textCol))
-      .unionByName(batch.select(col(idCol), col(textCol)))
-    val grams = union.select(col(idCol),
-      column(NGramArray(expression(col(textCol)), nGram)).as("_g"))
-    val edges = cand
-      .join(grams.select(col(idCol).as("id_a"), col("_g").as("_ga")),
-        Seq("id_a"))
-      .join(grams.select(col(idCol).as("id_b"), col("_g").as("_gb")),
+      .localCheckpoint()
+    // one bound check for the whole fold: both broadcast sides below
+    // (band rows, gram arrays) derive from the SAME checkpointed batch,
+    // so counting it once covers both — re-routing each through
+    // Broadcasts.bounded would re-checkpoint and re-count frames whose
+    // row count is already known (the Broadcasts.bounded contract,
+    // amortized; same cap, same loud shuffle fallback)
+    val nBatch = batchF.count()
+    val batchFits =
+      nBatch * (numHashes / rowsPerBand) <= graft.ops.Broadcasts.MaxBroadcastRows
+    if (!batchFits) System.err.println(
+      s"[graft] incremental-cluster batch holds $nBatch rows, over the " +
+        s"bounded-broadcast cap of ${graft.ops.Broadcasts.MaxBroadcastRows} " +
+        "band rows — falling back to shuffle joins for the index probe. " +
+        "If the batch is known to fit in executor memory, raise " +
+        "Broadcasts.MaxBroadcastRows or pre-split the batch.")
+    def batchSide(df: DataFrame): DataFrame =
+      if (batchFits) broadcast(df) else df
+    val batchGrams =
+      batchF.select(col(idCol).as("id_a"), col("_g").as("_ga"))
+    val bb = lshCandidatePairs(batchF, idCol, numHashes, rowsPerBand,
+        maxBucket)
+      .join(batchGrams, Seq("id_a"))
+      .join(batchF.select(col(idCol).as("id_b"), col("_g").as("_gb")),
         Seq("id_b"))
       .filter(round(column(SortedArraysJaccard(
         expression(col("_ga")), expression(col("_gb")))), 6) >= threshold)
       .select(col("id_a"), col("id_b"))
+    // batch (id, band) rows: 16-byte keys, numHashes/rowsPerBand per doc
+    // (band keys embed the band number, so they are distinct per doc by
+    // construction) — the cheap broadcastable probe
+    val sigRef = (0 until numHashes).map(i => col(s"m$i"))
+    val bandCols = (0 until numHashes / rowsPerBand).map(b =>
+      bandKey(sigRef, b, rowsPerBand))
+    val batchBands = batchF
+      .select(col(idCol).as("id_a"),
+        explode(array(bandCols: _*)).as("band"))
+      .filter(col("band").isNotNull)
+    val bc = index
+      .select(col("band"), explode(col("cands")).as("c"))
+      .join(batchSide(batchBands), Seq("band"))
+      .select(col("id_a"), col("c.id").as("id_b"), col("c.g").as("_gb"))
+      .join(batchSide(batchGrams), Seq("id_a"))
+      .filter(round(column(SortedArraysJaccard(
+        expression(col("_ga")), expression(col("_gb")))), 6) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    // no edge-level distinct: a pair verified in several bands emits
+    // duplicate edges (bounded by numHashes/rowsPerBand), and the
+    // quotient projection below distincts anyway — one shuffle, not two
+    val edges = bb.unionByName(bc)
     // collapse through the old labels: corpus endpoints become their
     // component minimum, batch endpoints stay themselves
     val m = oldLabels.select(col(idCol).as("_mid"),
@@ -870,14 +936,49 @@ object DedupOps {
       .select(coalesce(col("_la"), col("id_a")).as("a"),
         coalesce(col("_lb"), col("id_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val superNodes = oldLabels.select(col("cluster_id").as("id")).distinct()
-      .unionByName(batch.select(col(idCol).as("id")))
-    val sc = connectedComponents(superNodes, quotient)
-      .select(col("id").as("_sup"), col("cluster_id"))
     val docSuper = oldLabels.select(col(idCol), col("cluster_id").as("_sup"))
-      .unionByName(batch.select(col(idCol), col(idCol).as("_sup")))
-    docSuper.join(sc, Seq("_sup"))
-      .select(col(idCol), col("cluster_id"))
+      .unionByName(batchF.select(col(idCol), col(idCol).as("_sup")))
+    // Label the quotient graph. Fast path: the quotient's edges are
+    // batch-bounded (every edge is batch-incident and candidates are
+    // bucket-capped), so ONE materialization feeds a driver union-find
+    // and its (super -> component-min) map rides a broadcast straight
+    // onto docSuper — supers absent from the map are untouched
+    // components keeping their own label. This skips the generic
+    // connectedComponents wrapper's super-node-set build, result
+    // checkpoint and label join (~3 extra jobs on a graph this small);
+    // over the cap, that generic path takes over — correct at any size.
+    val supType = docSuper.schema("_sup").dataType
+    val integralSup = supType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val qp = quotient.persist()
+    val nq = qp.count()
+    val labeled = if (integralSup && nq <= MaxDriverUnionFindEdges) {
+      val pairs = qp.select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      qp.unpersist()
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val scMap = driverUnionFindLabels(pairs).toDF("_sup", "_cl")
+        .select(col("_sup").cast(supType).as("_sup"),
+          col("_cl").cast(supType).as("_cl"))
+      docSuper.join(broadcast(scMap), Seq("_sup"), "left")
+        .select(col(idCol),
+          coalesce(col("_cl"), col("_sup")).as("cluster_id"))
+    } else {
+      val superNodes = oldLabels.select(col("cluster_id").as("id")).distinct()
+        .unionByName(batchF.select(col(idCol).as("id")))
+      val sc = connectedComponents(superNodes, qp)
+        .select(col("id").as("_sup"), col("cluster_id"))
+      qp.unpersist()
+      docSuper.join(sc, Seq("_sup"))
+        .select(col(idCol), col("cluster_id"))
+    }
+    labeled
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy(col("cluster_id")))
           .cast("long"))

@@ -43,9 +43,12 @@ object ClusterMemo {
   private val corpusLabelCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String, Double, Int),
       DataFrame]
+  private val bandIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), DataFrame]
 
   def clear(): Unit = {
     pairCache.clear(); clusterCache.clear(); corpusLabelCache.clear()
+    bandIndexCache.clear()
   }
 
   /** "Yesterday's" clustering for the incremental-maintenance query
@@ -66,6 +69,25 @@ object ClusterMemo {
           .filter(col("doc_id") % batchMod =!= 0)
         DedupOps.nearDupClusters(corpus, "doc_id", "text", threshold)
           .select(col("doc_id"), col("cluster_id"))
+          .localCheckpoint()
+      })
+
+  /** "Yesterday's" corpus band index for q108 — the second stored
+    * artifact of the incremental-admission loop ([[corpusLabels]] is the
+    * first): the [[DedupOps.bandIndex]] the dedup service maintains via
+    * `mergeBandIndex` as batches are admitted. Memoized per (session,
+    * sfDir, batchMod) so q108's bench number is the MARGINAL fold cost —
+    * with both artifacts in hand the fold never re-reads, re-grams or
+    * re-hashes a corpus document (gated in PlanShapeSpec).
+    */
+  def corpusBandIndex(s: SparkSession, d: String, batchMod: Int): DataFrame =
+    bandIndexCache.getOrElseUpdate(
+      (System.identityHashCode(s), d, batchMod), {
+        val corpus = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % batchMod =!= 0)
+        DedupOps.bandIndex(corpus, "doc_id", "text", ShingleK, NumHashes,
+            RowsPerBand, NGram)
           .localCheckpoint()
       })
 

@@ -304,6 +304,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental clustering fold never re-reads a corpus document") {
+    // q108's production contract: with the stored artifacts in hand
+    // (yesterday's labels + the corpus band index — session memos here,
+    // populated by the call itself), the marginal fold touches ONLY the
+    // batch and the index. The batch is featurized and checkpointed
+    // inside incrementalClustersFromIndex (the one source scan, at call
+    // time), so the fold plan proper must be parquet-scan-FREE: every
+    // leaf is a checkpoint block — corpus documents are never re-read,
+    // re-grammed or re-hashed to admit a batch.
+    val p = planString("q108_incremental_clusters")
+    assert(!p.contains("Scan parquet"),
+      s"q108's fold plan re-reads a source table — the corpus must be " +
+        s"reached only through the stored band-index/label artifacts:\n$p")
+  }
+
   test("correlated sampling filters both scans before the join") {
     val p = planString("q77_correlated_sample_join")
     // the rate predicate must evaluate in each side's scan stage — a
