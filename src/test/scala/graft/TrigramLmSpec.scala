@@ -105,6 +105,88 @@ class TrigramLmSpec extends AnyFunSuite {
       s"max |Δscore| ${diffs.getDouble(0)} too large for a half-corpus model")
   }
 
+  test("memoized count table reproduces self-scoring exactly") {
+    // the q87 contract: LmMemo stores the EXACT full-corpus counts, so
+    // scoreWith(memo) must be value-identical to score(docs) — the memo
+    // moves when the model is computed, never what it is
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val self = TrigramLm.score(docs, "doc_id", "text")
+    val memo = TrigramLm.scoreWith(docs,
+      graft.queries.LmMemo.trigramCounts(spark, d), "doc_id", "text")
+    assert(self.exceptAll(memo).count() == 0 &&
+      memo.exceptAll(self).count() == 0)
+    // second read must come from the cache: same frame instance
+    assert(graft.queries.LmMemo.trigramCounts(spark, d) eq
+      graft.queries.LmMemo.trigramCounts(spark, d))
+  }
+
+  test("native in-row scorer equals the relational scorer") {
+    // q87's deployed path: TrigramLmScore (hash-probe expression) vs
+    // the explode->join->agg twin, on the fixture corpus and on
+    // astral-char input (substr counts CODE POINTS — a surrogate pair
+    // is one trigram position, which the expression must reproduce)
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val self = TrigramLm.score(docs, "doc_id", "text")
+    val inRow = TrigramLm.scoreInRow(docs,
+      graft.queries.LmMemo.collectedModel(spark, d), "doc_id", "text")
+    assert(self.exceptAll(inRow).count() == 0 &&
+      inRow.exceptAll(self).count() == 0)
+    val odd = Seq((1L, "a😀b😀c"), (2L, "ab"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val m = TrigramLm.collectModel(TrigramLm.counts(odd, "doc_id", "text"))
+    val a = TrigramLm.score(odd, "doc_id", "text")
+    val b = TrigramLm.scoreInRow(odd, m, "doc_id", "text")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "code-point trigram parity must hold on astral/short/null input")
+  }
+
+  test("sampled-model ranking is stable vs the exact model") {
+    // beyond per-score closeness (previous test): the filter's OUTPUT is
+    // an ordering and a cutoff decision, so pin (a) Spearman rank
+    // correlation of the two scorings and (b) agreement on the
+    // bottom-decile cut — the docs a p10 quality gate would drop
+    import graft.ops.Sample
+    import graft.streaming.EventStreams
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val full = TrigramLm.modelFrame(TrigramLm.counts(docs, "doc_id", "text"))
+    val half = TrigramLm.modelFrame(TrigramLm.counts(
+      docs.filter(Sample.keep(col("doc_id"), 0.5)), "doc_id", "text"))
+    val rows = EventStreams.lmScoreStream(docs, full)
+      .select(col("doc_id"), col("lm_score").as("sf"))
+      .join(EventStreams.lmScoreStream(docs, half)
+        .select(col("doc_id"), col("lm_score").as("sh")), Seq("doc_id"))
+      .filter(col("sf").isNotNull && col("sh").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length > 100, "fixture corpus unexpectedly small")
+    def ranks(xs: Array[Double]): Map[Double, Double] =
+      xs.sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, g) => v -> g.map(_._2).sum.toDouble / g.length }
+    val rf = ranks(rows.map(_._2))
+    val rh = ranks(rows.map(_._3))
+    val (xs, ys) = (rows.map(r => rf(r._2)), rows.map(r => rh(r._3)))
+    val n = rows.length
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sd = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum *
+      ys.map(y => (y - my) * (y - my)).sum)
+    val rho = cov / sd
+    // measured 0.976 on the sf0.001 fixture (deterministic hash sample;
+    // a ~600-doc half-model is the noisiest case — fidelity only grows
+    // with corpus size as trigram frequencies concentrate)
+    assert(rho > 0.95, s"Spearman rho $rho — sampled model reorders docs")
+    val k = n / 10
+    val bottomF = rows.sortBy(_._2).take(k).map(_._1).toSet
+    val bottomH = rows.sortBy(_._3).take(k).map(_._1).toSet
+    val agree = bottomF.intersect(bottomH).size.toDouble / k
+    assert(agree > 0.8,
+      s"bottom-decile agreement $agree — sampled model moves the p10 cut")
+  }
+
   test("normalization feeds the model: case and whitespace collapse") {
     // "AB  AB" normalizes to "ab ab" == "ab ab" verbatim -> same score
     val docs = Seq((1L, "AB  AB"), (2L, "ab ab")).toDF("doc_id", "text")
