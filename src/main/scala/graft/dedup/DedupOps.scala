@@ -215,9 +215,24 @@ object DedupOps {
     * size, which is the right call at the right layer).
     */
   def passageDupStats(docs: DataFrame, idCol: String, textCol: String,
-                      len: Int): DataFrame = {
-    val withP = docs
-      .select(col(idCol), TextOps.passageHashes(col(textCol), len).as("_pks"))
+                      len: Int): DataFrame =
+    passageDupStatsKeyed(docs.select(col(idCol),
+      TextOps.passageHashes(col(textCol), len).as("_pks")), idCol)
+
+  /** [[passageDupStats]] over a MATERIALIZED normalized word array (the
+    * [[graft.queries.GramMemo]] artifact): same stats, but the
+    * normalize+split pass — which the higher-order passage lambda
+    * otherwise re-runs PER PASSAGE (the withMinhashSignature CSE note)
+    * — is read, not recomputed.
+    */
+  def passageDupStatsOfWords(docsW: DataFrame, idCol: String,
+                             wordsCol: String, len: Int): DataFrame =
+    passageDupStatsKeyed(docsW.select(col(idCol),
+      TextOps.passageHashesOfWords(col(wordsCol), len).as("_pks")), idCol)
+
+  private def passageDupStatsKeyed(withPk: DataFrame, idCol: String)
+      : DataFrame = {
+    val withP = withPk
       .select(col(idCol), size(col("_pks")).cast("long").as("n_passages"),
         col("_pks"))
     val pp = withP.select(col(idCol), explode(col("_pks")).as("pk"))
@@ -298,8 +313,26 @@ object DedupOps {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, dfMin: Int = 2, dfMax: Int = 5): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val g = docs.select(col(idCol),
-      column(NGramArray(expression(col(textCol)), n)).as("_g"))
+    containmentFromGrams(docs.select(col(idCol),
+      column(NGramArray(expression(col(textCol)), n)).as("_g")),
+      idCol, dfMin, dfMax)
+  }
+
+  /** [[containmentPairs]] over a MATERIALIZED normalized word array (the
+    * [[graft.queries.GramMemo]] artifact): gram building starts from the
+    * shared words, skipping the per-query normalize+split pass.
+    */
+  def containmentPairsOfWords(docsW: DataFrame, idCol: String,
+                              wordsCol: String, n: Int, dfMin: Int = 2,
+                              dfMax: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    containmentFromGrams(docsW.select(col(idCol),
+      column(NGramArray(expression(col(wordsCol)), n)).as("_g")),
+      idCol, dfMin, dfMax)
+  }
+
+  private def containmentFromGrams(g: DataFrame, idCol: String,
+                                   dfMin: Int, dfMax: Int): DataFrame = {
     val dg = g.select(col(idCol), explode(col("_g")).as("_gram"))
       .select(col(idCol), md5(to_binary(col("_gram"), lit("utf-8"))).as("gk"))
     val rare = dg.groupBy(col("gk")).agg(count(lit(1)).as("_df"))
@@ -358,9 +391,26 @@ object DedupOps {
     */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double, nGram: Int = 3,
-                         maxBucket: Int = 10000): DataFrame =
-    prefixJaccardImpl(docs, idCol, textCol, threshold, nGram, maxBucket,
-      materialize = true)
+                         maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    prefixJaccardImpl(docs.select(col(idCol).as("_id"),
+      column(NGramHashArray(expression(col(textCol)), nGram)).as("_g")),
+      threshold, maxBucket, materialize = true)
+  }
+
+  /** [[prefixJaccardPairs]] over a MATERIALIZED normalized word array
+    * (the [[graft.queries.GramMemo]] artifact): gram building starts
+    * from the shared words, skipping the per-query normalize+split pass.
+    */
+  def prefixJaccardPairsOfWords(docsW: DataFrame, idCol: String,
+                                wordsCol: String, threshold: Double,
+                                nGram: Int = 3,
+                                maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    prefixJaccardImpl(docsW.select(col(idCol).as("_id"),
+      column(NGramHashArray(expression(col(wordsCol)), nGram)).as("_g")),
+      threshold, maxBucket, materialize = true)
+  }
 
   /** The un-materialized q94 lineage, for plan gating (the checkpoint
     * in [[prefixJaccardPairs]] would hide the upstream exchanges from
@@ -369,22 +419,27 @@ object DedupOps {
   def prefixJaccardPairsPlan(docs: DataFrame, idCol: String,
                              textCol: String, threshold: Double,
                              nGram: Int = 3,
-                             maxBucket: Int = 10000): DataFrame =
-    prefixJaccardImpl(docs, idCol, textCol, threshold, nGram, maxBucket,
-      materialize = false)
+                             maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    prefixJaccardImpl(docs.select(col(idCol).as("_id"),
+      column(NGramHashArray(expression(col(textCol)), nGram)).as("_g")),
+      threshold, maxBucket, materialize = false)
+  }
 
-  private def prefixJaccardImpl(docs: DataFrame, idCol: String,
-                                textCol: String, threshold: Double,
-                                nGram: Int, maxBucket: Int,
+  // Gram identity inside this pipeline is the 8-byte XXH64 key
+  // ([[NGramHashArray]]): every shuffle (df window, posting lists) and
+  // every verify merge compares longs, at a quarter of the md5-hex
+  // width the q79/q86 passes use — those keep md5 because their ORACLE
+  // keys on md5; here the hash is engine-internal and the oracle only
+  // sees (id_a, id_b, jaccard).
+  private def prefixJaccardImpl(g: DataFrame, threshold: Double,
+                                maxBucket: Int,
                                 materialize: Boolean): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     import org.apache.spark.sql.expressions.Window
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val g = docs.select(col(idCol).as("_id"),
-      column(NGramArray(expression(col(textCol)), nGram)).as("_g"))
-    val dg = g.select(col("_id"), explode(col("_g")).as("_gram"))
-      .select(col("_id"), md5(to_binary(col("_gram"), lit("utf-8"))).as("_gk"))
+    val dg = g.select(col("_id"), explode(col("_g")).as("_gk"))
     val dgdf = dg.withColumn("_df",
       count(lit(1)).over(Window.partitionBy(col("_gk"))))
     val ranked0 = dgdf

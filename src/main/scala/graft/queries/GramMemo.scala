@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Session-scoped memo for the NORMALIZED WORD table — the
+  * [[ClusterMemo]] pattern applied to the exact-text gram family
+  * (q79 passages, q86 containment 8-grams, q94 prefix-Jaccard 3-grams):
+  * all three normalize and split the same corpus before building their
+  * (differently-sized) grams, and a 100 TB pipeline tokenizes its
+  * corpus ONCE and stores the word arrays — re-running the
+  * whole-document regex normalize per operator is the redundant scan
+  * family the round-6 verdict flagged. Gram sizes differ per query, so
+  * the SHARED artifact is the words table; each query derives its own
+  * grams from it scan-locally (the array-input [[graft.dedup.NGramArray]]
+  * form, gram parity spec-pinned).
+  *
+  * Repartitioned across cores BEFORE the checkpoint: documents arrive
+  * as one parquet file = one partition, and the per-gram md5 work
+  * downstream needs the spread (the q79/q86/q31 note — unnecessary at
+  * real scan widths where the scan has many splits).
+  */
+object GramMemo {
+
+  private val wordsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  def clear(): Unit = wordsCache.clear()
+
+  /** (doc_id, words) — `split(normalize(text), " ")`, materialized once
+    * per (session, sfDir).
+    */
+  def words(s: SparkSession, d: String): DataFrame =
+    wordsCache.getOrElseUpdate((System.identityHashCode(s), d), {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        // spread RAW rows first: projecting before the exchange would
+        // run the whole-corpus regex normalize inside the one input
+        // partition (measured 5.5 s vs 0.6 s at sf0.1)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          split(TextOps.normalize(col("text")), " ").as("words"))
+        .localCheckpoint()
+    })
+}

@@ -158,9 +158,11 @@ object Pipeline10 {
   private val PrefixT = 0.5
 
   private val q94: Q = (s, d) =>
-    graft.dedup.DedupOps.prefixJaccardPairs(
-      documents(s, d).select(col("doc_id"), col("text")),
-      "doc_id", "text", PrefixT)
+    graft.dedup.DedupOps.prefixJaccardPairsOfWords(
+      // the shared normalized-word artifact (GramMemo — tokenize once,
+      // gram per query)
+      GramMemo.words(s, d),
+      "doc_id", "words", PrefixT)
       .orderBy(col("id_a"), col("id_b"))
 
   private lazy val q94Sql = s"""

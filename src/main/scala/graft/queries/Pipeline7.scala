@@ -72,13 +72,13 @@ object Pipeline7 {
   private val BoilerplateFrac = 0.5
 
   private val q79: Q = (s, d) =>
-    graft.dedup.DedupOps.passageDupStats(
-      // documents arrive as one parquet file = one partition; spread the
-      // per-passage md5 work across cores first (at 100 TB the scan has
-      // many splits and this repartition is unnecessary — the q31 note)
-      documents(s, d).select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism),
-      "doc_id", "text", PassageLen)
+    graft.dedup.DedupOps.passageDupStatsOfWords(
+      // the shared normalized-word artifact (GramMemo): the corpus is
+      // tokenized once per session and q79/q86/q94 all derive their
+      // grams from it — and the passage lambda no longer re-normalizes
+      // per passage (the HOF CSE note on passageDupStatsOfWords)
+      GramMemo.words(s, d),
+      "doc_id", "words", PassageLen)
       .withColumn("dup_fraction",
         round(col("n_dup_passages").cast("double") / col("n_passages"), 6))
       .withColumn("is_boilerplate", col("dup_fraction") >= BoilerplateFrac)

@@ -134,12 +134,12 @@ object Pipeline8 {
   private val ContainFrac = 0.8
 
   private val q86: Q = (s, d) =>
-    graft.dedup.DedupOps.containmentPairs(
-      // one parquet file = one partition; spread the per-gram md5 work
-      // (the q79 note — unnecessary at 100 TB where the scan has splits)
-      documents(s, d).select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism),
-      "doc_id", "text", ContainN)
+    graft.dedup.DedupOps.containmentPairsOfWords(
+      // the shared normalized-word artifact (GramMemo — tokenize once,
+      // gram per query); the memo also carries the core spread the old
+      // inline repartition provided
+      GramMemo.words(s, d),
+      "doc_id", "words", ContainN)
       .withColumn("is_contained", col("containment") >= ContainFrac)
       .orderBy(col("id_a"), col("id_b"))
 

@@ -103,8 +103,14 @@ object TextOps {
     * and the streaming passage admission probe — 16-byte keys so dedup
     * joins/probes never carry the passage strings.
     */
-  def passageHashes(c: Column, len: Int): Column = {
-    val w = split(normalize(c), " ")
+  def passageHashes(c: Column, len: Int): Column =
+    passageHashesOfWords(split(normalize(c), " "), len)
+
+  /** [[passageHashes]] over an ALREADY-materialized normalized word
+    * array (the [[graft.queries.GramMemo]] artifact) — same keys, no
+    * re-normalize/re-split pass.
+    */
+  def passageHashesOfWords(w: Column, len: Int): Column = {
     val np = floor((size(w) + lit(len - 1)) / lit(len)).cast("int")
     transform(sequence(lit(0), np - 1), p =>
       md5(to_binary(array_join(slice(w, p * len + 1, lit(len)), " "),

@@ -37,6 +37,35 @@ class DedupParitySpec extends AnyFunSuite {
     assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
   }
 
+  test("array-input NGramArray equals the string form on shared words") {
+    // the GramMemo contract: grams built from the materialized
+    // split(normalize(text)) words must equal grams built from the raw
+    // text, for every gram size the q79/q86/q94 family uses
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val edge = (Seq("", "   ", "a", "A  a\tA", "word word word",
+      "çãé ÇÃÉ", "the cat sat on the mat") ++
+      docs.limit(50).collect().map(_.getString(1)))
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+      .withColumn("words",
+        split(graft.text.TextOps.normalize(col("text")), " "))
+    for (n <- Seq(1, 3, 8)) {
+      val a = edge.select(col("doc_id"),
+        column(NGramArray(expression(col("text")), n)).as("g"))
+      val b = edge.select(col("doc_id"),
+        column(NGramArray(expression(col("words")), n)).as("g"))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"gram size $n: words-array grams must equal text grams")
+    }
+    // passage keys: the q79 shape over the same two inputs
+    val pa = edge.select(col("doc_id"),
+      graft.text.TextOps.passageHashes(col("text"), 4).as("p"))
+    val pb = edge.select(col("doc_id"),
+      graft.text.TextOps.passageHashesOfWords(col("words"), 4).as("p"))
+    assert(pa.exceptAll(pb).isEmpty && pb.exceptAll(pa).isEmpty,
+      "words-array passage hashes must equal text passage hashes")
+  }
+
   test("native MinHashSig equals the HOF-composed signature") {
     val k = 5; val n = 6
     val native = DedupOps.withMinhashSignature(docs.limit(300), "text", k, n)

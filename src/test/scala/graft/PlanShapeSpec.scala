@@ -413,17 +413,20 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("trigram LM probes the model via broadcast, never a tri shuffle") {
-    // the model table is bounded by the charset's trigram space, so the
-    // scoring join must broadcast it; a shuffle join keyed on the raw
-    // trigram re-shuffles O(corpus chars) rows at 100 TB
+  test("trigram LM scoring is one scan-local pass, no join, no tri rows") {
+    // the bounded model rides the TrigramLmScore expression as driver
+    // arrays, so scoring is a pure projection: no per-trigram explode
+    // rows, no model join of any kind, one corpus scan — the only
+    // exchange is the output sort (a shuffle keyed on the raw trigram
+    // would move O(corpus chars) rows at 100 TB)
     val p = planString("q87_trigram_lm_score")
-    for (m <- Seq("SortMergeJoin", "ShuffledHashJoin");
-         st <- subtrees(p, m))
-      assert(!st.linesIterator.next().contains("tri#"),
-        s"q87 scoring join must broadcast the model, got $m on tri")
-    assert(p.contains("BroadcastHashJoin"),
-      "q87 must probe the trigram model through a broadcast join")
+    assert(p.contains("trigram_lm_score"),
+      "q87 must score via the native TrigramLmScore expression")
+    assert(!p.contains("Join"), "q87 must not join (model is in-row)")
+    assert(!p.contains("Generate"), "q87 must not explode trigram rows")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "q87 must scan once")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "q87's only exchange is the output range sort")
   }
 
   test("interval attribution joins on (user, bucket), never a nested loop") {
