@@ -71,17 +71,23 @@ object Bench {
         System.gc()
         dt
       }
-      name -> times.min
+      name -> times
     }
     // Locale.ROOT: the f interpolator uses the default JVM locale, which
     // renders comma decimal separators (invalid JSON) on e.g. pt_BR
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v.min) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // all repeats, not just the min: REPRO.md's jitter-window
+    // adjudication (did a slowdown window cover all repeats of a query?)
+    // becomes data-driven from the artifact instead of re-run-driven
+    val samples = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(num).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$samples,"sf":"$sfDir"}"""
     // the r5 artifact arrived truncated MID-JSON (the driver captures a
     // bounded output tail): flush the line immediately, mirror it on
     // stderr, and persist it to a file so the artifact survives any

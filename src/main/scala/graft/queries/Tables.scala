@@ -27,19 +27,44 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
 
-  def eventsMicros(s: SparkSession, d: String): DataFrame = {
+  def eventsMicros(s: SparkSession, d: String): DataFrame =
+    normalizeEventsTs(events(s, d))
+
+  /** Normalizes a raw events frame to the engine contract — `ts_us`
+    * (BIGINT epoch-micros) + `ts_t` (TimestampType) — accepting ONLY the
+    * two physical shapes driver regenerations have shipped so far, and
+    * failing LOUDLY (naming the contract and this one choke point) on
+    * anything else: the r6 nanos→micros drift surfaced as 11 red
+    * queries mid-flight; a third shape (int96, a renamed column, a
+    * plain-integer ts) must instead fail here, once, with a message
+    * that says what to extend. EventsShapeSpec pins both accepted
+    * shapes and the unknown-shape error path.
+    */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val raw = events(s, d)
+    require(raw.columns.contains("ts"),
+      "events physical-schema drift: no `ts` column (columns: " +
+        raw.columns.mkString(", ") + "). The engine contract is ts_us " +
+        "BIGINT epoch-micros + ts_t TIMESTAMP, derived in " +
+        "Tables.normalizeEventsTs — extend the accepted shapes there.")
     raw.schema("ts").dataType match {
-      case LongType => // legacy epoch-nanos (nanosAsLong sessions)
+      case LongType => // legacy Parquet TIMESTAMP(NANOS) read under
+        // nanosAsLong as epoch-nano BIGINT
         raw
           .withColumn("ts_us", expr("ts div 1000"))
           .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
-      case _ => // TIMESTAMP_NTZ or TIMESTAMP
+      case TimestampNTZType | TimestampType => // native TIMESTAMP(MICROS)
         raw
           .withColumn("ts_t", col("ts").cast(TimestampType))
           .withColumn("ts_us", unix_micros(col("ts").cast(TimestampType)))
+      case other => throw new IllegalStateException(
+        s"events physical-schema drift: ts arrived as ${other.simpleString}, " +
+          "not one of the two known shapes (BIGINT epoch-nanos under " +
+          "nanosAsLong; TIMESTAMP/TIMESTAMP_NTZ micros). The engine " +
+          "contract is ts_us BIGINT epoch-micros + ts_t TIMESTAMP, " +
+          "derived in Tables.normalizeEventsTs — extend the accepted " +
+          "shapes there instead of patching event queries individually.")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")

@@ -48,10 +48,21 @@ object EventStreams {
     val schema = StructType(eventsSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     val raw = spark.readStream.schema(schema).parquet(dir)
+    // same two-known-shapes contract as Tables.normalizeEventsTs (the
+    // batch boundary): a third driver regeneration must fail loudly at
+    // the read boundary, not 11 queries deep — EventsShapeSpec pins the
+    // error path
     val withUs = tsType match {
       case LongType => raw.withColumn("ts_us", expr("ts div 1000"))
-      case _ =>
+      case TimestampNTZType | TimestampType =>
         raw.withColumn("ts_us", unix_micros(col("ts").cast(TimestampType)))
+      case other => throw new IllegalStateException(
+        s"events physical-schema drift: ts arrived as ${other.simpleString}, " +
+          "not one of the two known shapes (BIGINT epoch-nanos under " +
+          "nanosAsLong; TIMESTAMP/TIMESTAMP_NTZ micros). The engine " +
+          "contract is ts_us BIGINT epoch-micros + ts_t TIMESTAMP — " +
+          "extend EventStreams.readEvents and Tables.normalizeEventsTs " +
+          "together instead of patching event queries individually.")
     }
     withUs.withColumn("ts_t", timestamp_micros(col("ts_us"))).drop("ts")
   }

@@ -45,6 +45,9 @@ class EventsShapeSpec extends AnyFunSuite {
       case "nanos_long" => base.withColumn("ts", col("us") * 1000L)
       case "micros_ntz" =>
         base.withColumn("ts", timestamp_micros(col("us")).cast(TimestampNTZType))
+      case "string_iso" => // a hypothetical THIRD drift shape
+        base.withColumn("ts",
+          date_format(timestamp_micros(col("us")), "yyyy-MM-dd HH:mm:ss"))
     }
     withTs.select("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -83,5 +86,39 @@ class EventsShapeSpec extends AnyFunSuite {
     assert(out(0) == out(1), "legacy and native shapes must stream equal")
     assert(out(0).map(_._2) == rows.map(_._2).toSet,
       "streamed ts_us must be the exact written epoch-micros")
+  }
+
+  test("an UNKNOWN third ts shape fails loudly at both read boundaries") {
+    // the r6 drift cost 11 red queries before the cause surfaced; the
+    // contract gate must turn the NEXT drift into one self-describing
+    // failure at the choke point instead
+    val dir = stage("string_iso")
+    val batch = intercept[IllegalStateException] {
+      Tables.eventsMicros(spark, dir)
+    }
+    assert(batch.getMessage.contains("ts_us BIGINT epoch-micros") &&
+      batch.getMessage.contains("normalizeEventsTs"),
+      s"batch error must name the contract and the extension point: " +
+        s"${batch.getMessage}")
+    val stream = intercept[IllegalStateException] {
+      EventStreams.readEvents(spark, s"$dir/events.parquet")
+    }
+    assert(stream.getMessage.contains("ts_us BIGINT epoch-micros") &&
+      stream.getMessage.contains("readEvents"),
+      s"stream error must name the contract and the extension point: " +
+        s"${stream.getMessage}")
+  }
+
+  test("a RENAMED ts column fails loudly with the column inventory") {
+    val renamed = rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("event_ts", timestamp_micros(col("us")))
+      .drop("us")
+    val e = intercept[IllegalArgumentException] {
+      Tables.normalizeEventsTs(renamed)
+    }
+    assert(e.getMessage.contains("no `ts` column") &&
+      e.getMessage.contains("event_ts"),
+      s"error must name the missing contract column and what IS there: " +
+        s"${e.getMessage}")
   }
 }
