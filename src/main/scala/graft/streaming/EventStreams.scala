@@ -305,6 +305,71 @@ object EventStreams {
         (col("_dup").isNull && col("n_near") === 0).as("is_new"))
   }
 
+  /** The END-TO-END streaming admission gate — the deliverable a
+    * training-data team deploys: ONE readStream through the whole
+    * admission family in cheap-first order — exact fingerprint, lexical
+    * near-dup, source-relative quality quantile, trigram-LM floor — one
+    * stateless scan-local pass per micro-batch (every gate is a
+    * broadcast probe or an in-row expression: no shuffle, no watermark,
+    * no state store, so composing the gates cannot blow up state).
+    *
+    * Short-circuit: each doc is attributed to the FIRST gate that drops
+    * it (`stage` ∈ exact | near | quality | lm | null=admitted), and the
+    * expensive scorers are `when()`-guarded — CaseWhen evaluates
+    * branches lazily per row, so a doc dropped at the exact/near layer
+    * never runs the quality regexes, and only docs surviving the
+    * quality gate run the LM scorer. The near probe itself is not
+    * guarded: its verdict (n_near/nearest_id) is part of the q76 output
+    * contract for every doc, exact-dup or not.
+    *
+    * Static artifacts (the nightly recompute feeds them): `corpusFps`
+    * (one column fp), `corpusIndex` ([[graft.dedup.DedupOps.bandIndex]]),
+    * `thresholds` (batch q110's (source, thr)), `lmModel` (one-row
+    * [[graft.text.TrigramLm.modelFrame]]) with `lmMinScore` the
+    * admission floor; a doc whose LM score is null (no trigrams) or
+    * whose source has no threshold admits at that gate — new sources
+    * and degenerate docs are the next recompute's problem, not the
+    * door's. StreamingSpec pins every verdict and score against the
+    * batch q76/q110/q87 composition on the same fixture, with
+    * per-stage drop counts.
+    */
+  def admissionPipeline(docs: DataFrame, corpusFps: DataFrame,
+                        corpusIndex: DataFrame, thresholds: DataFrame,
+                        lmModel: DataFrame, lmMinScore: Double,
+                        nearThreshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import graft.text.{TextOps, TrigramLm, TrigramLmScore}
+    val m = TrigramLm.collectModelFrame(lmModel)
+    val probed = graft.dedup.DedupOps.probeBandIndex(
+        docs, corpusIndex, "doc_id", "text", nearThreshold)
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .join(broadcast(corpusFps.select(col("fp"))
+        .withColumn("_dup", lit(1))), Seq("fp"), "left")
+      .withColumn("is_exact_dup", col("_dup").isNotNull)
+      .join(broadcast(thresholds), Seq("source"), "left")
+    val lexOk = !col("is_exact_dup") && !col("is_near_dup")
+    val scored = probed
+      .withColumn("qs",
+        when(lexOk, round(TextOps.qualityScore(col("text")), 6)))
+      .withColumn("_q_ok", coalesce(col("qs") >= col("thr"), lit(true)))
+      .withColumn("_r", when(lexOk && col("_q_ok"),
+        column(TrigramLmScore(expression(TextOps.normalize(col("text"))),
+          m.tris, m.logps, m.defaultLogp))))
+      .withColumn("lm_score", when(col("_r.n_tri") > 0,
+        round(col("_r.lm_sum") / col("_r.n_tri"), 6)))
+      .withColumn("_lm_ok",
+        coalesce(col("lm_score") >= lit(lmMinScore), lit(true)))
+    scored
+      .withColumn("stage",
+        when(col("is_exact_dup"), "exact")
+          .when(col("is_near_dup"), "near")
+          .when(!col("_q_ok"), "quality")
+          .when(!col("_lm_ok"), "lm"))
+      .select(col("doc_id"), col("source"), col("is_exact_dup"),
+        col("n_near"), col("nearest_id"), col("qs"), col("lm_score"),
+        col("stage"), col("stage").isNull.as("admit"))
+  }
+
   /** embeddings.parquet physical schema (for the semantic admission twin). */
   val embeddingsSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
@@ -588,14 +653,7 @@ object EventStreams {
     // stream build time; scoring stays a stateless scan-local
     // projection, so the streaming properties (no shuffle, no state
     // store) are unchanged.
-    val row = model.select(col("logp_map"), col("default_logp")).head()
-    val m = row.getMap[String, Double](0)
-    val tris = new Array[String](m.size)
-    val logps = new Array[Double](m.size)
-    var i = 0
-    m.foreach { case (t, lp) => tris(i) = t; logps(i) = lp; i += 1 }
-    TrigramLm.scoreInRow(docs,
-      TrigramLm.CollectedModel(tris, logps, row.getDouble(1)),
+    TrigramLm.scoreInRow(docs, TrigramLm.collectModelFrame(model),
       "doc_id", "text")
   }
 }

@@ -134,6 +134,19 @@ object TrigramLm {
                                   logps: Array[Double],
                                   defaultLogp: Double)
 
+  /** Collapses a one-row [[modelFrame]] into a [[CollectedModel]] — the
+    * bounded fetch the streaming scorers do at stream build time.
+    */
+  def collectModelFrame(model: DataFrame): CollectedModel = {
+    val row = model.select(col("logp_map"), col("default_logp")).head()
+    val m = row.getMap[String, Double](0)
+    val tris = new Array[String](m.size)
+    val logps = new Array[Double](m.size)
+    var i = 0
+    m.foreach { case (t, lp) => tris(i) = t; logps(i) = lp; i += 1 }
+    CollectedModel(tris, logps, row.getDouble(1))
+  }
+
   /** Collects a count table into a [[CollectedModel]] with the same
     * add-one smoothing as [[modelFrame]].
     */

@@ -586,6 +586,97 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("end-to-end admission pipeline == batch q76/q110/q87 composition") {
+    import org.apache.spark.sql.functions._
+    import graft.dedup.DedupOps
+    import graft.text.{TextOps, TrigramLm}
+    val dir = Files.createTempDirectory("docs_pipeline")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = spark.read.parquet(s"$dir/part-0.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    // static artifacts, as the nightly recompute would hand them over:
+    // the corpus is the even half, the stream re-offers every doc
+    val corpus = batchDocs.filter(col("doc_id") % 2 === 0)
+    val corpusFps =
+      corpus.select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+    val corpusIndex = DedupOps.bandIndex(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val thresholds = SparkEntry
+      .queries("q110_quality_gate")(spark, "/root/testdata/sf0.001")
+      .select(col("source"), col("thr")).localCheckpoint()
+    val lmModel = TrigramLm.modelFrame(
+      TrigramLm.counts(corpus, "doc_id", "text")).localCheckpoint()
+    val cm = TrigramLm.collectModelFrame(lmModel)
+
+    // batch composition of the three queries' rules, same precedence
+    val near = DedupOps.probeBandIndex(batchDocs, corpusIndex,
+        "doc_id", "text", 0.5)
+      .select(col("doc_id"), col("n_near"), col("nearest_id"),
+        col("is_near_dup"))
+    val lm = TrigramLm.scoreInRow(batchDocs, cm, "doc_id", "text")
+      .select(col("doc_id"), col("lm_score").as("_lm_raw"))
+    val base = batchDocs
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .join(corpusFps.withColumn("_dup", lit(1)), Seq("fp"), "left")
+      .withColumn("is_exact_dup", col("_dup").isNotNull)
+      .join(near, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+      .join(thresholds, Seq("source"), "left")
+      .withColumn("_qs_raw",
+        round(TextOps.qualityScore(col("text")), 6))
+      .localCheckpoint()
+    // an LM floor that splits the quality-survivors, so every stage of
+    // the cascade drops someone and no assertion is vacuous
+    val lexOk = !col("is_exact_dup") && !col("is_near_dup")
+    val qOk = coalesce(col("_qs_raw") >= col("thr"), lit(true))
+    val survivorScores = base.filter(lexOk && qOk)
+      .filter(col("_lm_raw").isNotNull)
+      .select(col("_lm_raw")).collect().map(_.getDouble(0)).sorted
+    assert(survivorScores.length >= 4, "fixture must reach the LM gate")
+    val lmMin = survivorScores(survivorScores.length / 2)
+    val want = base
+      .withColumn("qs", when(lexOk, col("_qs_raw")))
+      .withColumn("lm_score", when(lexOk && qOk, col("_lm_raw")))
+      .withColumn("stage",
+        when(col("is_exact_dup"), "exact")
+          .when(col("is_near_dup"), "near")
+          .when(!qOk, "quality")
+          .when(!coalesce(col("lm_score") >= lit(lmMin), lit(true)), "lm"))
+      .select(col("doc_id"), col("source"), col("is_exact_dup"),
+        col("n_near"), col("nearest_id"), col("qs"), col("lm_score"),
+        col("stage"), col("stage").isNull.as("admit"))
+
+    val q = EventStreams.admissionPipeline(
+        EventStreams.readDocuments(spark, dir.toString),
+        corpusFps, corpusIndex, thresholds, lmModel, lmMin)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("admission_pipeline").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("admission_pipeline")
+      assert(got.count() == batchDocs.count(),
+        "every offered doc must get exactly one verdict row")
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        "stream verdicts+scores must equal the batch composition")
+      // per-stage drop counts: every gate of the cascade must fire, and
+      // the admitted remainder must be non-empty
+      val byStage = got.groupBy(col("stage")).count().collect()
+        .map(r => Option(r.getString(0)).getOrElse("admitted") -> r.getLong(1))
+        .toMap
+      for (s <- Seq("exact", "near", "quality", "lm", "admitted"))
+        assert(byStage.getOrElse(s, 0L) > 0, s"stage $s must be exercised")
+      // short-circuit contract: scorers never ran for earlier drops
+      assert(got.filter(col("stage").isin("exact", "near") &&
+        col("qs").isNotNull).count() == 0,
+        "quality must not be scored for lexical drops")
+      assert(got.filter((col("stage") =!= "lm" || col("stage").isNull) &&
+        col("stage").isNotNull && col("lm_score").isNotNull).count() == 0,
+        "LM must only be scored at the LM gate or beyond")
+    } finally q.stop()
+  }
+
   test("stream-static admission filter drops known fingerprints at the door") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("docs_admit")
