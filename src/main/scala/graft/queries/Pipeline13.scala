@@ -34,13 +34,18 @@ object Pipeline13 {
   private val BmK1 = 1.2
   private val BmB = 0.75
 
-  private val q109: Q = (s, d) => {
+  /** q109's fusion against EXPLICIT doc/embedding frames — public so
+    * AnnRecallSpec can re-run the end metric on int8-requantized
+    * embeddings and pin the fused list's stability (retrieval quality
+    * is load-bearing for three queries now, not one).
+    */
+  def rrfFusion(docs: DataFrame, emb: DataFrame): DataFrame = {
     val lex = Retrieval.rankedTopK(
-        Retrieval.bm25Scores(documents(s, d), FuseTerms, BmK1, BmB), FuseK)
+        Retrieval.bm25Scores(docs, FuseTerms, BmK1, BmB), FuseK)
       .select(col("doc_id"), col("rnk").as("rnk_lex"))
-    val qv = embeddings(s, d).filter(col("vec_id") === FuseQueryVec)
+    val qv = emb.filter(col("vec_id") === FuseQueryVec)
       .select(col("embedding").as("q_vec"))
-    val sims = embeddings(s, d).crossJoin(broadcast(qv))
+    val sims = emb.crossJoin(broadcast(qv))
       .select(col("vec_id").as("doc_id"),
         round(Similarity.cosine(col("embedding"), col("q_vec")), 6).as("sim"))
     val sem = Retrieval.rankedTopK(sims, FuseK, scoreCol = "sim")
@@ -56,6 +61,8 @@ object Pipeline13 {
       .filter(col("rnk") <= FuseTopN)
       .orderBy(col("rnk"))
   }
+
+  private val q109: Q = (s, d) => rrfFusion(documents(s, d), embeddings(s, d))
 
   private lazy val q109Sql = {
     val dot = """list_sum(list_transform(generate_series(1, 64),
