@@ -760,8 +760,11 @@ object DedupOps {
                 k: Int = 5, numHashes: Int = 8, rowsPerBand: Int = 2,
                 nGram: Int = 3, maxBucket: Int = MaxBucketIds): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    // gram payload as 64-bit hashes (NGramHashArray): the index is a
+    // stored/broadcast artifact, so the 4x narrower payload is exactly
+    // where the width matters; every verify against it is a long-merge
     val base = corpus.select(col(idCol).as("id"),
-      column(NGramArray(expression(col(textCol)), nGram)).as("g"),
+      column(NGramHashArray(expression(col(textCol)), nGram)).as("g"),
       column(MinHashSig(expression(col(textCol)), k, numHashes)).as("_sig"))
     val sigRef = (0 until numHashes).map(i => element_at(col("_sig"), i + 1))
     val bands = (0 until numHashes / rowsPerBand).map(b =>
@@ -823,7 +826,8 @@ object DedupOps {
     import org.apache.spark.sql.types.{ArrayType, StructType}
     val nBands = numHashes / rowsPerBand
     val sigged = docs
-      .withColumn("_g", column(NGramArray(expression(col(textCol)), nGram)))
+      .withColumn("_g",
+        column(NGramHashArray(expression(col(textCol)), nGram)))
       .withColumn("_sig",
         column(MinHashSig(expression(col(textCol)), k, numHashes)))
     val sigRef = (0 until numHashes).map(i => element_at(col("_sig"), i + 1))
@@ -927,7 +931,8 @@ object DedupOps {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val batchF = withMinhashSignature(
         batch.select(col(idCol), col(textCol)), textCol, k, numHashes)
-      .withColumn("_g", column(NGramArray(expression(col(textCol)), nGram)))
+      .withColumn("_g",
+        column(NGramHashArray(expression(col(textCol)), nGram)))
       .drop(textCol)
       .localCheckpoint()
     // one bound check for the whole fold: both broadcast sides below
@@ -1055,7 +1060,7 @@ object DedupOps {
     // so the earlier per-pair normalize→split→gram-set (NGramJaccard on
     // raw texts) made the verify stage the pipeline's dominant cost
     val grams = base.select(col(idCol),
-      column(NGramArray(expression(col(textCol)), nGram)).as("_g"))
+      column(NGramHashArray(expression(col(textCol)), nGram)).as("_g"))
     val edges = cand
       .join(grams.select(col(idCol).as("id_a"), col("_g").as("_ga")), Seq("id_a"))
       .join(grams.select(col(idCol).as("id_b"), col("_g").as("_gb")), Seq("id_b"))

@@ -100,7 +100,7 @@ object ClusterMemo {
     */
   def scoredPairsPlan(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    import graft.dedup.{MinHashSig, NGramArray, SortedArraysJaccard}
+    import graft.dedup.{MinHashSig, NGramHashArray, SortedArraysJaccard}
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val sigArr = column(MinHashSig(expression(col("text")), ShingleK, NumHashes))
     val sig = base.select(col("doc_id"), sigArr.as("_sig"))
@@ -125,7 +125,7 @@ object ClusterMemo {
         col("a.sig").as("_sa"), col("b.sig").as("_sb"))
       .distinct()
     val grams = base.select(col("doc_id"),
-      column(NGramArray(expression(col("text")), NGram)).as("_g"))
+      column(NGramHashArray(expression(col("text")), NGram)).as("_g"))
     val agree = (0 until NumHashes).map(i =>
       when(element_at(col("_sa"), i + 1) === element_at(col("_sb"), i + 1), 1)
         .otherwise(0)).reduce(_ + _)

@@ -208,10 +208,10 @@ object Pipeline6 {
 
   private val q76: Q = (s, d) => {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    import graft.dedup.{DedupOps, NGramArray, SortedArraysJaccard}
+    import graft.dedup.{DedupOps, NGramHashArray, SortedArraysJaccard}
     val docs = documents(s, d).select(col("doc_id"), col("text"),
       TextOps.fingerprint(col("text")).as("fp"),
-      column(NGramArray(expression(col("text")), 3)).as("_g"))
+      column(NGramHashArray(expression(col("text")), 3)).as("_g"))
     val sig = DedupOps.withMinhashSignature(
       docs.select(col("doc_id"), col("text")), "text", 5, 8).drop("text")
     val sigRef = (0 until 8).map(i => col(s"m$i"))
