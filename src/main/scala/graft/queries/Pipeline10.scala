@@ -123,9 +123,10 @@ object Pipeline10 {
   // tf with the k1/b length normalization. Scale shape: the query's
   // per-term document frequencies and the corpus constants (N, avgdl)
   // are a handful of values riding broadcasts; per-doc term frequencies
-  // and lengths come off the token scan with map-side combine; the
-  // global top-20 is the bounded TopKByScore k-heap — no global sort,
-  // no per-query window.
+  // come off the memoized session words artifact (zero corpus-text
+  // reads) with map-side combine, doc lengths from size(words) with no
+  // explode; the global top-20 is the bounded TopKByScore k-heap — no
+  // global sort, no per-query window.
   private val BmQuery = Seq("spark", "window", "merge")
   private val BmK1 = 1.2
   private val BmB = 0.75
@@ -134,7 +135,8 @@ object Pipeline10 {
   private val q93: Q = (s, d) => {
     import graft.text.Retrieval
     Retrieval.rankedTopK(
-        Retrieval.bm25Scores(documents(s, d), BmQuery, BmK1, BmB), BmTopK)
+        Retrieval.bm25ScoresW(GramMemo.words(s, d), BmQuery, BmK1, BmB),
+        BmTopK)
       .orderBy(col("rnk"))
   }
 

@@ -39,9 +39,16 @@ object Pipeline13 {
     * embeddings and pin the fused list's stability (retrieval quality
     * is load-bearing for three queries now, not one).
     */
-  def rrfFusion(docs: DataFrame, emb: DataFrame): DataFrame = {
+  def rrfFusion(docs: DataFrame, emb: DataFrame): DataFrame =
+    rrfFusionW(Retrieval.wordsOf(docs), emb)
+
+  /** [[rrfFusion]] over an already-tokenized (doc_id, words) frame — the
+    * query path passes the memoized session words artifact so the
+    * lexical leg reads no corpus text at all.
+    */
+  def rrfFusionW(words: DataFrame, emb: DataFrame): DataFrame = {
     val lex = Retrieval.rankedTopK(
-        Retrieval.bm25Scores(docs, FuseTerms, BmK1, BmB), FuseK)
+        Retrieval.bm25ScoresW(words, FuseTerms, BmK1, BmB), FuseK)
       .select(col("doc_id"), col("rnk").as("rnk_lex"))
     val qv = emb.filter(col("vec_id") === FuseQueryVec)
       .select(col("embedding").as("q_vec"))
@@ -62,7 +69,8 @@ object Pipeline13 {
       .orderBy(col("rnk"))
   }
 
-  private val q109: Q = (s, d) => rrfFusion(documents(s, d), embeddings(s, d))
+  private val q109: Q = (s, d) =>
+    rrfFusionW(GramMemo.words(s, d), embeddings(s, d))
 
   private lazy val q109Sql = {
     val dot = """list_sum(list_transform(generate_series(1, 64),
@@ -162,24 +170,33 @@ object Pipeline13 {
   // the feedback docs, then re-score the corpus with the expanded term
   // set. The op exists for VOCABULARY MISMATCH: stage 2 retrieves
   // relevant docs sharing no original query term (Pipeline13Spec pins
-  // exactly that). Scale shape: stage 1 is the bounded-k-heap BM25; the
-  // expansion works entirely on the 10 feedback docs' tokens (the
-  // feedback id/score list rides a broadcast into the token scan, and
-  // the term-weight window sorts a 10-doc vocabulary — bounded at any
-  // corpus size); stage 2 broadcasts the ≤8-term expanded set back into
-  // the scan. Two corpus token passes total — the canonical PRF cost.
+  // exactly that). Scale shape: every token derivation (both BM25
+  // stages, the feedback-doc mining) reads the memoized session words
+  // artifact — the corpus TEXT is read zero times here, and doc lengths
+  // come from size(words) with no explode. Stage 1 is the bounded-k-heap
+  // BM25; the expansion works entirely on the 10 feedback docs' tokens
+  // (the feedback id/score list rides a broadcast into the token scan,
+  // and the term-weight window sorts a 10-doc vocabulary — bounded at
+  // any corpus size); stage 2 broadcasts the ≤8-term expanded set back
+  // into the scan. Two token passes over the in-memory artifact total —
+  // the canonical PRF cost.
   private val RmFbDocs = 10
   private val RmFbTerms = 5
 
   private val q111: Q = (s, d) => {
     import s.implicits._
-    val docs = documents(s, d)
+    val words = GramMemo.words(s, d)
+    // 10 rows; materialized so the two feedback derivations (doc
+    // lengths, term weights) don't each re-run the stage-1 retrieval
     val top = Retrieval.rankedTopK(
-      Retrieval.bm25Scores(docs, FuseTerms, BmK1, BmB), RmFbDocs)
-    val toks = docs.select(col("doc_id"),
-      explode(split(TextOps.normalize(col("text")), " ")).as("w"))
-    val fb = toks.join(broadcast(top.select(col("doc_id"), col("score"))),
-      Seq("doc_id"))
+      Retrieval.bm25ScoresW(words, FuseTerms, BmK1, BmB), RmFbDocs)
+      .localCheckpoint()
+    // restrict to the 10 feedback docs BEFORE exploding: the broadcast
+    // join prunes on doc_id scan-local, so only 10 docs' tokens explode
+    val fb = words
+      .join(broadcast(top.select(col("doc_id"), col("score"))),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("score"), explode(col("words")).as("w"))
     val fbLen = fb.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("dlen"), max(col("score")).as("dscore"))
     val wgt = fb.groupBy(col("doc_id"), col("w"))
@@ -195,7 +212,7 @@ object Pipeline13 {
       .filter(col("r") <= RmFbTerms).select(col("w"))
     val allTerms = exp.unionByName(FuseTerms.toDF("w"))
     Retrieval.rankedTopK(
-        Retrieval.bm25ScoresOf(docs, allTerms, BmK1, BmB), RmFbDocs)
+        Retrieval.bm25ScoresOfW(words, allTerms, BmK1, BmB), RmFbDocs)
       .orderBy(col("rnk"))
   }
 

@@ -110,20 +110,24 @@ object Pipeline4 {
   // TF-IDF top terms per document. idf is the RATIONAL form N/df (pure
   // IEEE division — no libm log whose last-ulp could differ between
   // engines and flip a rank); ties rank by word for a total order.
-  // Plan: one explode scan → (doc,word) counts (map-side combinable) →
-  // doc-freq from the tf table itself (second small agg) → shuffle join
-  // on word → per-doc top-5 window (partition = one doc's vocab, bounded
-  // by doc length — the one place a window funnel is scale-safe).
+  // Plan: token explodes read the memoized session words artifact (zero
+  // corpus-text reads — tf and doc-freq branches don't canonicalize to
+  // one exchange, so without the memo the corpus text was normalized
+  // twice) → (doc,word) counts (map-side combinable) → doc-freq from
+  // the tf table itself (second small agg) → shuffle join on word →
+  // per-doc top-5 window (partition = one doc's vocab, bounded by doc
+  // length — the one place a window funnel is scale-safe).
   private val TfIdfK = 5
 
   private val q60: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val words = documents(s, d).select(col("doc_id"),
-      explode(split(TextOps.normalize(col("text")), " ")).as("word"))
+    val wordsT = GramMemo.words(s, d)
+    val words = wordsT.select(col("doc_id"),
+      explode(col("words")).as("word"))
     val tf = words.groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val nDocs = documents(s, d)
+    val nDocs = wordsT
       .select(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(desc("tfidf"), col("word"))

@@ -15,9 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  private def tokens(docs: DataFrame): DataFrame =
+  /** (doc_id, words) from raw (doc_id, text) — the same derivation as
+    * the session words artifact ([[graft.queries.GramMemo]]); query call
+    * sites pass the memoized table so the corpus text is normalized
+    * once per session, while spec/compat callers derive inline.
+    */
+  def wordsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(split(TextOps.normalize(col("text")), " ")).as("w"))
+      split(TextOps.normalize(col("text")), " ").as("words"))
+
+  private def tokensOfWords(words: DataFrame): DataFrame =
+    words.select(col("doc_id"), explode(col("words")).as("w"))
 
   /** The BM25 pipeline downstream of query-token selection: df/tf
     * aggregation, the k1/b-saturated per-term score, per-doc sum rounded
@@ -25,10 +33,15 @@ object Retrieval {
     */
   private def bm25From(qtoks: DataFrame, dl: DataFrame, consts: DataFrame,
                        k1: Double, b: Double): DataFrame = {
-    val dfs = qtoks.groupBy(col("w"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // ONE token pass: tf first, then df = rows-per-term OF tf (a term's
+    // distinct-doc count is its tf row count — value-identical to
+    // countDistinct over the tokens, without a second explode pass over
+    // the corpus). tf is bounded by docs × query terms — materializing
+    // it keeps the df branch from re-running the token explode (the two
+    // branches don't canonicalize to one exchange).
     val tf = qtoks.groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("f"))
+      .agg(count(lit(1)).as("f")).localCheckpoint()
+    val dfs = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val term = tf.join(dl, Seq("doc_id"))
       .join(broadcast(dfs), Seq("w"))
       .crossJoin(broadcast(consts))
@@ -49,28 +62,42 @@ object Retrieval {
     * `isin`, which stays scan-local.
     */
   def bm25Scores(docs: DataFrame, terms: Seq[String],
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = tokens(docs)
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val consts = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(dl.agg(avg(col("dl")).as("avgdl"))))
-    bm25From(toks.filter(col("w").isin(terms: _*)), dl, consts, k1, b)
-  }
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScoresW(wordsOf(docs), terms, k1, b)
 
-  /** [[bm25Scores]] with a DATA-DEPENDENT term set: `terms` is a
+  /** [[bm25Scores]] over an already-tokenized (doc_id, words) frame —
+    * the query-path form: doc lengths and the corpus constants come from
+    * `size(words)` with NO token explode (dl was the second-heaviest
+    * derivation), and only the query-term probe explodes — scan-local.
+    * When `words` is the memoized session artifact, the corpus text is
+    * read zero times by this call.
+    */
+  def bm25ScoresW(words: DataFrame, terms: Seq[String],
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25From(tokensOfWords(words).filter(col("w").isin(terms: _*)),
+      dlOfWords(words), constsOfWords(words), k1, b)
+
+  /** [[bm25ScoresW]] with a DATA-DEPENDENT term set: `terms` is a
     * single-column (`w`) DataFrame — bounded-small by construction (a
     * query plus its expansion terms) — that rides a broadcast into the
     * token scan in place of the static IN-list. Used by RM3 expansion
     * (q111), whose second pass scores terms only known at run time.
     */
-  def bm25ScoresOf(docs: DataFrame, terms: DataFrame,
-                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = tokens(docs)
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val consts = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(dl.agg(avg(col("dl")).as("avgdl"))))
-    bm25From(toks.join(broadcast(terms), Seq("w")), dl, consts, k1, b)
-  }
+  def bm25ScoresOfW(words: DataFrame, terms: DataFrame,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25From(tokensOfWords(words).join(broadcast(terms), Seq("w")),
+      dlOfWords(words), constsOfWords(words), k1, b)
+
+  /** Per-doc token count without an explode: `size(words)` is
+    * value-identical to counting exploded tokens (split yields one
+    * element per token, [""] for empty text in both forms).
+    */
+  def dlOfWords(words: DataFrame): DataFrame =
+    words.select(col("doc_id"), size(col("words")).cast("long").as("dl"))
+
+  private def constsOfWords(words: DataFrame): DataFrame =
+    words.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("words"))).as("avgdl"))
 
   /** Global bounded top-k of an (id, score) frame through the TopKByScore
     * k-heap aggregate: each map task forwards at most k rows, ranks are
