@@ -149,12 +149,19 @@ object DedupOps {
     val masks: Seq[Int] = (Seq(0) ++
       (if (maxDist >= 1) singles else Nil) ++
       (if (maxDist >= 2) doubles else Nil))
-    val d1 = sig.select(col(shCol).as("s1")).distinct()
+    // the (id, signature) table feeds three branches (distinct sigs,
+    // pair side a, pair side b) that don't canonicalize to a shared
+    // exchange — without materialization each branch re-scans the
+    // source and re-runs the signature expression (measured 4 scans in
+    // q43's executed plan). Narrow doc-bounded rows; in production this
+    // is the stored sketch column, not a recomputation.
+    val sigM = sig.select(col(idCol), col(shCol)).localCheckpoint()
+    val d1 = sigM.select(col(shCol).as("s1")).distinct()
     val variants = d1.select(col("s1"),
       explode(array(masks.map(m => col("s1").bitwiseXOR(lit(m))): _*)).as("s2"))
     val sigPairs = variants.join(d1.select(col("s1").as("s2")), Seq("s2"))
-    val a = sig.select(col(idCol).as("id_a"), col(shCol).as("s1"))
-    val b = sig.select(col(idCol).as("id_b"), col(shCol).as("s2"))
+    val a = sigM.select(col(idCol).as("id_a"), col(shCol).as("s1"))
+    val b = sigM.select(col(idCol).as("id_b"), col(shCol).as("s2"))
     a.join(sigPairs, Seq("s1"))
       .join(b, Seq("s2"))
       .filter(col("id_a") < col("id_b"))

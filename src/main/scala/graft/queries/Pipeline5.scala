@@ -248,10 +248,16 @@ object Pipeline5 {
   private val TokMax = 90L
 
   private val q70: Q = (s, d) => {
+    // one scan computes every doc-level feature (quality, token count,
+    // decontamination grams); materialized because the eval-gram build,
+    // the contamination probe, and the final merge each re-ran the scan
+    // and the feature expressions otherwise (ScanAudit) — in production
+    // these are the stored per-doc curation features
     val docs = documents(s, d).select(col("doc_id"), col("lang"),
       TextOps.qualityScore(col("text")).as("quality"),
       TextOps.tokenCountWs(col("text")).as("n_tokens"),
       column(NGramArray(expression(col("text")), DecontamN)).as("_g"))
+      .localCheckpoint()
     val evalG = docs.filter(col("doc_id") % 10 === 0)
       .select(explode(col("_g")).as("gram")).distinct()
     val contam = Bloom.probeBitset(

@@ -209,11 +209,20 @@ object Pipeline6 {
   private val q76: Q = (s, d) => {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     import graft.dedup.{DedupOps, NGramHashArray, SortedArraysJaccard}
-    val docs = documents(s, d).select(col("doc_id"), col("text"),
-      TextOps.fingerprint(col("text")).as("fp"),
-      column(NGramHashArray(expression(col("text")), 3)).as("_g"))
-    val sig = DedupOps.withMinhashSignature(
-      docs.select(col("doc_id"), col("text")), "text", 5, 8).drop("text")
+    // ONE corpus scan computes every per-doc artifact the dedup service
+    // stores (exact fp, MinHash signature, verify gram hashes) — the
+    // previous per-branch derivations re-scanned documents 4× and
+    // re-ran the hash expressions each time (ScanAudit). The checkpoint
+    // IS the production shape: an incremental pipeline reads these from
+    // its doc-artifact store, it never re-derives them per layer.
+    val docs = DedupOps.withMinhashSignature(
+        documents(s, d).select(col("doc_id"), col("text")), "text", 5, 8)
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .withColumn("_g", column(NGramHashArray(expression(col("text")), 3)))
+      .drop("text")
+      .localCheckpoint()
+    val sig = docs.select((col("doc_id") +:
+      (0 until 8).map(i => col(s"m$i"))): _*)
     val sigRef = (0 until 8).map(i => col(s"m$i"))
     val bands = (0 until 4).map(b => DedupOps.bandKey(sigRef, b, 2))
     def bandRows(df: DataFrame) = df

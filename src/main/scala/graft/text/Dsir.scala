@@ -37,9 +37,13 @@ object Dsir {
       .select(explode(split(TextOps.normalize(col(textCol)), " ")).as("w"),
         isTarget.as("_t"))
       .select(bucket(col("w")).as("b"), col("_t"))
+    // ≤4096 rows; materialized because the totals branch and the ratio
+    // projection don't canonicalize to a shared exchange — without this
+    // the corpus explode ran twice (ScanAudit)
     val counts = bk.groupBy(col("b"))
       .agg(count(lit(1)).as("cr"),
         sum(when(col("_t"), 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint()
     val tot = counts.agg(sum(col("ct")).as("t"), sum(col("cr")).as("r"))
     counts.crossJoin(broadcast(tot))
       .select(col("b"),
