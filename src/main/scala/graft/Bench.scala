@@ -57,6 +57,8 @@ object Bench {
         // the memo — their number is the marginal cost a pipeline pays
         // after the producer ran, which is the point of the memo.
         if (name == "q50_neardup_clusters") graft.queries.ClusterMemo.clear()
+        // q46 is the embedding pair-table producer — same clearing rule
+        if (name == "q46_embedding_neardup") graft.queries.EmbMemo.clear()
         System.err.println(s"[bench] running $name ($r/$repeats)")
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

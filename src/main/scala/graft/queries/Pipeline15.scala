@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Batch fifteen: corpus statistics that drive TOKENIZER and MIXTURE
+  * decisions (q114 collocation mining, q115 vocabulary-coverage curves)
+  * plus graph-centrality coreset scoring over the embedding near-dup
+  * graph (q116) — the "which docs are hubs of their semantic
+  * neighborhood" signal a curation stack uses to pick cluster
+  * representatives and to spot template farms (a doc with hundreds of
+  * near-dup neighbors is boilerplate, not signal).
+  */
+object Pipeline15 {
+
+  type Q = (SparkSession, String) => DataFrame
+  import Tables._
+
+  // ------------------------------------------------------------------ q114
+  // PMI collocations: adjacent DIRECTIONAL bigrams scored by pointwise
+  // mutual information ln(p(ab) / (p(a)p(b))) with a min-count support
+  // floor — the phrase-mining pass (Mikolov et al. 2013 word2vec
+  // phrases) that decides which word pairs a tokenizer should fuse.
+  // Distinct from q74 (raw windowed co-occurrence counts): PMI
+  // normalizes by the marginals, so "of the" (frequent but independent)
+  // ranks below a genuinely associated pair.
+  //
+  // Scale shape: bigrams explode scan-local off the memoized words
+  // artifact; pair and unigram counts are map-side-combinable aggs whose
+  // exchanges carry vocab-bounded rows (vocab² worst case for pairs,
+  // in practice the observed-bigram count), never corpus rows; the two
+  // marginal joins ride the vocab-keyed tables; the scalar totals ride
+  // ≤1-row broadcasts; and the top-30 is TakeOrdered (bounded k-heap),
+  // not a global sort. Same shape at 100 TB.
+  private val PmiMinCount = 20L
+  private val PmiTopK = 30
+
+  /** q114's core over an explicit (doc_id, words) frame — public for the
+    * hand-fixture spec (planted collocation → exact PMI arithmetic).
+    */
+  def pmiCollocations(words: DataFrame, minCount: Long = PmiMinCount,
+                      topK: Int = PmiTopK): DataFrame = {
+    val w = col("words")
+    val bg = words.filter(size(w) >= 2)
+      .select(explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("wa"), b.as("wb")))).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+    val pc = bg.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c_ab"))
+    val uc = words.select(explode(w).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val np = pc.agg(sum(col("c_ab")).as("np"))
+    val nw = uc.agg(sum(col("c")).as("nw"))
+    pc.filter(col("c_ab") >= minCount)
+      .join(uc.select(col("word").as("wa"), col("c").as("ca")), Seq("wa"))
+      .join(uc.select(col("word").as("wb"), col("c").as("cb")), Seq("wb"))
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nw))
+      .select(col("wa"), col("wb"), col("c_ab"),
+        round(log((col("c_ab") / col("np")) /
+          ((col("ca") / col("nw")) * (col("cb") / col("nw")))), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("wa"), col("wb"))
+      .limit(topK)
+  }
+
+  private val q114: Q = (s, d) => pmiCollocations(GramMemo.words(s, d))
+
+  private val q114Sql = s"""
+    WITH nd AS (SELECT string_split(${OracleSql.normSql}, ' ') AS w
+                FROM documents),
+    bg AS (SELECT w[i] AS wa, w[i+1] AS wb
+           FROM nd, unnest(generate_series(1, len(w) - 1)) t(i)
+           WHERE len(w) >= 2),
+    pc AS (SELECT wa, wb, count(*) AS c_ab FROM bg GROUP BY wa, wb),
+    uc AS (SELECT unnest(w) AS word FROM nd),
+    uq AS (SELECT word, count(*) AS c FROM uc GROUP BY word),
+    np AS (SELECT sum(c_ab) AS np FROM pc),
+    nw AS (SELECT sum(c) AS nw FROM uq)
+    SELECT pc.wa, pc.wb, CAST(pc.c_ab AS BIGINT) AS c_ab,
+           round(ln((pc.c_ab / np.np) /
+             ((a.c / nw.nw) * (b.c / nw.nw))), 6) AS pmi
+    FROM pc JOIN uq a ON a.word = pc.wa JOIN uq b ON b.word = pc.wb
+    CROSS JOIN np CROSS JOIN nw
+    WHERE pc.c_ab >= $PmiMinCount
+    ORDER BY pmi DESC, pc.wa, pc.wb LIMIT $PmiTopK"""
+
+  // ------------------------------------------------------------------ q115
+  // Vocabulary-coverage curve: per language, the smallest vocabulary
+  // size whose cumulative token mass reaches 50/90/99% — the number that
+  // sizes a tokenizer's vocab budget and exposes a language whose long
+  // tail a shared vocab would shred into bytes (the fertility problem).
+  // Head words first, ties broken lexically, so the curve is
+  // deterministic in both engines.
+  //
+  // Scale shape: one corpus scan into a (lang, word) count agg with
+  // map-side combine — the only corpus-sized exchange carries
+  // vocab × langs rows; the cumulative window then sorts VOCABULARY
+  // rows per language (bounded by vocab size, not corpus size), and the
+  // per-lang totals ride a ≤|langs|-row broadcast. Same shape at 100 TB.
+  private val CoverageFracs = Seq(("v50", 0.5), ("v90", 0.9), ("v99", 0.99))
+
+  /** q115's core over an explicit (lang, text) frame — public for the
+    * hand-fixture spec (known distribution → exact breakpoints).
+    */
+  def vocabCoverage(docs: DataFrame): DataFrame = {
+    val c = docs
+      .select(col("lang"),
+        explode(split(TextOps.normalize(col("text")), " ")).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+    val tot = c.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
+    val wnd = Window.partitionBy(col("lang"))
+      .orderBy(desc("c"), col("word"))
+    val cum = c
+      .withColumn("rnk", row_number().over(wnd))
+      .withColumn("cum", sum(col("c")).over(
+        wnd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(tot), Seq("lang"))
+    val covCols = CoverageFracs.map { case (name, f) =>
+      min(when(col("cum") >= lit(f) * col("tot"), col("rnk")))
+        .cast("long").as(name)
+    }
+    val aggCols = Seq(count(lit(1)).cast("long").as("vocab_size")) ++ covCols
+    cum.groupBy(col("lang"))
+      .agg(max(col("tot")).cast("long").as("total_tokens"), aggCols: _*)
+      .orderBy(col("lang"))
+  }
+
+  private val q115: Q = (s, d) => vocabCoverage(documents(s, d))
+
+  private val q115Sql = {
+    val covSelects = CoverageFracs.map { case (name, f) =>
+      s"CAST(min(CASE WHEN cum >= $f * tot THEN rnk END) AS BIGINT) AS $name"
+    }.mkString(",\n           ")
+    s"""
+    WITH nd AS (SELECT lang, ${OracleSql.normSql} AS n FROM documents),
+    sw AS (SELECT lang, unnest(string_split(n, ' ')) AS word FROM nd),
+    c AS (SELECT lang, word, count(*) AS c FROM sw GROUP BY lang, word),
+    tot AS (SELECT lang, sum(c) AS tot FROM c GROUP BY lang),
+    cum AS (SELECT c.lang, c.c,
+              row_number() OVER
+                (PARTITION BY c.lang ORDER BY c.c DESC, c.word) AS rnk,
+              sum(c.c) OVER
+                (PARTITION BY c.lang ORDER BY c.c DESC, c.word
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+              tot.tot
+            FROM c JOIN tot USING (lang))
+    SELECT lang, CAST(max(tot) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           $covSelects
+    FROM cum GROUP BY lang ORDER BY lang"""
+  }
+
+  // ------------------------------------------------------------------ q116
+  // Graph-centrality coreset scoring: PageRank (damping 0.85, 5 fixed
+  // iterations, uniform teleport) over the embedding near-dup graph —
+  // q54 clusters this graph; q116 ranks WITHIN it. High-centrality nodes
+  // are the semantic hubs a coreset keeps (the representative of a dense
+  // template neighborhood); isolated nodes keep the bare teleport mass.
+  // Dangling mass is deliberately NOT redistributed: the score is a
+  // ranking signal, not a probability (documented deviation from the
+  // stochastic-matrix form; the graph is symmetric so every node with an
+  // in-edge also has out-degree ≥ 1 and no rank leaks between ranked
+  // nodes).
+  //
+  // Scale shape: edges come from the sketch-bucketed near-dup pass (all
+  // equi-joins over the bounded 2^16 sketch space — never all-pairs);
+  // the edge list is localCheckpointed once and each of the 5 iterations
+  // is one edge-keyed equi-join + one map-side-combinable sum keyed by
+  // node — the classic Pregel step as relational ops, linear in |E| per
+  // iteration. Rank vectors are node-sized, never broadcast. Fixed
+  // iteration count keeps the plan static (resident in one lineage) and
+  // mirrors exactly into unrolled SQL.
+  private val PrIters = 5
+  private val PrDamping = 0.85
+  private val PrSimThreshold = EmbMemo.Threshold
+
+  /** q116's core over explicit node/edge frames — public for the
+    * hand-fixture spec (star graph → hub dominance, symmetric pair →
+    * equal ranks). `edges` must be one row per undirected pair (a < b).
+    */
+  def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int = PrIters,
+               damping: Double = PrDamping): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val contribBase = sym.join(deg, Seq("src"))
+    val n = nodes.count().toDouble
+    var pr = nodes.select(col("id"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = contribBase
+        .join(pr.select(col("id").as("src"), col("pr")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("pr") / col("d")).as("m"))
+      pr = nodes
+        .join(contrib.select(col("dst").as("id"), col("m")), Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("pr"))
+    }
+    pr.join(deg.select(col("src").as("id"), col("d")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("d"), lit(0L)).as("degree"),
+        round(col("pr"), 6).as("pr"))
+      .orderBy(col("id"))
+  }
+
+  private val q116: Q = (s, d) => {
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val edges = EmbMemo.pairs(s, d).select(col("id_a"), col("id_b"))
+    pagerank(emb.select(col("vec_id").as("id")), edges)
+      .withColumnRenamed("id", "vec_id")
+  }
+
+  private lazy val q116Sql = {
+    // unrolled fixed-iteration PageRank: r0..r{PrIters} CTEs generated
+    // mechanically, each one edge join + grouped sum — the exact mirror
+    // of the Spark loop.
+    val iterCtes = (1 to PrIters).map { i =>
+      s"""r$i AS (
+      SELECT nodes.v,
+             (1.0 - $PrDamping) / n.c + $PrDamping * coalesce(s.m, 0.0) AS pr
+      FROM nodes CROSS JOIN n LEFT JOIN (
+        SELECT sym.b AS v, sum(r${i - 1}.pr / deg.d) AS m
+        FROM sym JOIN r${i - 1} ON r${i - 1}.v = sym.a
+                 JOIN deg ON deg.v = sym.a
+        GROUP BY sym.b) s ON s.v = nodes.v)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH ${OracleSql.embeddingPairsCtes},
+    edges AS (SELECT id_a, id_b FROM pairs WHERE sim >= $PrSimThreshold),
+    sym AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM edges),
+    nodes AS (SELECT vec_id AS v FROM embeddings),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),
+    deg AS (SELECT a AS v, count(*) AS d FROM sym GROUP BY a),
+    r0 AS (SELECT nodes.v, 1.0 / n.c AS pr FROM nodes CROSS JOIN n),
+    $iterCtes
+    SELECT r.v AS vec_id, CAST(coalesce(deg.d, 0) AS BIGINT) AS degree,
+           round(r.pr, 6) AS pr
+    FROM r$PrIters r LEFT JOIN deg ON deg.v = r.v
+    ORDER BY vec_id"""
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q114_pmi_collocations" -> q114,
+    "q115_vocab_coverage" -> q115,
+    "q116_graph_centrality" -> q116,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q114_pmi_collocations" -> q114Sql,
+    "q115_vocab_coverage" -> q115Sql,
+    "q116_graph_centrality" -> q116Sql,
+  )
+}

@@ -98,11 +98,10 @@ object Pipeline2 {
   // q46 — embedding-cosine near-dup pairs: deterministic hyperplane-sign
   // sketch (md5-parity planes, engine-portable) → Hamming-ball candidates
   // over distinct sketches → exact cosine verify on candidates only.
+  // PRODUCER of the session EmbMemo pair artifact (q54/q69/q116 consume
+  // it; Bench clears the memo before each timed q46 repeat).
   private val q46: Q = (s, d) =>
-    graft.sim.Similarity.nearDupPairs(
-      embeddings(s, d).select(col("vec_id"), col("embedding")),
-      threshold = 0.2)
-      .orderBy(col("id_a"), col("id_b"))
+    EmbMemo.pairs(s, d).orderBy(col("id_a"), col("id_b"))
 
   private lazy val q46Sql = s"""
     WITH ${OracleSql.embeddingPairsCtes}

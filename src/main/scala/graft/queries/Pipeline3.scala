@@ -97,14 +97,15 @@ object Pipeline3 {
   // ------------------------------------------------------------------- q54
   // Embedding near-dup CLUSTERS — the embedding-modality twin of q50's
   // text clustering: hyperplane-sketch candidate pairs → exact cosine
-  // verify (Similarity.nearDupPairs, all equi-joins over the bounded
-  // sketch space) → connected components over the verified edges (edge
-  // set persisted across label-propagation rounds, convergence folded
-  // into the aggregation — see DedupOps.connectedComponents).
+  // verify (the EmbMemo pair artifact — sketch lineage runs once per
+  // session, all equi-joins over the bounded sketch space) → connected
+  // components over the verified edges (edge set persisted across
+  // label-propagation rounds, convergence folded into the aggregation —
+  // see DedupOps.connectedComponents).
   private val q54: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val edges = graft.sim.Similarity.nearDupPairs(emb, threshold = 0.2)
+    val edges = EmbMemo.pairs(s, d)
       .select(col("id_a").as("a"), col("id_b").as("b"))
     graft.dedup.DedupOps
       .connectedComponents(emb.select(col("vec_id").as("id")), edges)

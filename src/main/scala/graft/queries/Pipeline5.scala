@@ -204,7 +204,7 @@ object Pipeline5 {
   // deterministic, ~1/16 eval.
   private val q69: Q = (s, d) => {
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val edges = Similarity.nearDupPairs(emb, threshold = 0.2)
+    val edges = EmbMemo.pairs(s, d)
       .select(col("id_a").as("a"), col("id_b").as("b"))
     graft.dedup.DedupOps
       .connectedComponents(emb.select(col("vec_id").as("id")), edges)

@@ -48,6 +48,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding pair lineage (EmbMemo producer) is equi-joins only") {
+    // q54/q69/q116 consume the memoized checkpoint, whose plan is an
+    // ExistingRDD scan — the candidate SHAPE gate must target the
+    // un-memoized producer lineage
+    val p = graft.queries.EmbMemo
+      .pairsPlan(spark, d).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "embedding sketch-bucket candidate pairs must be equi-joins")
+  }
+
   test("embedding clustering builds edges from equi-joins only") {
     val p = planString("q54_embedding_clusters")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
