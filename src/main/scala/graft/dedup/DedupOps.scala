@@ -276,17 +276,29 @@ object DedupOps {
     * Returns (id, n_passages, n_kept, clean_text).
     */
   def passageDedupRewrite(docs: DataFrame, idCol: String, textCol: String,
-                          len: Int): DataFrame = {
-    val keyed = docs.select(col(idCol).as("_id"),
-      posexplode(TextOps.passageHashes(col(textCol), len))
+                          len: Int): DataFrame =
+    passageDedupRewriteOfWords(
+      docs.select(col(idCol),
+        split(TextOps.normalize(col(textCol)), " ").as("_w")),
+      idCol, "_w", len)
+
+  /** [[passageDedupRewrite]] over an ALREADY-materialized normalized
+    * word array (the [[graft.queries.GramMemo]] artifact) — the frame is
+    * referenced twice (passage keying, reconstruction), so feeding the
+    * memoized artifact saves both whole-corpus regex passes.
+    */
+  def passageDedupRewriteOfWords(words: DataFrame, idCol: String,
+                                 wordsCol: String, len: Int): DataFrame = {
+    val keyed = words.select(col(idCol).as("_id"),
+      posexplode(TextOps.passageHashesOfWords(col(wordsCol), len))
         .as(Seq("_p", "_pk")))
     val keepers = keyed.groupBy(col("_pk"))
       .agg(min(struct(col("_id"), col("_p"))).as("_k"))
       .select(col("_k._id").as("_id"), col("_k._p").as("_p"))
     val keptPos = keepers.groupBy(col("_id"))
       .agg(sort_array(collect_list(col("_p"))).as("_kp"))
-    val w = split(TextOps.normalize(col(textCol)), " ")
-    docs.select(col(idCol).as("_id"), col(textCol))
+    val w = col("_w")
+    words.select(col(idCol).as("_id"), col(wordsCol).as("_w"))
       .join(keptPos, Seq("_id"), "left")
       .select(col("_id").as(idCol),
         floor((size(w) + lit(len - 1)) / lit(len)).cast("long")

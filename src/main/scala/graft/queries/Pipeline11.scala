@@ -20,14 +20,14 @@ object Pipeline11 {
   // passage boilerplate; this REMOVES it, keeping each passage only at
   // its globally first (doc_id, position) occurrence and re-joining the
   // survivors per doc. See DedupOps.passageDedupRewrite for the
-  // two-narrow-shuffles + one-text-exchange scale shape.
+  // two-narrow-shuffles + one-text-exchange scale shape; fed from the
+  // session words artifact (GramMemo) so neither the keying nor the
+  // reconstruction branch re-runs the whole-corpus normalize.
   private val PassageLen = 4
 
   private val q95: Q = (s, d) =>
-    graft.dedup.DedupOps.passageDedupRewrite(
-      documents(s, d).select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism),
-      "doc_id", "text", PassageLen)
+    graft.dedup.DedupOps.passageDedupRewriteOfWords(
+      GramMemo.words(s, d), "doc_id", "words", PassageLen)
       .orderBy(col("doc_id"))
 
   private lazy val q95Sql = s"""

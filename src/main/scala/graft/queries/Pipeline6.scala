@@ -61,18 +61,20 @@ object Pipeline6 {
   // nested index-sequence lambdas — ~12 interpreted element_at per pair,
   // 29 s at sf0.1 vs ~3 s for this form). No positional self-join (that
   // would shuffle the corpus twice); one map-side-combinable count and
-  // the bounded top-30 is TakeOrdered, the q53 shape.
+  // the bounded top-30 is TakeOrdered, the q53 shape. Word arrays come
+  // from the session words artifact (GramMemo) — the whole-corpus regex
+  // normalize runs once per session, not once per consumer.
   private val CoocTopK = 30
 
   private val q74: Q = (s, d) => {
-    val w = split(TextOps.normalize(col("text")), " ")
+    val w = col("words")
     def pairOf(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       when(a <= b, concat_ws(" ", a, b)).otherwise(concat_ws(" ", b, a))
     def shiftedPairs(dist: Int) = zip_with(
       slice(w, lit(1), greatest(size(w) - dist, lit(0))),
       slice(w, lit(dist + 1), greatest(size(w) - dist, lit(0))),
       (a, b) => pairOf(a, b))
-    documents(s, d)
+    GramMemo.words(s, d)
       .filter(size(w) >= 2)
       .select(explode(concat(shiftedPairs(1), shiftedPairs(2))).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))

@@ -192,8 +192,22 @@ object Pipeline7 {
       .filter(col("est_jaccard") >= EditEstGate)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
       .repartition(par, col("id_a"), col("id_b"))
-    val t = documents(s, d).select(col("doc_id"),
-      TextOps.normalize(col("text")).as("_n"))
+    // normalized text reconstructed from the memoized words artifact
+    // (normalize collapses whitespace, so join∘split is the identity on
+    // its output) — no second whole-corpus regex pass; and only the
+    // sketch-gated ids' texts enter the pair join: the gated id set is
+    // bounded by the pair gate, rides a bounded broadcast, and
+    // left_semi-prunes the corpus before the (id, text) shuffles — at
+    // 100 TB the shuffled texts are the ~2k nominated docs, not the
+    // corpus.
+    // no distinct: duplicate ids cost nothing in a semi-probe and the
+    // dedup would add a shuffle before the (already blocking) bound check
+    val need = graft.ops.Broadcasts.bounded(
+      cand.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")),
+      what = "q81 gated-pair id set")
+    val t = GramMemo.words(s, d)
+      .join(need, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_join(col("words"), " ").as("_n"))
     cand
       .join(t.select(col("doc_id").as("id_a"), col("_n").as("_na")),
         Seq("id_a"))
