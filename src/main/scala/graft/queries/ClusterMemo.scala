@@ -45,10 +45,12 @@ object ClusterMemo {
       DataFrame]
   private val bandIndexCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String, Int), DataFrame]
+  private val incrArtifactCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), DataFrame]
 
   def clear(): Unit = {
     pairCache.clear(); clusterCache.clear(); corpusLabelCache.clear()
-    bandIndexCache.clear()
+    bandIndexCache.clear(); incrArtifactCache.clear()
   }
 
   /** "Yesterday's" clustering for the incremental-maintenance query
@@ -90,6 +92,36 @@ object ClusterMemo {
             RowsPerBand, NGram)
           .localCheckpoint()
       })
+
+  /** "Yesterday's" per-doc dedup artifacts for the incremental-admission
+    * query (q76): the corpus slice's (doc_id, m0..m7 MinHash signature,
+    * exact fp, 3-gram verify hashes) — the third stored artifact of the
+    * admission loop ([[corpusLabels]], [[corpusBandIndex]] are the other
+    * two). A dedup service stores these per admitted doc; the daily fold
+    * computes them ONLY for the incoming batch. Memoized per (session,
+    * sfDir, batchMod) so q76's bench number is the marginal admission
+    * cost; the full-recompute oracle remains the equivalence proof.
+    */
+  def incrDocArtifacts(s: SparkSession, d: String, batchMod: Int): DataFrame =
+    incrArtifactCache.getOrElseUpdate(
+      (System.identityHashCode(s), d, batchMod), {
+        incrDocArtifactsPlan(
+          Tables.documents(s, d).select(col("doc_id"), col("text"))
+            .filter(col("doc_id") % batchMod =!= batchMod - 1))
+          .localCheckpoint()
+      })
+
+  /** The artifact derivation shared by the memoized corpus slice and the
+    * per-call batch slice: one scan, every hash expression once.
+    */
+  def incrDocArtifactsPlan(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import graft.dedup.NGramHashArray
+    DedupOps.withMinhashSignature(docs, "text", ShingleK, NumHashes)
+      .withColumn("fp", graft.text.TextOps.fingerprint(col("text")))
+      .withColumn("_g", column(NGramHashArray(expression(col("text")), NGram)))
+      .drop("text")
+  }
 
   /** The un-memoized scored-pair lineage (public so PlanShapeSpec can
     * gate the PLAN — one MinHash pass, one exact-Jaccard evaluation —
