@@ -242,15 +242,134 @@ object Pipeline15 {
     ORDER BY vec_id"""
   }
 
+  // ------------------------------------------------------------------ q117
+  // Distributed PCA, top principal component by fixed-iteration power
+  // method over the CENTERED embedding matrix — the whitening /
+  // dimensionality-audit primitive (a drifting crawl shows up as a
+  // rotating top component; int8 quantization ranges come from the
+  // projected spread). The covariance matrix is never materialized:
+  // each iteration is the two matvecs s = Cᵥ = Xᵀ(Xv) as relational
+  // ops over the EXPLODED (i, j, x) element table — dot_i = Σⱼ x·vⱼ
+  // (one broadcast join + row-keyed sum), then s_j = Σᵢ x·dotᵢ (one
+  // dim-keyed sum, 64 rows out). Sign is fixed only at the end (v and
+  // −v are the same direction) by making the largest-|loading|
+  // component positive.
+  //
+  // Scale shape: the centered matrix stays an ARRAY column (one row per
+  // vector), checkpointed once; the v-side matvec Xv is a scan-local
+  // fold against a ONE-ROW broadcast v, and the Xᵀ(Xv) dim sum is `dim`
+  // aggregate columns of one global agg — partial aggregation leaves
+  // dim doubles per partition, so the per-iteration exchange is
+  // dim × partitions doubles, independent of row count. One job per
+  // iteration, each intermediate checkpointed (the λ/v branches would
+  // otherwise re-evaluate the corpus pass, compounding 2× per
+  // iteration). Fixed iteration count → static plan, mirrored into
+  // mechanically unrolled SQL. At 100 TB: identical — no corpus-sized
+  // shuffle anywhere in the loop. (At transformer dims ≳1k, swap the
+  // agg-column dim sum for a posexplode + dim-keyed partial agg — same
+  // exchange volume, bounded agg-buffer width.)
+  private val PcaDim = 64
+  private val PcaIters = 5
+
+  /** q117's core over an explicit (id, vec) frame — public for the
+    * hand-fixture spec (known dominant axis → exact direction).
+    */
+  def pcaTopComponent(emb: DataFrame, idCol: String, vecCol: String,
+                      dim: Int = PcaDim, iters: Int = PcaIters): DataFrame = {
+    // dim-indexed rows → one array row, ordered by index
+    def asRow(df: DataFrame, valCol: String) =
+      df.agg(transform(
+        array_sort(collect_list(struct(col("j"), col(valCol)))),
+        s => s.getField(valCol)).as("_arr"))
+    val el = emb.select(posexplode(col(vecCol)).as(Seq("j0", "x0")))
+      .select((col("j0") + 1).as("j"), col("x0").cast("double").as("x"))
+    // 1-row / ≤dim-row intermediates are checkpointed: they sit in TWO
+    // consumer branches each (mu → c + v0; s → λ + v), and unbroken
+    // lineage would re-evaluate the corpus pass per branch, compounding
+    // 2× per iteration
+    val muRow = asRow(el.groupBy(col("j")).agg(avg(col("x")).as("m")), "m")
+      .select(col("_arr").as("mu")).localCheckpoint()
+    val c = emb.crossJoin(broadcast(muRow))
+      .select(zip_with(col(vecCol), col("mu"),
+        (x, m) => x.cast("double") - m).as("ca"))
+      .localCheckpoint()
+    var vRow = muRow
+      .select(transform(col("mu"), _ => lit(1.0 / math.sqrt(dim))).as("v"))
+    var res: DataFrame = null
+    for (_ <- 1 to iters) {
+      // ONE job per iteration: dot is a scan-local fold against the
+      // broadcast 1-row v, and the dim sums are `dim` aggregate columns
+      // of a single global agg — partial-agg leaves dim doubles per
+      // partition, so no posexplode and no dim-keyed shuffle
+      val dot = c.crossJoin(broadcast(vRow))
+        .select(col("ca"), {
+          import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+          column(graft.sim.DotProduct(
+            expression(col("ca")), expression(col("v")))).as("d")
+        })
+      val sCols = (0 until dim).map(j =>
+        sum(element_at(col("ca"), j + 1) * col("d")).as(s"_s$j"))
+      val sRow = dot.agg(sCols.head, sCols.tail: _*).localCheckpoint()
+      val sArr = array((0 until dim).map(j => col(s"_s$j")): _*)
+      res = sRow.select(sArr.as("s"),
+        sqrt(aggregate(transform(sArr, x => x * x),
+          lit(0.0), (acc, t) => acc + t)).as("n"))
+      vRow = res.select(transform(col("s"), x => x / col("n")).as("v"))
+    }
+    // deterministic orientation: the largest-|loading| component
+    // (smallest index on a tie) is made positive
+    val v = res.select(col("n"),
+        posexplode(transform(col("s"), x => x / col("n")))
+          .as(Seq("j0", "vj")))
+      .select(col("n"), (col("j0") + 1).as("j"), col("vj"))
+    val sign = v.orderBy(abs(col("vj")).desc, col("j")).limit(1)
+      .select(when(col("vj") < 0, lit(-1.0)).otherwise(lit(1.0)).as("_sg"))
+    v.crossJoin(broadcast(sign))
+      .select(col("j").cast("long").as("j"),
+        round(col("vj") * col("_sg"), 6).as("loading"),
+        round(col("n"), 4).as("lambda"))
+      .orderBy(col("j"))
+  }
+
+  private val q117: Q = (s, d) =>
+    pcaTopComponent(embeddings(s, d), "vec_id", "embedding")
+
+  private lazy val q117Sql = {
+    val iterCtes = (1 to PcaIters).map { i =>
+      s"""d$i AS (SELECT c.i, sum(c.x * v.v) AS d
+           FROM c JOIN v${i - 1} v ON v.j = c.j GROUP BY c.i),
+    s$i AS (SELECT c.j, sum(c.x * d.d) AS s
+           FROM c JOIN d$i d ON d.i = c.i GROUP BY c.j),
+    n$i AS (SELECT sqrt(sum(s * s)) AS n FROM s$i),
+    v$i AS (SELECT j, s / n$i.n AS v FROM s$i CROSS JOIN n$i)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e AS (
+      SELECT vec_id AS i, j, CAST(embedding[j] AS DOUBLE) AS x
+      FROM embeddings, unnest(generate_series(1, $PcaDim)) t(j)),
+    mu AS (SELECT j, avg(x) AS m FROM e GROUP BY j),
+    c AS (SELECT i, e.j, e.x - mu.m AS x FROM e JOIN mu ON mu.j = e.j),
+    v0 AS (SELECT j, 1.0 / sqrt($PcaDim) AS v FROM mu),
+    $iterCtes,
+    sg AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sg
+           FROM v$PcaIters ORDER BY abs(v) DESC, j LIMIT 1)
+    SELECT CAST(v.j AS BIGINT) AS j, round(v.v * sg.sg, 6) AS loading,
+           round(n$PcaIters.n, 4) AS lambda
+    FROM v$PcaIters v CROSS JOIN sg CROSS JOIN n$PcaIters
+    ORDER BY j"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q114_pmi_collocations" -> q114,
     "q115_vocab_coverage" -> q115,
     "q116_graph_centrality" -> q116,
+    "q117_pca_power" -> q117,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q114_pmi_collocations" -> q114Sql,
     "q115_vocab_coverage" -> q115Sql,
     "q116_graph_centrality" -> q116Sql,
+    "q117_pca_power" -> q117Sql,
   )
 }

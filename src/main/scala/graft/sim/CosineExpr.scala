@@ -84,3 +84,57 @@ case class DotCosine(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotCosine =
     copy(left = newLeft, right = newRight)
 }
+
+/** Raw dot product of two float- or double-array vectors as one native
+  * pass — the unnormalized sibling of [[DotCosine]] (same widening, same
+  * sequential left-to-right fold, so it is bit-identical to the
+  * `zip_with`+`aggregate` HOF form in [[Similarity.dot]] and to the
+  * DuckDB list_transform/list_sum mirror). Powers the per-row matvec of
+  * the q117 distributed power iteration, where the interpreted HOF
+  * lambda was the entire iteration cost. Null contract as [[DotCosine]]:
+  * null array, null element, or length mismatch → NULL; a zero vector is
+  * a legitimate 0.0 here (no normalization to divide by).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> or ARRAY<DOUBLE> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  @transient private lazy val leftIsDouble =
+    left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+  @transient private lazy val rightIsDouble =
+    right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val va = a.asInstanceOf[ArrayData]
+    val vb = b.asInstanceOf[ArrayData]
+    val n = va.numElements()
+    if (vb.numElements() != n) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (va.isNullAt(i) || vb.isNullAt(i)) return null
+      val x = if (leftIsDouble) va.getDouble(i) else va.getFloat(i).toDouble
+      val y = if (rightIsDouble) vb.getDouble(i) else vb.getFloat(i).toDouble
+      dot += x * y
+      i += 1
+    }
+    dot
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}

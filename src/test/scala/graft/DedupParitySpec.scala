@@ -170,6 +170,34 @@ class DedupParitySpec extends AnyFunSuite {
     assert(pairs.count() > 0)
   }
 
+  test("native DotProduct equals the HOF-composed dot (bit-exact)") {
+    import graft.sim.{DotProduct, Similarity}
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("id_b") === col("id_a") + 7)
+      .select(column(DotProduct(
+          expression(col("va")), expression(col("vb")))).as("nativ"),
+        Similarity.dot(col("va"), col("vb")).as("hof"))
+    assert(pairs.filter(col("nativ") =!= col("hof")).isEmpty)
+    assert(pairs.count() > 0)
+    // mixed width (float vs double side) + null/mismatch contract
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Array(1.0f, 2.0f), Array(3.0, 4.0)),      // mixed -> 11.0
+      (2L, Array(0.0f, 0.0f), Array(1.0, 1.0)),      // zero vec -> 0.0
+      (3L, Array(1.0f, 2.0f), Array(1.0)),           // mismatch -> null
+      (4L, null, Array(1.0, 2.0))                    // null array -> null
+    ).toDF("id", "va", "vb")
+    val nat = edge.select(col("id"), column(DotProduct(
+      expression(col("va")), expression(col("vb")))).as("d"))
+    assert(nat.filter(col("id") === 1 && col("d") =!= 11.0).isEmpty)
+    assert(nat.filter(col("id") === 2 && col("d") =!= 0.0).isEmpty)
+    assert(nat.filter(col("id") >= 3 && col("d").isNotNull).isEmpty)
+  }
+
   test("native DotCosine edge cases (nulls, mismatch, zero norm)") {
     import graft.sim.Similarity
     import spark.implicits._

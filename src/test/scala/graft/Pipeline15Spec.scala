@@ -98,6 +98,35 @@ class Pipeline15Spec extends AnyFunSuite {
     assert(out(1L) == 0.5 && out(2L) == 0.5)
   }
 
+  test("q117 core: axis-aligned data recovers the axis and its eigenvalue") {
+    import spark.implicits._
+    // points ±3, ±1 along dim 1 of 4 (mean 0): rank-1 scatter, so power
+    // iteration is exact after one step — v = e1, λ = Σx² = 20
+    val emb = Seq(
+      (1L, Seq(3f, 0f, 0f, 0f)), (2L, Seq(-3f, 0f, 0f, 0f)),
+      (3L, Seq(1f, 0f, 0f, 0f)), (4L, Seq(-1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Pipeline15.pcaTopComponent(emb, "vec_id", "embedding", dim = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.map(_._2).toSeq == Seq(1.0, 0.0, 0.0, 0.0))
+    assert(out.forall(_._3 == 20.0))
+  }
+
+  test("q117 core: orientation makes the largest-|loading| dim positive") {
+    import spark.implicits._
+    // collinear points t·(0.6, −0.8), t ∈ {±1, ±2}: the direction's
+    // biggest component is dim 2 — orientation must emit (−0.6, 0.8),
+    // never (0.6, −0.8); λ = Σt² = 10
+    val emb = Seq(
+      (1L, Seq(0.6f, -0.8f)), (2L, Seq(-0.6f, 0.8f)),
+      (3L, Seq(1.2f, -1.6f)), (4L, Seq(-1.2f, 1.6f)))
+      .toDF("vec_id", "embedding")
+    val out = Pipeline15.pcaTopComponent(emb, "vec_id", "embedding", dim = 2)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(-0.6, 0.8))
+    assert(out.forall(_._2 == 10.0))
+  }
+
   test("q116 core: rank mass is conserved on a dangling-free graph") {
     // triangle: symmetric, no dangling nodes → Σpr = 1 at every step
     val (nodes, edges) = graphDf(Seq(1L, 2L, 3L),
