@@ -510,4 +510,64 @@ class ScaleSpec extends AnyFunSuite {
       (r.isNullAt(2) || r.getLong(2) <= 50L)),
       "leg ranks must come from the bounded top-50 heaps")
   }
+
+  test("batch-15 corpus-stat ops stay bounded on 50k docs / 100k nodes") {
+    import java.nio.file.Files
+    import graft.queries.Pipeline15
+    val dir = Files.createTempDirectory("scale_p15").toString
+    val salad = concat_ws(" ", (0 until 12).map(i =>
+      substring(md5(to_binary(concat(col("id").cast("string"),
+        lit(s"_w$i")), lit("utf-8"))), 1, (i % 5) + 4)): _*)
+    spark.range(50000).select(col("id").as("doc_id"), salad.as("text"),
+        concat(lit("l"), pmod(col("id"), lit(4))).as("lang"),
+        lit("src").as("source"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.range(50000).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          (pmod(hash(col("id"), j), lit(1000)) / 1000.0).cast("float"))
+          .as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // q114's claim: output is the bounded top-k and every survivor meets
+    // the support floor — on a salad corpus whose adjacent bigrams are
+    // md5-unique, nothing may fake support
+    val pmi = SparkEntry.queries("q114_pmi_collocations")(spark, dir)
+      .collect()
+    assert(pmi.length <= 30)
+    assert(pmi.forall(_.getLong(2) >= 20L))
+
+    // q115's claim: the window touches VOCAB rows, and the breakpoints
+    // are monotone with v99 <= vocab_size on every language
+    val cov = SparkEntry.queries("q115_vocab_coverage")(spark, dir)
+      .collect()
+    assert(cov.length == 4, "one row per language")
+    cov.foreach { r =>
+      assert(r.getLong(1) == 12L * 12500L, "12 words x 12.5k docs per lang")
+      val (vs, v50, v90, v99) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(v50 <= v90 && v90 <= v99 && v99 <= vs)
+    }
+
+    // q116's operator claim, isolated from edge generation: on a 100k-node
+    // ring (every degree exactly 2) the uniform distribution is the exact
+    // fixed point at ANY size — 5 edge-join iterations must return it
+    val n = 100000L
+    val nodes = spark.range(n).select(col("id"))
+    val ring = spark.range(n).select(col("id").as("id_a"),
+      pmod(col("id") + 1, lit(n)).as("id_b"))
+    val pr = Pipeline15.pagerank(nodes, ring)
+    assert(pr.filter(col("degree") =!= 2L).isEmpty, "ring degrees")
+    assert(pr.filter(col("pr") =!= 0.00001).isEmpty,
+      "uniform fixed point must be exact at 100k nodes")
+
+    // q117's claim: the loop is corpus-shuffle-free and returns a unit
+    // vector with a positive spectrum on 50k x 64
+    val pca = SparkEntry.queries("q117_pca_power")(spark, dir).collect()
+    assert(pca.length == 64)
+    val norm = math.sqrt(pca.map(r => r.getDouble(1) * r.getDouble(1)).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"unit loading vector, got $norm")
+    assert(pca.forall(_.getDouble(2) > 0.0), "positive top eigenvalue")
+  }
 }
