@@ -85,6 +85,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("dot_cosine"),
       info("dot_cosine", "one-pass cosine similarity of two float- or double-array embeddings"),
       arity("dot_cosine", 2)(es => DotCosine(es.head, es(1)))))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "one-pass raw dot product of two float- or double-array vectors"),
+      arity("dot_product", 2)(es => graft.sim.DotProduct(es.head, es(1)))))
     e.injectFunction((FunctionIdentifier("quantize_int8"),
       info("quantize_int8", "one-pass affine int8 quantization struct (range, reconstruction errors, codes) of a float-array embedding"),
       arity("quantize_int8", 1)(es => graft.sim.QuantizeInt8(es.head))))

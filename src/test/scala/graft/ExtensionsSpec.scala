@@ -75,6 +75,15 @@ class ExtensionsSpec extends AnyFunSuite {
       }
       assert(typeErr.getMessage.contains("ARRAY<FLOAT>"))
 
+      // dot_product: raw (unnormalized) sibling, same type gate
+      val dp = spark.sql(
+        "SELECT dot_product(array(1.0F, 2.0F), array(3.0D, 4.0D))").head()
+      assert(dp.getDouble(0) == 11.0)
+      val dpTypeErr = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT dot_product(array(1, 2), array(1, 2))").collect()
+      }
+      assert(dpTypeErr.getMessage.contains("ARRAY<FLOAT>"))
+
       // the float form still evaluates
       val cos = spark.sql(
         "SELECT dot_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F))").head()
