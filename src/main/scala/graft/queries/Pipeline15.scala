@@ -359,11 +359,133 @@ object Pipeline15 {
     ORDER BY j"""
   }
 
+  // ------------------------------------------------------------------ q118
+  // Lloyd's k-means (k=16, 3 fixed iterations, seeds = the embeddings of
+  // vec_id 0..15) — the IVF coarse-quantizer trainer (q36's cells are
+  // exactly such centroids) and the partitioner behind semantic sharding.
+  // Engine-portable determinism: assignment distance is
+  // |c|² − 2·x·c (the |x|² term is constant per row and cannot change
+  // the argmin), computed as a SEQUENTIAL fold on both engines, ties
+  // broken by smaller centroid id; centroids are rounded to 6 dp after
+  // every iteration so the next iteration's distance arithmetic is
+  // bit-identical across engines (unrounded means would differ at 1e-16
+  // in group-sum order and could flip a near-tie argmin).
+  //
+  // Scale shape: NO corpus-sized shuffle anywhere — assignment is
+  // scan-local (centroids ride a ONE-ROW broadcast as an array of
+  // structs; argmin is array_min over k scored entries, native
+  // DotProduct inside); the update is a groupBy over k≤16 keys whose
+  // dim sum is 64 aggregate columns (partial agg leaves k×dim doubles
+  // per partition); the rebuilt centroid row is checkpointed per
+  // iteration. A crossJoin-against-16-rows formulation would shuffle
+  // 16× the corpus per iteration — this shape shuffles k×dim×partitions
+  // doubles. Same at 100 TB.
+  private val KmK = 16
+  private val KmIters = 3
+
+  /** q118's core over an explicit (id, vec) frame — public for the
+    * hand-fixture spec (two planted blobs → exact means/inertia).
+    */
+  def kmeansLloyd(emb: DataFrame, idCol: String, vecCol: String,
+                  k: Int = KmK, iters: Int = KmIters,
+                  dim: Int = PcaDim): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def dotC(a: Column, b: Column): Column =
+      column(graft.sim.DotProduct(expression(a), expression(b)))
+    val x = emb.select(col(idCol).as("i"),
+        transform(col(vecCol), e => e.cast("double")).as("xa"))
+      .localCheckpoint()
+    // seeds: ids 0..k-1, packed into one array-of-structs row
+    def centRow(df: DataFrame) = df
+      .agg(array_sort(collect_list(struct(col("k"), col("ca")))).as("cents"))
+      .localCheckpoint()
+    var cents = centRow(x.filter(col("i") < k)
+      .select(col("i").cast("int").as("k"),
+        transform(col("xa"), e => round(e, 6)).as("ca")))
+    // scored: per row, array of (dist = |c|² − 2x·c, k); argmin by
+    // struct order = (dist, k) — ties to the smaller centroid id
+    def best = array_min(transform(col("cents"), s =>
+      struct((dotC(s.getField("ca"), s.getField("ca")) -
+        lit(2.0) * dotC(col("xa"), s.getField("ca"))).as("d"),
+        s.getField("k").as("k"))))
+    for (_ <- 1 to iters) {
+      val assigned = x.crossJoin(broadcast(cents))
+        .select(col("xa"), best.getField("k").as("k"))
+      val sums = (0 until dim).map(j =>
+        sum(element_at(col("xa"), j + 1)).as(s"_s$j"))
+      val upd = assigned.groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("k"), array((0 until dim).map(j =>
+          round(col(s"_s$j") / col("n"), 6)): _*).as("ca"))
+      // empty clusters keep their previous centroid (deterministic)
+      val prev = cents.select(posexplode(col("cents")).as(Seq("_p", "s")))
+        .select(col("s.k").as("k"), col("s.ca").as("prev_ca"))
+      cents = centRow(prev.join(upd, Seq("k"), "left")
+        .select(col("k"), coalesce(col("ca"), col("prev_ca")).as("ca")))
+    }
+    // final assignment + per-cluster audit row; true squared distance
+    // needs the |x|² term back
+    x.crossJoin(broadcast(cents))
+      .select(best.getField("k").as("k"),
+        (dotC(col("xa"), col("xa")) + best.getField("d")).as("d2"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("d2")), 4).as("inertia"))
+      .select(col("k").cast("long").as("k"), col("n_members"),
+        col("inertia"))
+      .orderBy(col("k"))
+  }
+
+  private val q118: Q = (s, d) =>
+    kmeansLloyd(embeddings(s, d), "vec_id", "embedding")
+
+  private lazy val q118Sql = {
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(generate_series(1, $PcaDim), " +
+        s"_j -> $a[_j] * $b[_j]))"
+    def assign(src: String, cents: String, out: String) =
+      s"""s_$out AS (
+      SELECT x.i, x.xa, c.k,
+             ${dot("c.ca", "c.ca")} - 2 * ${dot("x.xa", "c.ca")} AS d
+      FROM $src x CROSS JOIN $cents c),
+    $out AS (
+      SELECT i, xa, k, d FROM (
+        SELECT i, xa, k, d,
+               row_number() OVER (PARTITION BY i ORDER BY d, k) AS rn
+        FROM s_$out) t WHERE rn = 1)"""
+    val iterCtes = (1 to KmIters).map { i =>
+      s"""${assign("x", s"c${i - 1}", s"a$i")},
+    mm$i AS (
+      SELECT k, t.j, round(sum(xa[t.j]) / count(*), 6) AS cj
+      FROM a$i, unnest(generate_series(1, $PcaDim)) t(j)
+      GROUP BY k, t.j),
+    m$i AS (SELECT k, list(cj ORDER BY j) AS ca FROM mm$i GROUP BY k),
+    c$i AS (
+      SELECT p.k, coalesce(m.ca, p.ca) AS ca
+      FROM c${i - 1} p LEFT JOIN m$i m ON m.k = p.k)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH x AS (
+      SELECT vec_id AS i,
+             list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xa
+      FROM embeddings),
+    c0 AS (
+      SELECT CAST(i AS INTEGER) AS k,
+             list_transform(xa, e -> round(e, 6)) AS ca
+      FROM x WHERE i < $KmK),
+    $iterCtes,
+    ${assign("x", s"c$KmIters", "fin")}
+    SELECT CAST(k AS BIGINT) AS k, count(*) AS n_members,
+           round(sum(${dot("xa", "xa")} + d), 4) AS inertia
+    FROM fin GROUP BY k ORDER BY k"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q114_pmi_collocations" -> q114,
     "q115_vocab_coverage" -> q115,
     "q116_graph_centrality" -> q116,
     "q117_pca_power" -> q117,
+    "q118_kmeans_lloyd" -> q118,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -371,5 +493,6 @@ object Pipeline15 {
     "q115_vocab_coverage" -> q115Sql,
     "q116_graph_centrality" -> q116Sql,
     "q117_pca_power" -> q117Sql,
+    "q118_kmeans_lloyd" -> q118Sql,
   )
 }

@@ -127,6 +127,35 @@ class Pipeline15Spec extends AnyFunSuite {
     assert(out.forall(_._2 == 10.0))
   }
 
+  test("q118 core: two planted blobs converge to exact means and inertia") {
+    import spark.implicits._
+    // seeds (0,0) and (10,10); each blob has 3 points → means
+    // (1/3, 1/3) and (31/3, 31/3) rounded to 6dp, per-blob inertia
+    // 2·(1/3)² + 2·((1/3)² + (2/3)²) computed against the ROUNDED mean
+    val emb = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)),
+      (2L, Seq(0f, 1f)), (3L, Seq(1f, 0f)),
+      (4L, Seq(10f, 11f)), (5L, Seq(11f, 10f)))
+      .toDF("vec_id", "embedding")
+    val out = Pipeline15.kmeansLloyd(emb, "vec_id", "embedding",
+        k = 2, iters = 3, dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((0L, 3L, 1.3333), (1L, 3L, 1.3333)))
+  }
+
+  test("q118 core: an equidistant point breaks ties to the smaller id") {
+    import spark.implicits._
+    // (1,0) is exactly between seeds (0,0) and (2,0) → cluster 0; the
+    // updated mean (0.5, 0) then holds it
+    val emb = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(2f, 0f)), (2L, Seq(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Pipeline15.kmeansLloyd(emb, "vec_id", "embedding",
+        k = 2, iters = 1, dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((0L, 2L, 0.5), (1L, 1L, 0.0)))
+  }
+
   test("q116 core: rank mass is conserved on a dangling-free graph") {
     // triangle: symmetric, no dangling nodes → Σpr = 1 at every step
     val (nodes, edges) = graphDf(Seq(1L, 2L, 3L),
