@@ -57,8 +57,10 @@ object Bench {
         // the memo — their number is the marginal cost a pipeline pays
         // after the producer ran, which is the point of the memo.
         if (name == "q50_neardup_clusters") graft.queries.ClusterMemo.clear()
-        // q46 is the embedding pair-table producer — same clearing rule
+        // q46 is the embedding pair-table producer — same clearing rule;
+        // q118 produces the trained-quantizer artifact q119 consumes
         if (name == "q46_embedding_neardup") graft.queries.EmbMemo.clear()
+        if (name == "q118_kmeans_lloyd") graft.queries.EmbMemo.clearKmeans()
         System.err.println(s"[bench] running $name ($r/$repeats)")
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

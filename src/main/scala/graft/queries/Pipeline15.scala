@@ -383,34 +383,41 @@ object Pipeline15 {
   private val KmK = 16
   private val KmIters = 3
 
-  /** q118's core over an explicit (id, vec) frame — public for the
-    * hand-fixture spec (two planted blobs → exact means/inertia).
-    */
-  def kmeansLloyd(emb: DataFrame, idCol: String, vecCol: String,
-                  k: Int = KmK, iters: Int = KmIters,
-                  dim: Int = PcaDim): DataFrame = {
+  private def dotC(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    def dotC(a: Column, b: Column): Column =
-      column(graft.sim.DotProduct(expression(a), expression(b)))
-    val x = emb.select(col(idCol).as("i"),
-        transform(col(vecCol), e => e.cast("double")).as("xa"))
-      .localCheckpoint()
-    // seeds: ids 0..k-1, packed into one array-of-structs row
+    column(graft.sim.DotProduct(expression(a), expression(b)))
+  }
+
+  private def asElements(emb: DataFrame, idCol: String, vecCol: String) =
+    emb.select(col(idCol).as("i"),
+      transform(col(vecCol), e => e.cast("double")).as("xa"))
+
+  // scored: per row, array of (dist = |c|² − 2x·c, k); argmin by struct
+  // order = (dist, k) — ties to the smaller centroid id. The |x|² term
+  // is row-constant and cannot change the argmin.
+  private def bestCell = array_min(transform(col("cents"), s =>
+    struct((dotC(s.getField("ca"), s.getField("ca")) -
+      lit(2.0) * dotC(col("xa"), s.getField("ca"))).as("d"),
+      s.getField("k").as("k"))))
+
+  /** The trained centroid ROW (one row, array of (k, ca) structs) — the
+    * quantizer artifact q118 audits and q119 searches. Seeds are the
+    * vectors of ids 0..k-1; centroids round to 6dp per iteration (see
+    * the q118 header note on engine-portable determinism).
+    */
+  def kmeansCentroidRow(emb: DataFrame, idCol: String, vecCol: String,
+                        k: Int = KmK, iters: Int = KmIters,
+                        dim: Int = PcaDim): DataFrame = {
+    val x = asElements(emb, idCol, vecCol).localCheckpoint()
     def centRow(df: DataFrame) = df
       .agg(array_sort(collect_list(struct(col("k"), col("ca")))).as("cents"))
       .localCheckpoint()
     var cents = centRow(x.filter(col("i") < k)
       .select(col("i").cast("int").as("k"),
         transform(col("xa"), e => round(e, 6)).as("ca")))
-    // scored: per row, array of (dist = |c|² − 2x·c, k); argmin by
-    // struct order = (dist, k) — ties to the smaller centroid id
-    def best = array_min(transform(col("cents"), s =>
-      struct((dotC(s.getField("ca"), s.getField("ca")) -
-        lit(2.0) * dotC(col("xa"), s.getField("ca"))).as("d"),
-        s.getField("k").as("k"))))
     for (_ <- 1 to iters) {
       val assigned = x.crossJoin(broadcast(cents))
-        .select(col("xa"), best.getField("k").as("k"))
+        .select(col("xa"), bestCell.getField("k").as("k"))
       val sums = (0 until dim).map(j =>
         sum(element_at(col("xa"), j + 1)).as(s"_s$j"))
       val upd = assigned.groupBy(col("k"))
@@ -423,30 +430,60 @@ object Pipeline15 {
       cents = centRow(prev.join(upd, Seq("k"), "left")
         .select(col("k"), coalesce(col("ca"), col("prev_ca")).as("ca")))
     }
-    // final assignment + per-cluster audit row; true squared distance
-    // needs the |x|² term back
-    x.crossJoin(broadcast(cents))
-      .select(best.getField("k").as("k"),
-        (dotC(col("xa"), col("xa")) + best.getField("d")).as("d2"))
+    cents
+  }
+
+  /** Per-cluster audit (k, n_members, inertia) of `emb` against a
+    * trained centroid row — q118's output shape.
+    */
+  def kmeansSummary(emb: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame): DataFrame =
+    asElements(emb, idCol, vecCol).crossJoin(broadcast(cents))
+      .select(bestCell.getField("k").as("k"),
+        (dotC(col("xa"), col("xa")) + bestCell.getField("d")).as("d2"))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_members"),
         round(sum(col("d2")), 4).as("inertia"))
       .select(col("k").cast("long").as("k"), col("n_members"),
         col("inertia"))
       .orderBy(col("k"))
-  }
+
+  /** Scan-local cell assignment against a trained centroid row: `emb`
+    * plus a `cell` column — no shuffle, no stored assignment join.
+    */
+  def assignCells(emb: DataFrame, idCol: String, vecCol: String,
+                  cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("xa", transform(col(vecCol), e => e.cast("double")))
+      .withColumn("cell", bestCell.getField("k"))
+      .drop("xa", "cents")
+
+  /** q118's core over an explicit (id, vec) frame — public for the
+    * hand-fixture spec (two planted blobs → exact means/inertia).
+    */
+  def kmeansLloyd(emb: DataFrame, idCol: String, vecCol: String,
+                  k: Int = KmK, iters: Int = KmIters,
+                  dim: Int = PcaDim): DataFrame =
+    kmeansSummary(emb, idCol, vecCol,
+      kmeansCentroidRow(emb, idCol, vecCol, k, iters, dim))
 
   private val q118: Q = (s, d) =>
-    kmeansLloyd(embeddings(s, d), "vec_id", "embedding")
+    kmeansSummary(embeddings(s, d), "vec_id", "embedding",
+      EmbMemo.kmeansCents(s, d))
 
-  private lazy val q118Sql = {
-    val dot = (a: String, b: String) =>
-      s"list_sum(list_transform(generate_series(1, $PcaDim), " +
-        s"_j -> $a[_j] * $b[_j]))"
+  private def kmDot(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, $PcaDim), " +
+      s"_j -> $a[_j] * $b[_j]))"
+
+  /** The unrolled k-means CTE chain (x, c0..cN, fin) — `fin` is the
+    * final (i, xa, k, d) assignment against the trained centroids.
+    * Shared by q118 (audit) and q119 (trained-cell ANN search).
+    */
+  private lazy val kmeansCtes: String = {
     def assign(src: String, cents: String, out: String) =
       s"""s_$out AS (
       SELECT x.i, x.xa, c.k,
-             ${dot("c.ca", "c.ca")} - 2 * ${dot("x.xa", "c.ca")} AS d
+             ${kmDot("c.ca", "c.ca")} - 2 * ${kmDot("x.xa", "c.ca")} AS d
       FROM $src x CROSS JOIN $cents c),
     $out AS (
       SELECT i, xa, k, d FROM (
@@ -464,8 +501,7 @@ object Pipeline15 {
       SELECT p.k, coalesce(m.ca, p.ca) AS ca
       FROM c${i - 1} p LEFT JOIN m$i m ON m.k = p.k)"""
     }.mkString(",\n    ")
-    s"""
-    WITH x AS (
+    s"""x AS (
       SELECT vec_id AS i,
              list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xa
       FROM embeddings),
@@ -474,11 +510,58 @@ object Pipeline15 {
              list_transform(xa, e -> round(e, 6)) AS ca
       FROM x WHERE i < $KmK),
     $iterCtes,
-    ${assign("x", s"c$KmIters", "fin")}
-    SELECT CAST(k AS BIGINT) AS k, count(*) AS n_members,
-           round(sum(${dot("xa", "xa")} + d), 4) AS inertia
-    FROM fin GROUP BY k ORDER BY k"""
+    ${assign("x", s"c$KmIters", "fin")}"""
   }
+
+  private lazy val q118Sql = s"""
+    WITH $kmeansCtes
+    SELECT CAST(k AS BIGINT) AS k, count(*) AS n_members,
+           round(sum(${kmDot("xa", "xa")} + d), 4) AS inertia
+    FROM fin GROUP BY k ORDER BY k"""
+
+  // ------------------------------------------------------------------ q119
+  // Trained-cell ANN: q36 searches the GIVEN label cells; this searches
+  // the cells q118 just TRAINED — the end-to-end IVF pipeline a vector
+  // store runs (train coarse quantizer → assign → probe the query's
+  // cell). Assignment is scan-local on both the corpus and query sides
+  // (the cell is recomputed from the broadcast centroid row, never a
+  // stored-assignment shuffle join), the query set is tiny and rides
+  // the existing broadcast topKWithinCell path, and rank/sim semantics
+  // match q35/q36 (rounded cosine, ties to smaller id).
+  private val AnnTopK = 5
+  private val AnnNQueries = 10
+
+  private val q119: Q = (s, d) => {
+    val cents = EmbMemo.kmeansCents(s, d)
+    val emb = assignCells(embeddings(s, d).select(col("vec_id"),
+      col("embedding")), "vec_id", "embedding", cents)
+    val queries = emb.filter(col("vec_id") < AnnNQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("cell"))
+    graft.sim.Similarity.topKWithinCell(queries, emb, AnnTopK, "cell")
+      .select(col("q_id"), col("cell").cast("long").as("cell"),
+        col("vec_id"), col("sim"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private lazy val q119Sql = s"""
+    WITH $kmeansCtes,
+    asg AS (SELECT i AS vec_id, k AS cell FROM fin),
+    e AS (SELECT vec_id, embedding FROM embeddings),
+    sims AS (
+      SELECT q.vec_id AS q_id, qa.cell, c.vec_id AS vec_id,
+             ${OracleSql.cosPairSql("q", "c")} AS sim
+      FROM e q
+        JOIN asg qa ON qa.vec_id = q.vec_id
+        JOIN asg ca ON ca.cell = qa.cell
+        JOIN e c ON c.vec_id = ca.vec_id AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < $AnnNQueries),
+    ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM sims WHERE sim IS NOT NULL)
+    SELECT q_id, CAST(cell AS BIGINT) AS cell, vec_id, sim, rnk
+    FROM ranked WHERE rnk <= $AnnTopK ORDER BY q_id, rnk"""
 
   val queries: Map[String, Q] = Map(
     "q114_pmi_collocations" -> q114,
@@ -486,6 +569,7 @@ object Pipeline15 {
     "q116_graph_centrality" -> q116,
     "q117_pca_power" -> q117,
     "q118_kmeans_lloyd" -> q118,
+    "q119_ann_trained_cells" -> q119,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -494,5 +578,6 @@ object Pipeline15 {
     "q116_graph_centrality" -> q116Sql,
     "q117_pca_power" -> q117Sql,
     "q118_kmeans_lloyd" -> q118Sql,
+    "q119_ann_trained_cells" -> q119Sql,
   )
 }
