@@ -563,6 +563,103 @@ object Pipeline15 {
     SELECT q_id, CAST(cell AS BIGINT) AS cell, vec_id, sim, rnk
     FROM ranked WHERE rnk <= $AnnTopK ORDER BY q_id, rnk"""
 
+  // ------------------------------------------------------------------ q120
+  // Semi-supervised label propagation over the embedding near-dup graph:
+  // seeds (vec_id < 200 keep their curated label) spread to unlabeled
+  // neighbors by 3 rounds of labeled-neighbor majority vote (count desc,
+  // label asc on ties — integer-only arithmetic, so the engines agree
+  // bit-for-bit with no rounding contract). The production use: a small
+  // human-labeled set (quality tiers, topical classes) extended across a
+  // crawl through the duplicate/similarity structure — labels flow along
+  // exactly the edges dedup already paid for.
+  //
+  // Scale shape: reuses the memoized EmbMemo pair artifact (no second
+  // sketch pass); each round is one edge-keyed equi-join + a
+  // map-side-combinable (node, label) count + a per-node top-1 window
+  // over ≤ |labels-per-node| rows; seeds ride the nodes table. Linear in
+  // |E| per round, the Pregel shape, like q116.
+  private val LpSeedMax = 200
+  private val LpIters = 3
+
+  /** q120's core over explicit node/edge frames — public for the
+    * hand-fixture spec (chain propagation, tie votes, isolated nodes).
+    * `nodes` = (id, label, is_seed); `edges` = one row per undirected
+    * pair (id_a, id_b).
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+                       iters: Int = LpIters): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    val base = nodes.select(col("id"), col("is_seed"),
+      when(col("is_seed"), col("label")).otherwise(lit(null)).as("lbl"))
+      .localCheckpoint()
+    var cur = base
+    for (_ <- 1 to iters) {
+      val votes = sym
+        .join(cur.select(col("id").as("src"), col("lbl")), Seq("src"))
+        .filter(col("lbl").isNotNull)
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      val wnd = Window.partitionBy(col("dst"))
+        .orderBy(desc("c"), col("lbl"))
+      val top = votes.withColumn("_rn", row_number().over(wnd))
+        .filter(col("_rn") === 1)
+        .select(col("dst").as("id"), col("lbl").as("new_lbl"))
+      cur = base.select(col("id"), col("is_seed"),
+          when(col("is_seed"), col("lbl")).as("seed_lbl"))
+        .join(top, Seq("id"), "left")
+        .select(col("id"), col("is_seed"),
+          coalesce(col("seed_lbl"), col("new_lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    cur.select(col("id"), col("is_seed"),
+        col("lbl").cast("long").as("label_pred"))
+      .orderBy(col("id"))
+  }
+
+  private val q120: Q = (s, d) => {
+    val nodes = embeddings(s, d).select(col("vec_id").as("id"),
+      col("label").cast("long").as("label"),
+      (col("vec_id") < LpSeedMax).as("is_seed"))
+    labelPropagation(nodes, EmbMemo.pairs(s, d).select("id_a", "id_b"))
+      .withColumnRenamed("id", "vec_id")
+  }
+
+  private lazy val q120Sql = {
+    val iterCtes = (1 to LpIters).map { i =>
+      s"""v$i AS (
+      SELECT s.b AS id, l.lbl, count(*) AS c
+      FROM sym s JOIN l${i - 1} l ON l.id = s.a
+      WHERE l.lbl IS NOT NULL GROUP BY s.b, l.lbl),
+    t$i AS (
+      SELECT id, lbl FROM (
+        SELECT id, lbl,
+               row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl)
+                 AS rn
+        FROM v$i) z WHERE rn = 1),
+    l$i AS (
+      SELECT b.id, b.is_seed,
+             CASE WHEN b.is_seed THEN b.lbl ELSE t.lbl END AS lbl
+      FROM base b LEFT JOIN t$i t ON t.id = b.id)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH ${OracleSql.embeddingPairsCtes},
+    edges AS (SELECT id_a, id_b FROM pairs
+              WHERE sim >= ${EmbMemo.Threshold}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM edges),
+    base AS (
+      SELECT vec_id AS id, vec_id < $LpSeedMax AS is_seed,
+             CASE WHEN vec_id < $LpSeedMax THEN CAST(label AS BIGINT)
+             END AS lbl
+      FROM embeddings),
+    l0 AS (SELECT id, is_seed, lbl FROM base),
+    $iterCtes
+    SELECT id AS vec_id, is_seed, lbl AS label_pred
+    FROM l$LpIters ORDER BY vec_id"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q114_pmi_collocations" -> q114,
     "q115_vocab_coverage" -> q115,
@@ -570,6 +667,7 @@ object Pipeline15 {
     "q117_pca_power" -> q117,
     "q118_kmeans_lloyd" -> q118,
     "q119_ann_trained_cells" -> q119,
+    "q120_label_propagation" -> q120,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -579,5 +677,6 @@ object Pipeline15 {
     "q117_pca_power" -> q117Sql,
     "q118_kmeans_lloyd" -> q118Sql,
     "q119_ann_trained_cells" -> q119Sql,
+    "q120_label_propagation" -> q120Sql,
   )
 }

@@ -156,6 +156,48 @@ class Pipeline15Spec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 2L, 0.5), (1L, 1L, 0.0)))
   }
 
+  test("q120 core: labels walk a chain one hop per round; isolated stays null") {
+    import spark.implicits._
+    // seed(1,label 7) - 2 - 3 - 4 and isolated 9: after 3 rounds the
+    // label reaches node 4; 9 never votes
+    val nodes = Seq((1L, 7L, true), (2L, 0L, false), (3L, 0L, false),
+      (4L, 0L, false), (9L, 0L, false)).toDF("id", "label", "is_seed")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Pipeline15.labelPropagation(nodes, edges)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out(1L).contains(7L) && out(2L).contains(7L) &&
+      out(3L).contains(7L) && out(4L).contains(7L))
+    assert(out(9L).isEmpty)
+  }
+
+  test("q120 core: tie votes resolve to the smaller label") {
+    import spark.implicits._
+    // node 3 hears label 5 (from seed 1) and label 2 (from seed 2) with
+    // one vote each → takes 2
+    val nodes = Seq((1L, 5L, true), (2L, 2L, true), (3L, 0L, false))
+      .toDF("id", "label", "is_seed")
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Pipeline15.labelPropagation(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(3L) == 2L)
+  }
+
+  test("q120 core: majority beats minority; seeds never flip") {
+    import spark.implicits._
+    // node 5 neighbors three label-1 seeds and one label-0 seed → 1;
+    // the label-0 seed keeps its own label even though its only
+    // neighbor disagrees
+    val nodes = Seq((1L, 1L, true), (2L, 1L, true), (3L, 1L, true),
+      (4L, 0L, true), (5L, 9L, false)).toDF("id", "label", "is_seed")
+    val edges = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val out = Pipeline15.labelPropagation(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(5L) == 1L)
+    assert(out(4L) == 0L)
+  }
+
   test("q116 core: rank mass is conserved on a dangling-free graph") {
     // triangle: symmetric, no dangling nodes → Σpr = 1 at every step
     val (nodes, edges) = graphDf(Seq(1L, 2L, 3L),
