@@ -458,6 +458,20 @@ object Pipeline15 {
       .withColumn("cell", bestCell.getField("k"))
       .drop("xa", "cents")
 
+  /** [[assignCells]] plus the true squared distance to the assigned
+    * centroid (`d2`, rounded 6) — the streaming OOD gate's payload.
+    * Still fully scan-local against the 1-row broadcast artifact.
+    */
+  def assignCellsWithDist(emb: DataFrame, idCol: String, vecCol: String,
+                          cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("xa", transform(col(vecCol), e => e.cast("double")))
+      .withColumn("_b", bestCell)
+      .withColumn("cell", col("_b.k"))
+      .withColumn("d2",
+        round(dotC(col("xa"), col("xa")) + col("_b.d"), 6))
+      .drop("xa", "cents", "_b")
+
   /** q118's core over an explicit (id, vec) frame — public for the
     * hand-fixture spec (two planted blobs → exact means/inertia).
     */

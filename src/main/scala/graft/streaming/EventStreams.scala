@@ -431,6 +431,25 @@ object EventStreams {
       .withColumn("admit", col("dup_frac_est") < maxDupFrac)
   }
 
+  /** Streaming OUT-OF-DISTRIBUTION admission at the ingest door using
+    * the TRAINED coarse quantizer (q118's centroid artifact, the one
+    * q119 searches): each arriving vector is assigned its nearest cell
+    * scan-local against the 1-row broadcast centroid row and admitted
+    * iff its squared distance to that centroid is at most `maxDist` —
+    * far-from-every-cell is the OOD signal (junk embeddings, modality
+    * drift, an upstream encoder change). Stateless per micro-batch; the
+    * artifact is retrained per corpus snapshot like
+    * [[semanticAdmission]]'s bucket index. StreamingSpec pins stream
+    * verdicts == the batch [[graft.queries.Pipeline15.assignCellsWithDist]]
+    * rule on the same fixture.
+    */
+  def cellAdmission(vecs: DataFrame, cents: DataFrame,
+                    maxDist: Double): DataFrame =
+    graft.queries.Pipeline15
+      .assignCellsWithDist(vecs, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("d2"), (col("d2") <= maxDist).as("admit"))
+
   /** Watermarked per-window distinct-user estimation via the KMV sketch
     * ([[graft.dedup.KmvSketch]]) — the streaming cardinality monitor a
     * pipeline dashboards (unique users per window per event type)

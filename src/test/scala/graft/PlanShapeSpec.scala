@@ -66,6 +66,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "q54's sketch-bucket candidate pairs must be equi-joins")
   }
 
+  test("linear-algebra loops never shuffle the corpus") {
+    // q117 power iteration and q118 k-means: v/centroids ride 1-row
+    // broadcasts (the BroadcastNestedLoopJoin IS the intended scalar
+    // crossJoin shape — every probe row meets exactly one broadcast
+    // row), and no corpus-sized hash/sort-merge exchange may appear
+    for (q <- Seq("q117_pca_power", "q118_kmeans_lloyd")) {
+      val p = planString(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q must not shuffle-join the corpus")
+    }
+  }
+
+  test("trained-cell ANN probes via broadcast only") {
+    val p = planString("q119_ann_trained_cells")
+    assert(p.contains("BroadcastHashJoin"),
+      "q119's cell probe must broadcast the query side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "q119 must not shuffle the corpus for the probe")
+  }
+
   test("decontamination probes eval grams via broadcast, never a shuffle join") {
     for (q <- Seq("q56_decontaminate", "q80_contamination_fraction")) {
       val p = planString(q)

@@ -335,6 +335,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming OOD cell admission agrees with the batch quantizer rule") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Pipeline15
+    val dir = Files.createTempDirectory("vecs_ood")
+    Files.copy(Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val all = spark.read.parquet(s"$dir/part-0.parquet")
+    // quantizer trained on the corpus slice, probed by the batch slice
+    val cents = Pipeline15.kmeansCentroidRow(
+      all.filter(col("vec_id") % 5 =!= 4)
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    val arriving = all.filter(col("vec_id") % 5 === 4)
+    val want = Pipeline15.assignCellsWithDist(
+        arriving.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("d2"))
+    // threshold at the batch median distance so both verdict classes
+    // occur (the parity pin itself holds for any threshold)
+    val d2s = want.select(col("d2")).collect().map(_.getDouble(0)).sorted
+    val maxDist = d2s(d2s.length / 2)
+    val stream = EventStreams.cellAdmission(
+      EventStreams.readEmbeddings(spark, dir.toString)
+        .filter(col("vec_id") % 5 === 4), cents, maxDist)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ood_admit").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ood_admit")
+      val wantV = want.withColumn("admit", col("d2") <= maxDist)
+      assert(got.count() == wantV.count())
+      assert(got.exceptAll(wantV).count() == 0 &&
+        wantV.exceptAll(got).count() == 0,
+        "per-vector stream verdicts must equal the batch quantizer rule")
+      assert(got.filter(col("admit")).count() > 0)
+      assert(got.filter(!col("admit")).count() > 0,
+        "fixture must contain at least one OOD rejection")
+    } finally q.stop()
+  }
+
   test("streaming semantic admission agrees with the batch bucket rule") {
     import org.apache.spark.sql.functions._
     import graft.sim.Similarity
