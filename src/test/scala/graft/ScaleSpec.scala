@@ -569,5 +569,28 @@ class ScaleSpec extends AnyFunSuite {
     val norm = math.sqrt(pca.map(r => r.getDouble(1) * r.getDouble(1)).sum)
     assert(math.abs(norm - 1.0) < 1e-4, s"unit loading vector, got $norm")
     assert(pca.forall(_.getDouble(2) > 0.0), "positive top eigenvalue")
+
+    // q118's claim: every vector lands in exactly one of the 16 cells
+    // (scan-local assignment — no corpus shuffle to lose rows in)
+    val km = Pipeline15.kmeansLloyd(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding").collect()
+    assert(km.map(_.getLong(1)).sum == 50000L, "assignment is a partition")
+    assert(km.forall(_.getDouble(2) > 0.0))
+
+    // q120's claim: labels advance exactly one hop per round at any
+    // graph size — on a 100k chain with seeds every 10k, 3 rounds label
+    // precisely the radius-3 balls (interior seeds 7 nodes, node-0 seed 4)
+    val cn = 100000L
+    val chainNodes = spark.range(cn).select(col("id"),
+      col("id").as("label"), (col("id") % 10000 === 0).as("is_seed"))
+    val chainEdges = spark.range(cn - 1).select(col("id").as("id_a"),
+      (col("id") + 1).as("id_b"))
+    val lp = Pipeline15.labelPropagation(chainNodes, chainEdges)
+      .filter(col("label_pred").isNotNull)
+    assert(lp.count() == 9L * 7L + 4L, "radius-3 balls around the seeds")
+    assert(lp.filter(col("id") === 10003L).head().getLong(2) == 10000L)
+    assert(lp.filter(col("id") === 9997L).head().getLong(2) == 10000L)
   }
 }
