@@ -28,18 +28,23 @@ object GramMemo {
 
   def clear(): Unit = wordsCache.clear()
 
-  /** (doc_id, words) — `split(normalize(text), " ")`, materialized once
-    * per (session, sfDir).
+  /** (doc_id, lang, source, words) — `split(normalize(text), " ")` plus
+    * the per-doc metadata columns, materialized once per (session,
+    * sfDir). Carrying lang/source costs a few bytes per row against the
+    * word arrays that dominate the checkpoint, and lets the
+    * metadata-keyed consumers (q92 NB, q96 DSIR, q113 KL drift, q115
+    * coverage) ride the artifact instead of re-running the whole-corpus
+    * normalize to get words WITH their labels.
     */
   def words(s: SparkSession, d: String): DataFrame =
     wordsCache.getOrElseUpdate((System.identityHashCode(s), d), {
       Tables.documents(s, d)
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
         // spread RAW rows first: projecting before the exchange would
         // run the whole-corpus regex normalize inside the one input
         // partition (measured 5.5 s vs 0.6 s at sf0.1)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("lang"), col("source"),
           split(TextOps.normalize(col("text")), " ").as("words"))
         .localCheckpoint()
     })

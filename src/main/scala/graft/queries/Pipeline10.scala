@@ -30,8 +30,12 @@ object Pipeline10 {
   private val Langs = Seq("de", "en", "es", "fr", "zh")
 
   private val q92: Q = (s, d) => {
-    val toks = documents(s, d).select(col("doc_id"), col("lang"),
-      explode(split(TextOps.normalize(col("text")), " ")).as("w"))
+    // four derivations read the token stream (word-lang pivot, lang
+    // totals, vocab size, scoring join) — explode the words artifact
+    // once and checkpoint (the r7 materialize-once rule; previously 4
+    // whole-corpus normalize+explode passes)
+    val toks = GramMemo.words(s, d).select(col("doc_id"), col("lang"),
+      explode(col("words")).as("w")).localCheckpoint()
     // per-(word, lang) instance counts, pivoted to one row per word
     val wl = toks.groupBy(col("w")).pivot("lang", Langs)
       .agg(count(lit(1)))

@@ -79,10 +79,12 @@ object Pipeline11 {
   private val DsirTargetLang = "en"
 
   private val q96: Q = (s, d) => {
-    val docs = documents(s, d)
-    val model = graft.text.Dsir.modelFrame(docs, "text",
+    // both the model estimation and the scoring pass ride the session
+    // words artifact (it carries lang since r7) — zero normalize passes
+    val words = GramMemo.words(s, d)
+    val model = graft.text.Dsir.modelFrameOfWords(words, "words",
       col("lang") === DsirTargetLang)
-    graft.text.Dsir.score(docs, "doc_id", "text", model)
+    graft.text.Dsir.scoreOfWords(words, "doc_id", "words", model)
       .withColumn("selected", col("dsir_score") > 0)
       .orderBy(col("doc_id"))
   }

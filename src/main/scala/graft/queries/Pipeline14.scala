@@ -124,10 +124,17 @@ object Pipeline14 {
   /** q113's core over an explicit (source, text) frame — public for the
     * hand-fixture spec (identical distributions → KL exactly 0).
     */
-  def sourceKl(docs: DataFrame): DataFrame = {
-    val c = docs
-      .select(col("source"),
-        explode(split(TextOps.normalize(col("text")), " ")).as("word"))
+  def sourceKl(docs: DataFrame): DataFrame =
+    sourceKlOfWords(docs.select(col("source"),
+      split(TextOps.normalize(col("text")), " ").as("words")))
+
+  /** [[sourceKl]] over an ALREADY-materialized (source, words) frame —
+    * the r7 words artifact carries source, so the drift monitor costs
+    * one explode over the checkpoint, zero normalize passes.
+    */
+  def sourceKlOfWords(words: DataFrame): DataFrame = {
+    val c = words
+      .select(col("source"), explode(col("words")).as("word"))
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val wt = c.groupBy(col("word")).agg(sum(col("c")).as("cw"))
@@ -142,7 +149,7 @@ object Pipeline14 {
       .orderBy(col("source"))
   }
 
-  private val q113: Q = (s, d) => sourceKl(documents(s, d))
+  private val q113: Q = (s, d) => sourceKlOfWords(GramMemo.words(s, d))
 
   private val q113Sql = s"""
     WITH nd AS (SELECT source, ${OracleSql.normSql} AS n FROM documents),

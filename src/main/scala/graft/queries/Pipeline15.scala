@@ -103,10 +103,16 @@ object Pipeline15 {
   /** q115's core over an explicit (lang, text) frame — public for the
     * hand-fixture spec (known distribution → exact breakpoints).
     */
-  def vocabCoverage(docs: DataFrame): DataFrame = {
-    val c = docs
-      .select(col("lang"),
-        explode(split(TextOps.normalize(col("text")), " ")).as("word"))
+  def vocabCoverage(docs: DataFrame): DataFrame =
+    vocabCoverageOfWords(docs.select(col("lang"),
+      split(TextOps.normalize(col("text")), " ").as("words")))
+
+  /** [[vocabCoverage]] over an ALREADY-materialized (lang, words)
+    * frame — the words artifact carries lang since r7.
+    */
+  def vocabCoverageOfWords(words: DataFrame): DataFrame = {
+    val c = words
+      .select(col("lang"), explode(col("words")).as("word"))
       .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
     val tot = c.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
     val wnd = Window.partitionBy(col("lang"))
@@ -126,7 +132,8 @@ object Pipeline15 {
       .orderBy(col("lang"))
   }
 
-  private val q115: Q = (s, d) => vocabCoverage(documents(s, d))
+  private val q115: Q = (s, d) =>
+    vocabCoverageOfWords(GramMemo.words(s, d))
 
   private val q115Sql = {
     val covSelects = CoverageFracs.map { case (name, f) =>

@@ -32,10 +32,18 @@ object Dsir {
     * must pay at the ingestion door).
     */
   def modelFrame(docs: DataFrame, textCol: String,
-                 isTarget: Column): DataFrame = {
-    val bk = docs
-      .select(explode(split(TextOps.normalize(col(textCol)), " ")).as("w"),
-        isTarget.as("_t"))
+                 isTarget: Column): DataFrame =
+    modelFrameOfWords(docs.select(
+      split(TextOps.normalize(col(textCol)), " ").as("_ws"),
+      isTarget.as("_t")), "_ws", col("_t"))
+
+  /** [[modelFrame]] over an ALREADY-materialized word-array frame (the
+    * [[graft.queries.GramMemo]] artifact) — no re-normalize pass.
+    */
+  def modelFrameOfWords(words: DataFrame, wordsCol: String,
+                        isTarget: Column): DataFrame = {
+    val bk = words
+      .select(explode(col(wordsCol)).as("w"), isTarget.as("_t"))
       .select(bucket(col("w")).as("b"), col("_t"))
     // ≤4096 rows; materialized because the totals branch and the ratio
     // projection don't canonicalize to a shared exchange — without this
@@ -64,10 +72,15 @@ object Dsir {
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
             model: DataFrame): DataFrame =
-    docs
-      .select(col(idCol),
-        split(TextOps.normalize(col(textCol)), " ").as("_ws"),
-        lit(1).as("_k"))
+    scoreOfWords(docs.select(col(idCol),
+      split(TextOps.normalize(col(textCol)), " ").as("_ws")),
+      idCol, "_ws", model)
+
+  /** [[score]] over an ALREADY-materialized word-array frame. */
+  def scoreOfWords(words: DataFrame, idCol: String, wordsCol: String,
+                   model: DataFrame): DataFrame =
+    words
+      .select(col(idCol), col(wordsCol).as("_ws"), lit(1).as("_k"))
       .join(broadcast(model.withColumn("_k", lit(1))), Seq("_k"))
       .select(col(idCol), size(col("_ws")).cast("long").as("n_tokens"),
         round(aggregate(col("_ws"), lit(0.0), (acc, w) =>
