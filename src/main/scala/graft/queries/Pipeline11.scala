@@ -125,8 +125,8 @@ object Pipeline11 {
   private val CmsTopK = 50
 
   private val q97: Q = (s, d) => {
-    val toks = documents(s, d)
-      .select(explode(split(TextOps.normalize(col("text")), " ")).as("w"))
+    val toks = GramMemo.words(s, d)
+      .select(explode(col("words")).as("w"))
     // ONE corpus pass builds all 3 hash rows (graft.text.Cms.sketch);
     // the 12k-row result is localCheckpoint'ed so the 3 per-row
     // broadcast probes below read counters, not the corpus again

@@ -156,8 +156,8 @@ object Pipeline12 {
   private val BpeTopK = 20
 
   private val q103: Q = (s, d) => {
-    val vocab = documents(s, d)
-      .select(explode(split(TextOps.normalize(col("text")), " ")).as("w"))
+    val vocab = GramMemo.words(s, d)
+      .select(explode(col("words")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), graft.text.Bpe.initSymbols(col("w")).as("syms"))
     graft.text.Bpe.pairCounts(vocab)

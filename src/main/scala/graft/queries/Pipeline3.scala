@@ -78,9 +78,8 @@ object Pipeline3 {
   // aggregation (partial map-side), TakeOrdered for the bounded output —
   // no global sort of the vocabulary.
   private val q53: Q = (s, d) =>
-    documents(s, d)
-      .select(col("doc_id"),
-        explode(split(TextOps.normalize(col("text")), " ")).as("word"))
+    GramMemo.words(s, d)
+      .select(col("doc_id"), explode(col("words")).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("tf"),
         countDistinct(col("doc_id")).as("doc_freq"))

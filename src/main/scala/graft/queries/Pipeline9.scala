@@ -188,8 +188,8 @@ object Pipeline9 {
   private val q91: Q = (s, d) => {
     import graft.dedup.Kmv
     import graft.text.TextOps
-    val toks = documents(s, d).select(col("source"),
-      explode(split(TextOps.normalize(col("text")), " ")).as("tok"))
+    val toks = GramMemo.words(s, d).select(col("source"),
+      explode(col("words")).as("tok"))
     val est = toks
       .select(col("source"), Kmv.hash52(col("tok")).as("hv"))
       .groupBy(col("source"))
