@@ -174,7 +174,12 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = planString("q53_vocab_stats")
     assert(p.contains("TakeOrderedAndProject"),
       "q53's top-20 must be TakeOrdered, not sort+limit stages")
-    assert("Scan parquet".r.findAllIn(p).size == 1, "q53 must scan once")
+    // q53 rides the session words artifact (GramMemo): the corpus text
+    // is never re-scanned — the plan reads the checkpoint once
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      "q53 must read the words artifact, not re-scan the corpus")
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 1,
+      "q53 must read the memoized words checkpoint exactly once")
   }
 
   test("PII scrub and chunking stay scan-local (no shuffle before output sort)") {
