@@ -37,7 +37,8 @@ object SparkEntry {
       graft.queries.Pipeline12.queries ++
       graft.queries.Pipeline13.queries ++
       graft.queries.Pipeline14.queries ++
-      graft.queries.Pipeline15.queries
+      graft.queries.Pipeline15.queries ++
+      graft.queries.Pipeline16.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -61,5 +62,6 @@ object SparkEntry {
       graft.queries.Pipeline12.oracleSql ++
       graft.queries.Pipeline13.oracleSql ++
       graft.queries.Pipeline14.oracleSql ++
-      graft.queries.Pipeline15.oracleSql
+      graft.queries.Pipeline15.oracleSql ++
+      graft.queries.Pipeline16.oracleSql
 }

@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch sixteen: graph-density and fingerprint-sketch diagnostics over
+  * the corpus — q121 triangle counting / local clustering coefficients
+  * on the embedding near-dup graph (the "is this neighborhood a template
+  * farm or a chain of weak links" signal: a boilerplate cluster is
+  * near-clique, lcc ≈ 1, while topic drift shows as high degree with
+  * low closure), and q122 winnowing fingerprints (the MOSS sketch:
+  * Schleimer, Wilkerson & Aiken 2003) — the guaranteed-coverage
+  * substring sketch that document-level MinHash (q30) and the bottom-1
+  * rolling hash (q49) both are not: every shared run of ≥ w+k−1 words
+  * is witnessed by at least one shared selected fingerprint.
+  */
+object Pipeline16 {
+
+  type Q = (SparkSession, String) => DataFrame
+  import Tables._
+
+  // ------------------------------------------------------------------ q121
+  // Triangle count + local clustering coefficient per node, over the
+  // verified near-dup edge list (the memoized EmbMemo pair artifact — no
+  // second sketch pass). Degree-ordered orientation (the node-iterator
+  // bound of Schank & Wagner 2005): every edge points from its
+  // lower-(degree, id) endpoint to the higher one, so wedge enumeration
+  // is bounded by out-degree ≤ O(√m) per node instead of the raw degree —
+  // the difference between O(Σd²) (a hub node explodes) and O(m^{3/2})
+  // at 100 TB. Each triangle is acyclic under a total order, has exactly
+  // one node with out-degree 2, and is therefore counted exactly once.
+  //
+  // Scale shape: degrees are one map-side-combinable agg over the edge
+  // list; the wedge join and the closing join are equi-joins keyed on a
+  // node and an (b, c) pair respectively (AQE splits hot keys); per-node
+  // triangle counts are an agg over the 3-way vertex union. Nothing ever
+  // shuffles corpus rows — everything is |E|-bounded, the Pregel-family
+  // shape of q116/q120.
+
+  /** q121's core over explicit node/edge frames — public for the
+    * hand-fixture spec (a planted clique → exact closure arithmetic).
+    * `nodes` = (id); `edges` = one row per undirected pair (id_a, id_b).
+    */
+  def triangleStats(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.select(col("id_a"), col("id_b"))
+    val sym = e.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(e.select(col("id_b").as("u"), col("id_a").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .select(col("u").as("id"), col("d"))
+    // orient each edge from its lower-(degree, id) endpoint; carry the
+    // destination's (degree, id) so wedge endpoints order by the SAME
+    // total order the orientation used — the closing edge is then
+    // guaranteed to be oriented b→c
+    val de = e
+      .join(deg.select(col("id").as("id_a"), col("d").as("da")), Seq("id_a"))
+      .join(deg.select(col("id").as("id_b"), col("d").as("db")), Seq("id_b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("id_a") < col("id_b"))
+    val o = de.select(
+        when(aFirst, col("id_a")).otherwise(col("id_b")).as("src"),
+        when(aFirst, col("id_b")).otherwise(col("id_a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+      .localCheckpoint()
+    val x = o.select(col("src"), col("dst").as("b"), col("dd").as("ob"))
+    val y = o.select(col("src"), col("dst").as("c"), col("dd").as("oc"))
+    val wedges = x.join(y, Seq("src"))
+      .filter(col("ob") < col("oc") ||
+        (col("ob") === col("oc") && col("b") < col("c")))
+    val tri = wedges.join(
+      o.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    val tcnt = tri.select(col("src").as("id"))
+      .union(tri.select(col("b").as("id")))
+      .union(tri.select(col("c").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("t"))
+    nodes.select(col("id"))
+      .join(deg, Seq("id"), "left")
+      .join(tcnt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("d"), lit(0L)).as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        when(coalesce(col("d"), lit(0L)) >= 2,
+          round(lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("d") * (col("d") - 1)), 6)).otherwise(lit(0.0)).as("lcc"))
+      .orderBy(col("id"))
+  }
+
+  private val q121: Q = (s, d) =>
+    triangleStats(
+      embeddings(s, d).select(col("vec_id").as("id")),
+      EmbMemo.pairs(s, d).select(col("id_a"), col("id_b")))
+      .withColumnRenamed("id", "vec_id")
+
+  private lazy val q121Sql = s"""
+    WITH ${OracleSql.embeddingPairsCtes},
+    ed AS (SELECT id_a, id_b FROM pairs
+           WHERE sim >= ${EmbMemo.Threshold}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM ed
+            UNION ALL
+            SELECT id_b AS u, id_a AS v FROM ed),
+    deg AS (SELECT u AS id, count(*) AS d FROM sym GROUP BY u),
+    de AS (SELECT ed.id_a, ed.id_b, a.d AS da, b.d AS db
+           FROM ed JOIN deg a ON a.id = ed.id_a
+                   JOIN deg b ON b.id = ed.id_b),
+    o AS (SELECT
+            CASE WHEN da < db OR (da = db AND id_a < id_b)
+                 THEN id_a ELSE id_b END AS src,
+            CASE WHEN da < db OR (da = db AND id_a < id_b)
+                 THEN id_b ELSE id_a END AS dst,
+            CASE WHEN da < db OR (da = db AND id_a < id_b)
+                 THEN db ELSE da END AS dd
+          FROM de),
+    w AS (SELECT x.src, x.dst AS b, y.dst AS c
+          FROM o x JOIN o y ON x.src = y.src
+          WHERE x.dd < y.dd OR (x.dd = y.dd AND x.dst < y.dst)),
+    tri AS (SELECT w.src, w.b, w.c
+            FROM w JOIN o z ON z.src = w.b AND z.dst = w.c),
+    tv AS (SELECT src AS id FROM tri
+           UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri),
+    tc AS (SELECT id, count(*) AS t FROM tv GROUP BY id)
+    SELECT e.vec_id,
+           CAST(coalesce(deg.d, 0) AS BIGINT) AS degree,
+           CAST(coalesce(tc.t, 0) AS BIGINT) AS triangles,
+           CASE WHEN coalesce(deg.d, 0) >= 2
+                THEN round(2.0 * coalesce(tc.t, 0) /
+                           (deg.d * (deg.d - 1)), 6)
+                ELSE 0.0 END AS lcc
+    FROM e LEFT JOIN deg ON deg.id = e.vec_id
+           LEFT JOIN tc ON tc.id = e.vec_id
+    ORDER BY e.vec_id"""
+
+  // ------------------------------------------------------------------ q122
+  // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+  // sketch): per document, hash every k-word gram, slide a w-window over
+  // the hash sequence and keep each window's MINIMUM — the selected set
+  // is ~2/(w+1) of all grams yet GUARANTEES any shared run of ≥ w+k−1
+  // words between two documents shares at least one selected
+  // fingerprint. That coverage guarantee is what q30's document-level
+  // MinHash and q49's bottom-1 rolling hash both trade away. Gram
+  // identity is a 16-hex-char md5 prefix in BOTH engines (the q79/q86
+  // house rule: gram text never rides an exchange) and the window min is
+  // a LEXICAL min over those hex strings — a pure total order, identical
+  // across engines, no numeric conversion needed.
+  //
+  // Scale shape: hashing AND winnowing are entirely scan-local (array
+  // expressions per row — no positions shuffle at all, unlike q112 whose
+  // gaps-and-islands needs per-position rows); the only exchanges carry
+  // the SELECTED (doc_id, 16-char fp) rows (~22% of gram count) for the
+  // two-phase shared-fp election and the equi-join probe back. Same
+  // shape at 100 TB.
+  private val WinK = 4   // gram width (words)
+  private val WinW = 8   // winnow window (grams)
+
+  /** q122's core over an explicit (doc_id, words) frame — public for the
+    * hand-fixture spec (planted shared run → guaranteed shared
+    * fingerprint; density arithmetic on a known hash sequence).
+    */
+  def winnowFingerprints(words: DataFrame, k: Int = WinK,
+                         w: Int = WinW): DataFrame = {
+    val wc = col("words")
+    val base = words.select(col("doc_id"),
+      greatest(size(wc) - (k - 1), lit(0)).cast("long").as("n_grams"),
+      when(size(wc) >= k + w - 1,
+        array_distinct(transform(
+          sequence(lit(0), size(wc) - (k + w - 1)),
+          p => array_min(transform(
+            sequence(p, p + w - 1),
+            i => substring(md5(to_binary(
+              array_join(slice(wc, i + 1, lit(k)), " "),
+              lit("utf-8"))), 1, 16))))))
+        .otherwise(array().cast("array<string>")).as("fps"))
+      .localCheckpoint()
+    val fp = base.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val shared = fp.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("ndoc"))
+    val per = fp.join(shared, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("ndoc") >= 2, 1L).otherwise(0L)).as("n_shared_fps"),
+        max(col("ndoc")).as("max_fp_docs"))
+    base.join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"),
+        coalesce(col("n_shared_fps"), lit(0L)).as("n_shared_fps"),
+        coalesce(col("max_fp_docs"), lit(0L)).as("max_fp_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q122: Q = (s, d) => winnowFingerprints(GramMemo.words(s, d))
+
+  private val q122Sql = {
+    val k = WinK; val w = WinW
+    s"""
+    WITH nd AS (SELECT doc_id, ${OracleSql.normSql} AS n FROM documents),
+    base AS (SELECT doc_id, string_split(n, ' ') AS w FROM nd),
+    fps AS (
+      SELECT doc_id,
+             greatest(len(w) - ${k - 1}, 0) AS n_grams,
+             CASE WHEN len(w) >= ${k + w - 1} THEN
+               list_distinct(list_transform(
+                 generate_series(0, len(w) - ${k + w - 1}),
+                 p -> list_min(list_transform(
+                   generate_series(p, p + ${w - 1}),
+                   i -> substr(md5(array_to_string(w[i+1:i+$k], ' ')),
+                               1, 16)))))
+             ELSE [] END AS fps
+      FROM base),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+    shared AS (SELECT fp, count(DISTINCT doc_id) AS ndoc
+               FROM fp GROUP BY fp),
+    per AS (SELECT fp.doc_id,
+              sum(CASE WHEN s.ndoc >= 2 THEN 1 ELSE 0 END) AS n_shared_fps,
+              max(s.ndoc) AS max_fp_docs
+            FROM fp JOIN shared s USING (fp) GROUP BY fp.doc_id)
+    SELECT f.doc_id, CAST(f.n_grams AS BIGINT) AS n_grams,
+           CAST(len(f.fps) AS BIGINT) AS n_fps,
+           CAST(coalesce(p.n_shared_fps, 0) AS BIGINT) AS n_shared_fps,
+           CAST(coalesce(p.max_fp_docs, 0) AS BIGINT) AS max_fp_docs
+    FROM fps f LEFT JOIN per p USING (doc_id) ORDER BY f.doc_id"""
+  }
+
+  // ------------------------------------------------------------------ q123
+  // HLL cardinality monitor: per event type, the HyperLogLog
+  // distinct-user estimate next to the exact count — the engine-portable
+  // mergeable-register sketch ([[graft.dedup.HllSketch]]) production
+  // stores keep per shard/day/source and fold without re-scans, shown
+  // against ground truth so the 1.04/√256 ≈ 6.5% error contract is
+  // auditable in the output itself. Complements q91's KMV: same md5
+  // hash family, constant 256 BYTES per group vs KMV's 2 KiB.
+  //
+  // Scale shape: one scan; the HLL agg partial-merges map-side (256-byte
+  // buffers), so the exchange carries |event_types| × 256 B. The exact
+  // countDistinct is here as the AUDIT column — at 100 TB you drop it
+  // and keep only the sketch (that being the point of the sketch).
+  private val q123: Q = (s, d) =>
+    events(s, d)
+      .select(col("event_type"),
+        col("user_id"), graft.dedup.Hll.md5Hex(col("user_id")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        round(graft.dedup.Hll.hllDistinct(col("h")), 4).as("hll_est"))
+      .withColumn("rel_err",
+        round(abs(col("hll_est") - col("n_exact")) / col("n_exact"), 4))
+      .orderBy(col("event_type"))
+
+  private lazy val q123Sql = s"""
+    WITH t AS (SELECT event_type AS grp,
+                      md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+    regs AS (${graft.dedup.Hll.registersSql}),
+    est AS (${graft.dedup.Hll.estimateSql}),
+    ex AS (SELECT event_type AS grp, count(DISTINCT user_id) AS n_exact
+           FROM events GROUP BY 1)
+    SELECT ex.grp AS event_type, CAST(ex.n_exact AS BIGINT) AS n_exact,
+           round(est.est, 4) AS hll_est,
+           round(abs(round(est.est, 4) - ex.n_exact) / ex.n_exact, 4)
+             AS rel_err
+    FROM ex JOIN est ON est.grp = ex.grp
+    ORDER BY event_type"""
+
+  // ------------------------------------------------------------------ q124
+  // Zipf rank-frequency slope per language: the least-squares slope of
+  // ln(freq) on ln(rank) over the unigram vocabulary — natural text sits
+  // near −1 (Zipf's law); a source of templated/generated boilerplate
+  // flattens the head (slope → 0) and machine-generated token soup
+  // steepens the tail. With q115's coverage curve this is the other
+  // scalar a tokenizer/mixture stack tracks per language per crawl.
+  //
+  // Scale shape: rides the words artifact; the only corpus-sized
+  // exchange is the (lang, word) count agg with map-side combine
+  // (vocab-bounded output); the rank window sorts VOCAB rows per lang;
+  // the slope is covar_pop/var_pop — algebraic aggregates, partial
+  // map-side. Same shape at 100 TB.
+  /** q124's core over an explicit (lang, words) frame — public for the
+    * hand-fixture spec (an exact power-law corpus → slope −1).
+    */
+  def zipfSlopeOfWords(words: DataFrame): DataFrame = {
+    val c = words
+      .select(col("lang"), explode(col("words")).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(desc("c"), col("word"))
+    val r = c.withColumn("rnk", row_number().over(wnd))
+      .select(col("lang"), log(col("rnk")).as("x"), log(col("c")).as("y"))
+    r.groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab_size"),
+        round(covar_pop(col("x"), col("y")) / var_pop(col("x")), 4)
+          .as("zipf_slope"),
+        round(pow(corr(col("x"), col("y")), 2), 4).as("zipf_r2"))
+      .orderBy(col("lang"))
+  }
+
+  private val q124: Q = (s, d) => zipfSlopeOfWords(GramMemo.words(s, d))
+
+  private val q124Sql = s"""
+    WITH nd AS (SELECT lang, ${OracleSql.normSql} AS n FROM documents),
+    sw AS (SELECT lang, unnest(string_split(n, ' ')) AS word FROM nd),
+    c AS (SELECT lang, word, count(*) AS c FROM sw GROUP BY lang, word),
+    rk AS (SELECT lang, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, word)
+               AS rnk
+           FROM c),
+    r AS (SELECT lang, ln(rnk) AS x, ln(c) AS y FROM rk)
+    SELECT lang, count(*) AS vocab_size,
+           round(covar_pop(x, y) / var_pop(x), 4) AS zipf_slope,
+           round(power(corr(x, y), 2), 4) AS zipf_r2
+    FROM r GROUP BY lang ORDER BY lang"""
+
+  val queries: Map[String, Q] = Map(
+    "q121_triangle_closure" -> q121,
+    "q122_winnow_fingerprints" -> q122,
+    "q123_hll_distinct" -> q123,
+    "q124_zipf_slope" -> q124,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q121_triangle_closure" -> q121Sql,
+    "q122_winnow_fingerprints" -> q122Sql,
+    "q123_hll_distinct" -> q123Sql,
+    "q124_zipf_slope" -> q124Sql,
+  )
+}
