@@ -30,36 +30,39 @@ object Pipeline10 {
   private val Langs = Seq("de", "en", "es", "fr", "zh")
 
   private val q92: Q = (s, d) => {
-    // four derivations read the token stream (word-lang pivot, lang
-    // totals, vocab size, scoring join) — explode the words artifact
-    // once and checkpoint (the r7 materialize-once rule; previously 4
-    // whole-corpus normalize+explode passes)
-    val toks = GramMemo.words(s, d).select(col("doc_id"), col("lang"),
-      explode(col("words")).as("w")).localCheckpoint()
-    // per-(word, lang) instance counts, pivoted to one row per word
-    val wl = toks.groupBy(col("w")).pivot("lang", Langs)
+    // the corpus is exploded exactly TWICE off the words artifact (model
+    // counts, scoring join) — the lang totals and vocab size derive from
+    // the VOCAB-BOUNDED pivot instead of re-scanning the token stream,
+    // and the pivot is what gets checkpointed (the q113 rule: pin the
+    // vocab-bounded table, never materialize the exploded token stream —
+    // a corpus-sized checkpoint costs more than the passes it saves)
+    val wl = GramMemo.words(s, d)
+      .select(col("lang"), explode(col("words")).as("w"))
+      .groupBy(col("w")).pivot("lang", Langs)
       .agg(count(lit(1)))
       .select(col("w") +: Langs.map(l =>
         coalesce(col(l), lit(0L)).as(s"c_$l")): _*)
-    // per-lang instance totals + vocab size + doc-count priors
-    // zero-fill the fixed-lang pivots: a language absent from the corpus
-    // otherwise yields NULL totals that null out every score; priors are
-    // Laplace-smoothed (+1 / +|langs|) so an absent language gets a
+      .localCheckpoint()
+    // per-lang instance totals + vocab size + doc-count priors, all from
+    // the pivot (its zero-fill already absorbed absent languages; priors
+    // are Laplace-smoothed (+1 / +|langs|) so an absent language gets a
     // small finite prior instead of ln(0) — which Spark evaluates to
-    // null but DuckDB to -inf
-    val cl = toks.groupBy().pivot("lang", Langs).agg(count(lit(1)))
-      .select(Langs.map(l => coalesce(col(l), lit(0L)).as(s"cl_$l")): _*)
-    val v = toks.agg(countDistinct(col("w")).as("v"))
-    val pri = documents(s, d).groupBy().pivot("lang", Langs)
+    // null but DuckDB to -inf)
+    val clv = wl.agg(
+      count(lit(1)).as("v"),
+      Langs.map(l => sum(col(s"c_$l")).as(s"cl_$l")): _*)
+    val pri = GramMemo.words(s, d).groupBy().pivot("lang", Langs)
       .agg(count(lit(1)))
       .select(Langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
       .withColumn("n_all", Langs.map(l => col(s"n_$l")).reduce(_ + _))
-    val model = wl.crossJoin(broadcast(cl)).crossJoin(broadcast(v))
+    val model = wl.crossJoin(broadcast(clv))
       .select(col("w") +: Langs.map(l =>
         log((col(s"c_$l") + lit(1.0)) / (col(s"cl_$l") + col("v")))
           .as(s"lp_$l")): _*)
     val sumCols = Langs.map(l => sum(col(s"lp_$l")).as(s"s_$l"))
-    val sums = toks.join(broadcast(model), Seq("w"))
+    val sums = GramMemo.words(s, d)
+      .select(col("doc_id"), col("lang"), explode(col("words")).as("w"))
+      .join(broadcast(model), Seq("w"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sumCols.head, sumCols.tail: _*)
     val scored = sums.crossJoin(broadcast(pri))
