@@ -124,8 +124,12 @@ object Pipeline4 {
     val wordsT = GramMemo.words(s, d)
     val words = wordsT.select(col("doc_id"),
       explode(col("words")).as("word"))
+    // (doc, word)-bounded; feeds BOTH the doc-freq agg and the score
+    // join, whose exchanges don't canonicalize equal — pin it so the
+    // corpus explode+count runs once (the q113 rule)
     val tf = words.groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val nDocs = wordsT
       .select(count(lit(1)).cast("double").as("n_docs"))

@@ -187,16 +187,15 @@ object Pipeline9 {
 
   private val q91: Q = (s, d) => {
     import graft.dedup.Kmv
-    import graft.text.TextOps
-    val toks = GramMemo.words(s, d).select(col("source"),
-      explode(col("words")).as("tok"))
-    val est = toks
-      .select(col("source"), Kmv.hash52(col("tok")).as("hv"))
+    // sketch and exact ride ONE corpus pass (the q123 shape): the KMV
+    // insert is duplicate-insensitive, so it shares the aggregation
+    // with countDistinct instead of a second explode + join
+    GramMemo.words(s, d)
+      .select(col("source"), explode(col("words")).as("tok"))
+      .withColumn("hv", Kmv.hash52(col("tok")))
       .groupBy(col("source"))
-      .agg(round(Kmv.kmvDistinct(col("hv"), KmvK), 6).as("est_distinct"))
-    toks.groupBy(col("source"))
-      .agg(countDistinct(col("tok")).as("n_distinct"))
-      .join(est, Seq("source"))
+      .agg(countDistinct(col("tok")).as("n_distinct"),
+        round(Kmv.kmvDistinct(col("hv"), KmvK), 6).as("est_distinct"))
       .select(col("source"), col("n_distinct"), col("est_distinct"),
         round(abs(col("est_distinct") - col("n_distinct")) /
           col("n_distinct"), 6).as("rel_err"))
