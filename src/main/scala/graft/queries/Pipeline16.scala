@@ -304,11 +304,69 @@ object Pipeline16 {
            round(power(corr(x, y), 2), 4) AS zipf_r2
     FROM r GROUP BY lang ORDER BY lang"""
 
+  // ------------------------------------------------------------------ q125
+  // Contamination ATTRIBUTION: q80 reports the per-doc overlap fraction;
+  // this names the culprits — every (eval item, corpus doc) pair sharing
+  // ≥ MinShared distinct 3-grams, i.e. the leak map a decontamination
+  // stack ships to its eval owners ("which benchmark questions appear in
+  // which training docs"). Gram identity is md5-hashed on BOTH sides
+  // before anything aggregates, so the distinct-count expansion shuffles
+  // 16-byte keys, never gram text (the q86/q94 house rule).
+  //
+  // Scale shape: the eval gram set is the broadcast (eval-bounded, the
+  // q56/q80 economics); the corpus is scanned once, the broadcast join
+  // fans out only on grams the eval set actually contains, and the
+  // (eval_id, doc_id) count-distinct is map-side combinable. Output is
+  // bounded by actual leak pairs. Same shape at 100 TB.
+  private val LeakGramN = 3
+  private val LeakMinShared = 3
+
+  private val q125: Q = (s, d) => {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val docs = documents(s, d).select(col("doc_id"),
+      column(graft.dedup.NGramArray(expression(col("text")), LeakGramN))
+        .as("_g"))
+    val ev = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_id"),
+        explode(col("_g")).as("gram"))
+      .select(col("eval_id"), md5(to_binary(col("gram"), lit("utf-8")))
+        .as("gk"))
+      .distinct()
+    docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(col("_g")).as("gram"))
+      .select(col("doc_id"), md5(to_binary(col("gram"), lit("utf-8")))
+        .as("gk"))
+      .join(broadcast(ev), Seq("gk"))
+      .groupBy(col("eval_id"), col("doc_id"))
+      .agg(countDistinct(col("gk")).as("n_shared"))
+      .filter(col("n_shared") >= LeakMinShared)
+      .orderBy(col("eval_id"), col("doc_id"))
+  }
+
+  private lazy val q125Sql = s"""
+    WITH nd AS (
+      SELECT doc_id, string_split(${OracleSql.normSql}, ' ') AS w
+      FROM documents),
+    g AS (SELECT doc_id, ${OracleSql.gramsSql(LeakGramN)} AS gr FROM nd),
+    ev AS (SELECT DISTINCT doc_id AS eval_id, md5(gram) AS gk
+           FROM (SELECT doc_id, unnest(gr) AS gram FROM g
+                 WHERE doc_id % 10 = 0)),
+    cg AS (SELECT doc_id, md5(gram) AS gk
+           FROM (SELECT doc_id, unnest(gr) AS gram FROM g
+                 WHERE doc_id % 10 <> 0))
+    SELECT ev.eval_id, cg.doc_id,
+           count(DISTINCT cg.gk) AS n_shared
+    FROM cg JOIN ev ON ev.gk = cg.gk
+    GROUP BY ev.eval_id, cg.doc_id
+    HAVING count(DISTINCT cg.gk) >= $LeakMinShared
+    ORDER BY ev.eval_id, cg.doc_id"""
+
   val queries: Map[String, Q] = Map(
     "q121_triangle_closure" -> q121,
     "q122_winnow_fingerprints" -> q122,
     "q123_hll_distinct" -> q123,
     "q124_zipf_slope" -> q124,
+    "q125_contamination_attribution" -> q125,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -316,5 +374,6 @@ object Pipeline16 {
     "q122_winnow_fingerprints" -> q122Sql,
     "q123_hll_distinct" -> q123Sql,
     "q124_zipf_slope" -> q124Sql,
+    "q125_contamination_attribution" -> q125Sql,
   )
 }

@@ -181,7 +181,11 @@ object Pipeline7 {
   private val EditRelThreshold = 0.4
   private val EditEstGate = 0.5 // = the q50 clustering threshold
 
-  private val q81: Q = (s, d) => {
+  /** q81's un-checkpointed DP lineage — public so PlanShapeSpec can
+    * gate the REPARTITION_BY_NUM parallelism pin that the final query's
+    * pre-sort checkpoint (see [[q81]]) hides from the executed plan.
+    */
+  def editDistPlan(s: SparkSession, d: String): DataFrame = {
     // the gated pair list is byte-TINY but CPU-heavy (an O(len²) DP per
     // row), and AQE coalesces post-shuffle partitions by BYTES — left
     // alone it serializes the verify stage onto one core (measured 5x).
@@ -223,14 +227,15 @@ object Pipeline7 {
       .withColumn("is_near", col("rel_dist") <= EditRelThreshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"),
         col("edit_dist"), col("rel_dist"), col("is_near"))
-      // materialize the (narrow, pair-bounded) DP verdicts before the
-      // output sort: orderBy's range-partition SAMPLING job re-executes
-      // its child lineage, which here is the O(len²) DP stage — measured
-      // 2x the whole query (ProfileQ81). The checkpoint runs the DP
-      // once; the sort then samples 20k materialized rows for free.
-      .localCheckpoint()
-      .orderBy(col("id_a"), col("id_b"))
   }
+
+  // materialize the (narrow, pair-bounded) DP verdicts before the
+  // output sort: orderBy's range-partition SAMPLING job re-executes
+  // its child lineage, which here is the O(len²) DP stage — measured
+  // 2x the whole query (ProfileQ81). The checkpoint runs the DP
+  // once; the sort then samples 20k materialized rows for free.
+  private val q81: Q = (s, d) =>
+    editDistPlan(s, d).localCheckpoint().orderBy(col("id_a"), col("id_b"))
 
   private lazy val q81Sql = s"""
     WITH nd AS (SELECT doc_id, ${OracleSql.normSql} AS n FROM documents),

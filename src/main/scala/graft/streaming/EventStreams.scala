@@ -471,6 +471,27 @@ object EventStreams {
         col("est_users"))
   }
 
+  /** [[windowedDistinctUsers]] with the HLL registers
+    * ([[graft.dedup.HllSketch]]) instead of KMV: ONE 256-BYTE register
+    * array per open (window, type) group in the state store — 8× less
+    * state than the k-long KMV sketch at the same asymptotic error, and
+    * the register max-merge is idempotent, so micro-batch boundaries,
+    * retries and late data cannot move the estimate (== the identical
+    * batch aggregation, StreamingSpec). This is the sketch a production
+    * cardinality dashboard keeps per (window × type × shard) and folds
+    * across shards without re-reading events.
+    */
+  def windowedDistinctUsersHll(events: DataFrame): DataFrame = {
+    import graft.dedup.Hll
+    events
+      .withWatermark("ts_t", "10 minutes")
+      .groupBy(window(col("ts_t"), "5 minutes"), col("event_type"))
+      .agg(round(Hll.hllDistinct(Hll.md5Hex(col("user_id"))), 4)
+        .as("est_users"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("est_users"))
+  }
+
   /** STREAM-STREAM bounded-interval attribution join: every purchase
     * paired with the same user's view events at most `window` before it
     * — both sides are live streams (the one streaming join class the

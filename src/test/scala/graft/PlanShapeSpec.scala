@@ -86,8 +86,41 @@ class PlanShapeSpec extends AnyFunSuite {
       "q119 must not shuffle the corpus for the probe")
   }
 
+  test("batch-16 diagnostics keep their artifact-riding shapes") {
+    // q121: every join in the triangle enumeration is an equi-join on a
+    // node or pair key — a nested-loop/cartesian would be all-pairs
+    val p121 = planString("q121_triangle_closure")
+    assert(!p121.contains("BroadcastNestedLoopJoin") &&
+      !p121.contains("CartesianProduct"),
+      "q121 wedge/closing joins must be equi-joins")
+    // q122: winnowing is scan-local array work over the words artifact —
+    // no corpus re-scan and no per-position Window operator (q112's
+    // shape is the contrast)
+    val p122 = planString("q122_winnow_fingerprints")
+    assert("Scan parquet".r.findAllIn(p122).isEmpty,
+      "q122 must ride the words artifact, not re-scan the corpus")
+    assert(!p122.contains("Window"),
+      "q122 winnow selection must be in-row, not a positions window")
+    // q123: one pruned scan; the HLL registers partial-aggregate
+    // map-side (the mergeable-sketch contract)
+    val p123 = planString("q123_hll_distinct")
+    assert("Scan parquet".r.findAllIn(p123).size == 1, "q123 scans once")
+    assert(p123.contains("partial_hll_distinct"),
+      "q123's HLL must partial-aggregate map-side")
+    assert(p123.contains("ReadSchema: struct<user_id:bigint,event_type:string>"),
+      "q123's scan must prune to the two used columns")
+    // q124: rides the words artifact; the rank window partitions by
+    // lang (vocab-bounded), never a single global sort of the vocab
+    val p124 = planString("q124_zipf_slope")
+    assert("Scan parquet".r.findAllIn(p124).isEmpty,
+      "q124 must ride the words artifact")
+    assert(!p124.contains("Exchange SinglePartition, ENSURE"),
+      "q124 must not funnel the vocab through one partition")
+  }
+
   test("decontamination probes eval grams via broadcast, never a shuffle join") {
-    for (q <- Seq("q56_decontaminate", "q80_contamination_fraction")) {
+    for (q <- Seq("q56_decontaminate", "q80_contamination_fraction",
+        "q125_contamination_attribution")) {
       val p = planString(q)
       assert(p.contains("BroadcastHashJoin"),
         s"$q's eval gram set must broadcast")
@@ -387,12 +420,18 @@ class PlanShapeSpec extends AnyFunSuite {
     // post-shuffle partitions by BYTES and serialized the Levenshtein
     // stage onto one core (measured 5x) — the explicit pair-keyed
     // repartition is exempt from coalescing and must survive edits
-    val p = planString("q81_editdist_neardup")
+    // the declared query checkpoints the DP verdicts before its output
+    // sort (orderBy's sampling job would re-run the DP), so the gate
+    // targets the un-checkpointed lineage
+    val p = graft.queries.Pipeline7.editDistPlan(spark, d)
+      .queryExecution.executedPlan.toString
     assert(p.contains("REPARTITION_BY_NUM"),
       "q81 must repartition the gated pairs with an explicit count")
     assert(p.contains("levenshtein"), "q81 must verify via Levenshtein")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
+    assert(planString("q81_editdist_neardup").contains("Scan ExistingRDD"),
+      "the declared q81 must sort the materialized verdicts")
   }
 
   test("cluster consumers read the memo, not the lineage") {

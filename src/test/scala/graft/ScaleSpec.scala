@@ -593,4 +593,69 @@ class ScaleSpec extends AnyFunSuite {
     assert(lp.filter(col("id") === 10003L).head().getLong(2) == 10000L)
     assert(lp.filter(col("id") === 9997L).head().getLong(2) == 10000L)
   }
+
+  test("batch-16 diagnostics stay bounded on 100k nodes / 50k docs") {
+    import java.nio.file.Files
+    import graft.queries.Pipeline16
+
+    // q121's operator claim at 100k nodes: a triangle-free ring (every
+    // degree 2, zero closure) plus a disjoint 30-clique — the oriented
+    // wedge enumeration must count the clique's C(30,3) triangles
+    // exactly and nothing on the ring, with lcc exactly 1 inside the
+    // clique and 0 on the ring
+    val n = 100000L
+    val ring = spark.range(n).select(col("id").as("id_a"),
+      pmod(col("id") + 1, lit(n)).as("id_b"))
+    val cliqueIds = (200000L until 200030L)
+    val clique = spark.createDataFrame(
+      for { a <- cliqueIds; b <- cliqueIds; if a < b } yield (a, b))
+      .toDF("id_a", "id_b")
+    val nodes = spark.range(n).select(col("id"))
+      .union(spark.createDataFrame(cliqueIds.map(Tuple1(_))).toDF("id"))
+    val tri = Pipeline16.triangleStats(nodes, ring.union(clique))
+    assert(tri.filter(col("id") < n)
+      .filter(col("triangles") =!= 0L || col("lcc") =!= 0.0).isEmpty,
+      "the ring is triangle-free at any size")
+    val cl = tri.filter(col("id") >= 200000L).collect()
+    assert(cl.length == 30 && cl.forall(r =>
+      r.getLong(1) == 29L && r.getLong(2) == 406L && r.getDouble(3) == 1.0),
+      "each clique node closes C(29,2) wedges")
+
+    // q122's claim on a 50k-doc salad corpus: the winnow selection obeys
+    // its hard bounds everywhere (1 <= n_fps <= n_windows when a window
+    // fits, 0 otherwise) and the density sits near the 2/(w+1) theory —
+    // the scan-local form cannot silently drop documents
+    val dir = Files.createTempDirectory("scale_p16").toString
+    val salad = concat_ws(" ", (0 until 16).map(i =>
+      substring(md5(to_binary(concat(col("id").cast("string"),
+        lit(s"_w$i")), lit("utf-8"))), 1, (i % 5) + 4)): _*)
+    spark.range(50000).select(col("id").as("doc_id"), salad.as("text"),
+        lit("en").as("lang"), lit("src").as("source"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val win = Pipeline16.winnowFingerprints(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          split(graft.text.TextOps.normalize(col("text")), " ")
+            .as("words")))
+    // 16 words → 13 grams → 6 windows per doc
+    assert(win.filter(col("n_grams") =!= 13L).isEmpty)
+    assert(win.filter(col("n_fps") < 1L || col("n_fps") > 6L).isEmpty,
+      "winnow bounds must hold on every document")
+    val meanFps = win.agg(avg(col("n_fps"))).head().getDouble(0)
+    assert(meanFps >= 1.5 && meanFps <= 5.0,
+      s"selection density far from 2/(w+1) theory: $meanFps")
+
+    // q123's claim: the 256-byte register estimate holds its error
+    // contract at 50k distincts and is invariant to partitioning
+    import graft.dedup.Hll
+    val ids = spark.range(50000)
+      .select(Hll.md5Hex(col("id")).as("h"))
+    def est(parts: Int): Double = ids.repartition(parts)
+      .agg(Hll.hllDistinct(col("h"))).head().getDouble(0)
+    val e = est(32)
+    assert(math.abs(e - 50000.0) / 50000.0 < 0.15,
+      s"HLL(256) must sit within ~2 sigma at 50k, got $e")
+    assert(est(7) == e, "register merge is partitioning-invariant")
+  }
 }

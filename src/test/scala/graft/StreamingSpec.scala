@@ -443,6 +443,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed HLL distinct-user estimates: streaming == batch") {
+    import graft.dedup.Hll
+    val dir = stageDir()
+    val q = EventStreams.windowedDistinctUsersHll(
+        EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_windows").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hll_windows")
+      val want = batchEvents(s"$dir/part-0.parquet")
+        .withColumn("ts_t", col("ts"))
+        .groupBy(window(col("ts_t"), "5 minutes"), col("event_type"))
+        .agg(round(Hll.hllDistinct(Hll.md5Hex(col("user_id"))), 4)
+          .as("est_users"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("est_users"))
+      assert(got.count() > 0 && got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        "per-window register estimates must equal the batch aggregation")
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join matches the batch bucketed interval join") {
     val dir = stageDir()
     def side(tpe: String) = EventStreams.readEvents(spark, dir)
