@@ -361,12 +361,133 @@ object Pipeline16 {
     HAVING count(DISTINCT cg.gk) >= $LeakMinShared
     ORDER BY ev.eval_id, cg.doc_id"""
 
+  // ------------------------------------------------------------------ q126
+  // Per-source corpus health — the dashboard row a curation team watches
+  // per crawl: volume (docs, tokens), lexical shape (vocab size), drift
+  // (KL vs the corpus, the q113 core), near-duplication (share of docs
+  // with at least one SHARED winnowing fingerprint, the q122 sketch) and
+  // eval contamination (share of non-eval docs over the q80 overlap
+  // threshold). One query composes the four diagnostic families off the
+  // session artifacts; the DuckDB oracle replays every branch from
+  // scratch, so the green hash proves the COMPOSITION, not just the
+  // parts.
+  //
+  // Scale shape: every branch keeps its own gated shape (words-artifact
+  // explodes with map-side-combinable aggs, scan-local winnowing,
+  // broadcast eval grams); the final joins are on `source` — a
+  // handful of rows. Nothing new shuffles.
+  private val HealthContamFrac = 0.25
+
+  private val q126: Q = (s, d) => {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val w = GramMemo.words(s, d)
+    val base = w.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("words"))).cast("long").as("n_tokens"))
+    val vocab = w.select(col("source"), explode(col("words")).as("word"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("word")).as("vocab_size"))
+    val kl = Pipeline14.sourceKlOfWords(w).select(col("source"), col("kl"))
+    val dup = w.select(col("doc_id"), col("source"))
+      .join(winnowFingerprints(w).select(col("doc_id"),
+        (col("n_shared_fps") > 0).cast("int").as("_dup")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(round(avg(col("_dup")), 6).as("dup_doc_share"))
+    val docs = documents(s, d).select(col("doc_id"), col("source"),
+      column(graft.dedup.NGramArray(expression(col("text")), LeakGramN))
+        .as("_g"))
+    val evalGrams = docs.filter(col("doc_id") % 10 === 0)
+      .select(explode(col("_g")).as("gram")).distinct()
+      .withColumn("_hit", lit(1))
+    val contam = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("source"),
+        size(col("_g")).cast("long").as("n_grams"),
+        explode(col("_g")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("source"), col("n_grams"))
+      .agg(count(col("_hit")).as("n_hits"))
+      .select(col("source"),
+        (round(col("n_hits").cast("double") / col("n_grams"), 6) >=
+          HealthContamFrac).cast("int").as("_c"))
+      .groupBy(col("source"))
+      .agg(round(avg(col("_c")), 6).as("contam_doc_share"))
+    base.join(vocab, Seq("source")).join(kl, Seq("source"))
+      .join(dup, Seq("source")).join(contam, Seq("source"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q126Sql = {
+    val k = WinK; val ww = WinW
+    s"""
+    WITH nd AS (SELECT doc_id, source, ${OracleSql.normSql} AS n
+                FROM documents),
+    wt AS (SELECT doc_id, source, string_split(n, ' ') AS w FROM nd),
+    base AS (SELECT source, count(*) AS n_docs,
+               CAST(sum(len(w)) AS BIGINT) AS n_tokens
+             FROM wt GROUP BY source),
+    sw AS (SELECT source, unnest(w) AS word FROM wt),
+    voc AS (SELECT source, count(DISTINCT word) AS vocab_size
+            FROM sw GROUP BY source),
+    c AS (SELECT source, word, count(*) AS c FROM sw GROUP BY source, word),
+    wtot AS (SELECT word, sum(c) AS cw FROM c GROUP BY word),
+    st AS (SELECT source, sum(c) AS cs FROM c GROUP BY source),
+    tot AS (SELECT sum(cs) AS ct FROM st),
+    kl AS (SELECT c.source,
+             round(sum((c.c / st.cs) *
+               ln((c.c / st.cs) / (wtot.cw / tot.ct))), 6) AS kl
+           FROM c JOIN wtot USING (word) JOIN st USING (source)
+           CROSS JOIN tot GROUP BY c.source),
+    fps AS (SELECT doc_id,
+              CASE WHEN len(w) >= ${k + ww - 1} THEN
+                list_distinct(list_transform(
+                  generate_series(0, len(w) - ${k + ww - 1}),
+                  p -> list_min(list_transform(
+                    generate_series(p, p + ${ww - 1}),
+                    i -> substr(md5(array_to_string(w[i+1:i+$k], ' ')),
+                                1, 16)))))
+              ELSE [] END AS fps
+            FROM wt),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+    sh AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS ndoc
+                           FROM fp GROUP BY fp) WHERE ndoc >= 2),
+    dupdoc AS (SELECT DISTINCT doc_id FROM fp JOIN sh USING (fp)),
+    dup AS (SELECT wt.source,
+              round(avg(CASE WHEN dupdoc.doc_id IS NULL THEN 0
+                        ELSE 1 END), 6) AS dup_doc_share
+            FROM wt LEFT JOIN dupdoc ON dupdoc.doc_id = wt.doc_id
+            GROUP BY wt.source),
+    g AS (SELECT doc_id, source, ${OracleSql.gramsSql(LeakGramN)} AS gr
+          FROM wt),
+    ev AS (SELECT DISTINCT unnest(gr) AS gram FROM g
+           WHERE doc_id % 10 = 0),
+    cg AS (SELECT doc_id, source, CAST(len(gr) AS BIGINT) AS n_grams,
+                  unnest(gr) AS gram
+           FROM g WHERE doc_id % 10 <> 0),
+    perdoc AS (SELECT cg.doc_id, cg.source, cg.n_grams,
+                 count(ev.gram) AS n_hits
+               FROM cg LEFT JOIN ev ON ev.gram = cg.gram
+               GROUP BY cg.doc_id, cg.source, cg.n_grams),
+    cont AS (SELECT source,
+               round(avg(CASE WHEN
+                 round(CAST(n_hits AS DOUBLE) / n_grams, 6) >=
+                   $HealthContamFrac THEN 1 ELSE 0 END), 6)
+                 AS contam_doc_share
+             FROM perdoc GROUP BY source)
+    SELECT base.source, base.n_docs, base.n_tokens, voc.vocab_size,
+           kl.kl, dup.dup_doc_share, cont.contam_doc_share
+    FROM base JOIN voc USING (source) JOIN kl ON kl.source = base.source
+         JOIN dup ON dup.source = base.source
+         JOIN cont ON cont.source = base.source
+    ORDER BY base.source"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q121_triangle_closure" -> q121,
     "q122_winnow_fingerprints" -> q122,
     "q123_hll_distinct" -> q123,
     "q124_zipf_slope" -> q124,
     "q125_contamination_attribution" -> q125,
+    "q126_source_health" -> q126,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -375,5 +496,6 @@ object Pipeline16 {
     "q123_hll_distinct" -> q123Sql,
     "q124_zipf_slope" -> q124Sql,
     "q125_contamination_attribution" -> q125Sql,
+    "q126_source_health" -> q126Sql,
   )
 }

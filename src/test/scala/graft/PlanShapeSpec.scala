@@ -116,6 +116,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "q124 must ride the words artifact")
     assert(!p124.contains("Exchange SinglePartition, ENSURE"),
       "q124 must not funnel the vocab through one partition")
+    // q126: the health dashboard composes four diagnostic branches —
+    // only the contamination branch may touch parquet (eval + corpus
+    // sides of the q80 shape); everything lexical rides the artifact,
+    // and nothing cartesians
+    val p126 = planString("q126_source_health")
+    assert("Scan parquet".r.findAllIn(p126).size <= 2,
+      "q126's lexical branches must ride the words artifact")
+    // the KL branch's <=1-row totals broadcast is the one sanctioned
+    // nested-loop (scalar plumbing); a true cartesian is still banned
+    assert(!p126.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p126).size <= 1,
+      "only the scalar totals may nested-loop")
   }
 
   test("decontamination probes eval grams via broadcast, never a shuffle join") {
