@@ -155,10 +155,15 @@ object Pipeline16 {
     * hand-fixture spec (planted shared run → guaranteed shared
     * fingerprint; density arithmetic on a known hash sequence).
     */
-  def winnowFingerprints(words: DataFrame, k: Int = WinK,
-                         w: Int = WinW): DataFrame = {
+  /** The scan-local winnow selection: (doc_id, n_grams, fps) with the
+    * per-doc distinct window-min fingerprint set — shared by q122's
+    * per-doc stats and q127's family clustering. Checkpointed: both
+    * consumers fan it into ≥2 derivations.
+    */
+  def winnowBase(words: DataFrame, k: Int = WinK,
+                 w: Int = WinW): DataFrame = {
     val wc = col("words")
-    val base = words.select(col("doc_id"),
+    words.select(col("doc_id"),
       greatest(size(wc) - (k - 1), lit(0)).cast("long").as("n_grams"),
       when(size(wc) >= k + w - 1,
         array_distinct(transform(
@@ -170,6 +175,11 @@ object Pipeline16 {
               lit("utf-8"))), 1, 16))))))
         .otherwise(array().cast("array<string>")).as("fps"))
       .localCheckpoint()
+  }
+
+  def winnowFingerprints(words: DataFrame, k: Int = WinK,
+                         w: Int = WinW): DataFrame = {
+    val base = winnowBase(words, k, w)
     val fp = base.select(col("doc_id"), explode(col("fps")).as("fp"))
     val shared = fp.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("ndoc"))
@@ -481,6 +491,102 @@ object Pipeline16 {
     ORDER BY base.source"""
   }
 
+  // ------------------------------------------------------------------ q127
+  // Winnow dedup FAMILIES — the MOSS end-game: documents sharing ≥
+  // MinShared selected fingerprints are edges, connected components are
+  // the span-sharing families. This clusters what q50 (whole-document
+  // MinHash Jaccard) cannot see: two long documents sharing one long
+  // plagiarized section have near-zero document Jaccard but a
+  // guaranteed shared winnow fingerprint. Fingerprints shared by more
+  // than DfMax docs are boilerplate (navigation chrome, licenses) and
+  // are EXCLUDED before pair enumeration — the q86 df-cap economics:
+  // fan-out per fingerprint is ≤ DfMax² by construction, and a
+  // boilerplate fp joining 10⁶ docs pairwise is exactly the blow-up a
+  // 100 TB run must not attempt.
+  //
+  // Scale shape: selection scan-local (winnowBase); the df election and
+  // the posting self-join are equi-joins on 16-char fp keys; pair
+  // counts are map-side combinable; components run through the capped
+  // driver union-find / distributed propagation of
+  // DedupOps.connectedComponents (the q50 path).
+  private val WinDfMax = 64
+  private val WinMinShared = 2
+
+  /** q127's core over an explicit (doc_id, words) frame — public for
+    * the hand-fixture spec (shared-run family recovery, df-cap
+    * exclusion, transitivity).
+    */
+  def winnowFamilies(words: DataFrame, k: Int = WinK, w: Int = WinW,
+                     dfMax: Int = WinDfMax,
+                     minShared: Int = WinMinShared): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = winnowBase(words, k, w)
+    val fp = base.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val keep = fp.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("ndoc"))
+      .filter(col("ndoc") >= 2 && col("ndoc") <= dfMax)
+      .select(col("fp"))
+    val pe = fp.join(keep, Seq("fp"))
+    val edges = pe.select(col("fp"), col("doc_id").as("id_a"))
+      .join(pe.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minShared)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    graft.dedup.DedupOps.connectedComponents(
+        base.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .withColumn("n_members", count(lit(1))
+        .over(Window.partitionBy(col("cluster_id"))).cast("long"))
+      .withColumn("is_rep", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q127: Q = (s, d) => winnowFamilies(GramMemo.words(s, d))
+
+  private lazy val q127Sql = {
+    val k = WinK; val ww = WinW
+    s"""
+    WITH RECURSIVE nd AS (SELECT doc_id, ${OracleSql.normSql} AS n
+                          FROM documents),
+    wt AS (SELECT doc_id, string_split(n, ' ') AS w FROM nd),
+    fps AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= ${k + ww - 1} THEN
+               list_distinct(list_transform(
+                 generate_series(0, len(w) - ${k + ww - 1}),
+                 p -> list_min(list_transform(
+                   generate_series(p, p + ${ww - 1}),
+                   i -> substr(md5(array_to_string(w[i+1:i+$k], ' ')),
+                               1, 16)))))
+             ELSE [] END AS fps
+      FROM wt),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+    keep AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS ndoc
+                             FROM fp GROUP BY fp)
+             WHERE ndoc >= 2 AND ndoc <= $WinDfMax),
+    pe AS (SELECT doc_id, fp FROM fp JOIN keep USING (fp)),
+    edges AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pe a JOIN pe b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= $WinMinShared),
+    sym AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM edges),
+    lbl AS (
+        SELECT doc_id AS id, doc_id AS l FROM documents
+      UNION
+        SELECT s.a AS id, lbl.l AS l
+        FROM lbl JOIN sym s ON s.b = lbl.id
+        WHERE lbl.l < s.a),
+    cc AS (SELECT id AS doc_id, min(l) AS cluster_id FROM lbl GROUP BY id)
+    SELECT doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS n_members,
+           doc_id = cluster_id AS is_rep
+    FROM cc ORDER BY doc_id"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q121_triangle_closure" -> q121,
     "q122_winnow_fingerprints" -> q122,
@@ -488,6 +594,7 @@ object Pipeline16 {
     "q124_zipf_slope" -> q124,
     "q125_contamination_attribution" -> q125,
     "q126_source_health" -> q126,
+    "q127_winnow_families" -> q127,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -497,5 +604,6 @@ object Pipeline16 {
     "q124_zipf_slope" -> q124Sql,
     "q125_contamination_attribution" -> q125Sql,
     "q126_source_health" -> q126Sql,
+    "q127_winnow_families" -> q127Sql,
   )
 }

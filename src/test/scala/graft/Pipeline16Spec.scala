@@ -118,6 +118,31 @@ class Pipeline16Spec extends AnyFunSuite {
     assert(estOf(base) == estOf(base ++ base ++ base))
   }
 
+  test("q127 core: shared runs form families; the df cap kills boilerplate") {
+    val run = (1 to 11).map(i => s"r$i").mkString(" ")
+    val rows = Seq(
+      1L -> s"alpha beta gamma delta epsilon zeta $run",
+      2L -> s"$run omega psi chi phi upsilon tau",
+      3L -> s"one two three four five six $run seven eight",
+      9L -> "lonely words that never repeat anything from the others here")
+    // all three run-sharing docs must land in ONE family (transitive),
+    // rep = min id; the isolated doc is its own singleton
+    val out = Pipeline16.winnowFamilies(wordsDf(rows), minShared = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((1L, 3L, true)))
+    assert(out(2L) == ((1L, 3L, false)) && out(3L) == ((1L, 3L, false)))
+    assert(out(9L) == ((9L, 1L, true)))
+    // df cap: three IDENTICAL docs share exactly one fp set, each fp at
+    // df=3 > dfMax=2 → boilerplate, excluded, everyone a singleton
+    val ident = Seq(1L -> run, 2L -> run, 3L -> run)
+    val capped = Pipeline16.winnowFamilies(wordsDf(ident), dfMax = 2,
+        minShared = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(capped.values.forall(_ == 1L),
+      "a fingerprint over the df cap must not create families")
+  }
+
   test("q124 core: an exact power law fits slope -1 with r2 = 1") {
     import spark.implicits._
     // freq(r) = 12/r for r = 1..4: ln c = ln 12 − ln r exactly
