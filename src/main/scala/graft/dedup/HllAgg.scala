@@ -93,6 +93,83 @@ case class HllSketch(
     copy(hash = newChildren(0))
 }
 
+/** [[HllSketch]] that evals to the raw 256-byte REGISTER ARRAY instead
+  * of the estimate — the form a production store persists per
+  * (shard × day × group) so cardinalities fold across any slice
+  * without re-reading events. Folded by [[HllMergeRegisters]].
+  */
+case class HllRegisters(
+    hash: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  private val inner = HllSketch(hash)
+  override def children: Seq[Expression] = Seq(hash)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_registers"
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](Hll.M)
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] =
+    inner.update(buf, input)
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] =
+    inner.merge(buf, other)
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllRegisters =
+    copy(hash = newChildren(0))
+}
+
+/** Second-level fold: merges STORED register arrays (the
+  * [[HllRegisters]] output) by element-wise max and evals to the
+  * estimate. Because register max-merge is associative, commutative and
+  * idempotent, fold(registers per shard) == sketch(all rows) exactly —
+  * the identity q128 pins against the direct q123 aggregation.
+  */
+case class HllMergeRegisters(
+    regs: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def children: Seq[Expression] = Seq(regs)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hll_merge"
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](Hll.M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val r = regs.eval(input)
+    if (r != null) merge(buf, r.asInstanceOf[Array[Byte]]) else buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < Hll.M) {
+      if (other(j) > buf(j)) buf(j) = other(j)
+      j += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = Hll.estimate(buf)
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeRegisters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeRegisters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllMergeRegisters =
+    copy(regs = newChildren(0))
+}
+
 object Hll {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
@@ -128,6 +205,16 @@ object Hll {
   /** The sketch estimate as an aggregate Column over [[md5Hex]] input. */
   def hllDistinct(hashHex: Column): Column =
     column(HllSketch(expression(hashHex)).toAggregateExpression())
+
+  /** The raw register array as an aggregate Column (the stored-artifact
+    * form); fold stored arrays with [[hllFold]].
+    */
+  def hllRegisters(hashHex: Column): Column =
+    column(HllRegisters(expression(hashHex)).toAggregateExpression())
+
+  /** Fold of stored register arrays to the estimate. */
+  def hllFold(regs: Column): Column =
+    column(HllMergeRegisters(expression(regs)).toAggregateExpression())
 
   /** DuckDB mirror: per-`grp` register table (grp, j, mj) from table
     * `t(grp, h)` of md5 hex strings — emit with FROM the caller's CTEs.

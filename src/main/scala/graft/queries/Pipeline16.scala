@@ -587,6 +587,50 @@ object Pipeline16 {
     FROM cc ORDER BY doc_id"""
   }
 
+  // ------------------------------------------------------------------ q128
+  // HLL SHARD FOLD — the reason the sketch exists: per-(type, day)
+  // register arrays are built once (the stored artifact a production
+  // store keeps per shard), then distinct-users-per-type comes from
+  // max-merging the STORED 256-byte arrays — no event re-read. Register
+  // max-merge is associative/commutative/idempotent, so
+  // fold(per-day registers) == sketch(all events) EXACTLY; the query
+  // emits both sides and a `fold_exact` flag, and the oracle hard-codes
+  // TRUE — a fold bug turns the row red. At 100 TB the direct column is
+  // dropped and the daily job touches only register tables.
+  private val q128: Q = (s, d) => {
+    import graft.dedup.Hll
+    val ev = eventsMicros(s, d).select(col("event_type"),
+      to_date(col("ts_t")).as("day"), Hll.md5Hex(col("user_id")).as("h"))
+    // the "stored" register table: one 256-byte row per (type, day)
+    val shards = ev.groupBy(col("event_type"), col("day"))
+      .agg(Hll.hllRegisters(col("h")).as("regs"))
+      .localCheckpoint()
+    val folded = shards.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_shards"),
+        round(Hll.hllFold(col("regs")), 4).as("hll_est"))
+    val direct = eventsMicros(s, d)
+      .select(col("event_type"), Hll.md5Hex(col("user_id")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(round(Hll.hllDistinct(col("h")), 4).as("direct_est"))
+    folded.join(direct, Seq("event_type"))
+      .withColumn("fold_exact", col("hll_est") === col("direct_est"))
+      .orderBy(col("event_type"))
+  }
+
+  private lazy val q128Sql = s"""
+    WITH t AS (SELECT event_type AS grp,
+                      md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+    regs AS (${graft.dedup.Hll.registersSql}),
+    est AS (${graft.dedup.Hll.estimateSql}),
+    days AS (SELECT event_type AS grp,
+               count(DISTINCT CAST(ts AS DATE)) AS n_shards
+             FROM events GROUP BY 1)
+    SELECT d.grp AS event_type, CAST(d.n_shards AS BIGINT) AS n_shards,
+           round(est.est, 4) AS hll_est, round(est.est, 4) AS direct_est,
+           TRUE AS fold_exact
+    FROM days d JOIN est ON est.grp = d.grp
+    ORDER BY event_type"""
+
   val queries: Map[String, Q] = Map(
     "q121_triangle_closure" -> q121,
     "q122_winnow_fingerprints" -> q122,
@@ -595,6 +639,7 @@ object Pipeline16 {
     "q125_contamination_attribution" -> q125,
     "q126_source_health" -> q126,
     "q127_winnow_families" -> q127,
+    "q128_hll_shard_fold" -> q128,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -605,5 +650,6 @@ object Pipeline16 {
     "q125_contamination_attribution" -> q125Sql,
     "q126_source_health" -> q126Sql,
     "q127_winnow_families" -> q127Sql,
+    "q128_hll_shard_fold" -> q128Sql,
   )
 }

@@ -108,6 +108,22 @@ class Pipeline16Spec extends AnyFunSuite {
     assert(est(7) == e1 && est(32) == e1)
   }
 
+  test("q128 HLL: folding stored shard registers == the direct sketch") {
+    import spark.implicits._
+    import graft.dedup.Hll
+    // 4 shards with overlapping user populations — idempotent max-merge
+    // must absorb the overlap, landing exactly on the direct estimate
+    val rows = (1 to 4000).map(i => (i % 4, s"user_${i % 1100}"))
+    val df = rows.toDF("shard", "v")
+      .select(col("shard"), Hll.md5Hex(col("v")).as("h"))
+    val folded = df.groupBy(col("shard"))
+      .agg(Hll.hllRegisters(col("h")).as("regs"))
+      .agg(Hll.hllFold(col("regs"))).head().getDouble(0)
+    val direct = df.agg(Hll.hllDistinct(col("h"))).head().getDouble(0)
+    assert(folded == direct,
+      "register fold must be bit-identical to the one-pass sketch")
+  }
+
   test("q123 HLL: empty input estimates zero; duplicates don't move it") {
     import spark.implicits._
     assert(graft.dedup.Hll.estimate(new Array[Byte](256)) == 0.0)
