@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.expressions.Cast
-import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DateType, DoubleType, IntegerType, LongType, StringType}
 import graft.core._
 import graft.dedup.{MinHashSig, NGramJaccard, SimHashSig}
 import graft.multimodal.ByteHistogram16
@@ -100,6 +100,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("kmv_distinct", "KMV distinct-count estimate (k=256) over 52-bit hashes; engine-portable, mergeable"),
       arity("kmv_distinct", 1)(es =>
         graft.dedup.KmvSketch(Cast(es.head, LongType), k = 256)
+          .toAggregateExpression())))
+    e.injectFunction((FunctionIdentifier("hll_distinct"),
+      info("hll_distinct", "HyperLogLog distinct-count estimate (256 registers) over md5-hex input; engine-portable, mergeable"),
+      arity("hll_distinct", 1)(es =>
+        graft.dedup.HllSketch(Cast(es.head, StringType))
+          .toAggregateExpression())))
+    e.injectFunction((FunctionIdentifier("hll_registers"),
+      info("hll_registers", "raw 256-byte HyperLogLog register array (the stored shard artifact) over md5-hex input"),
+      arity("hll_registers", 1)(es =>
+        graft.dedup.HllRegisters(Cast(es.head, StringType))
+          .toAggregateExpression())))
+    e.injectFunction((FunctionIdentifier("hll_merge"),
+      info("hll_merge", "fold of stored HLL register arrays to the distinct-count estimate"),
+      arity("hll_merge", 1)(es =>
+        graft.dedup.HllMergeRegisters(Cast(es.head, BinaryType))
           .toAggregateExpression())))
   }
 }

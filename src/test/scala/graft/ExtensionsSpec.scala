@@ -55,6 +55,20 @@ class ExtensionsSpec extends AnyFunSuite {
       """).head().getDouble(0)
       assert(kmv == 100.0)
 
+      // hll family: direct estimate == fold of per-shard registers
+      // (pure SQL deployment of the stored-sketch loop)
+      val hll = spark.sql("""
+        SELECT hll_distinct(md5(CAST(v AS STRING))) AS est
+        FROM (SELECT explode(sequence(1, 2000)) AS v)
+      """).head().getDouble(0)
+      assert(math.abs(hll - 2000.0) / 2000.0 < 0.15)
+      val hllFold = spark.sql("""
+        SELECT hll_merge(regs) AS est FROM (
+          SELECT v % 4 AS shard, hll_registers(md5(CAST(v AS STRING))) AS regs
+          FROM (SELECT explode(sequence(1, 2000)) AS v) GROUP BY v % 4)
+      """).head().getDouble(0)
+      assert(hllFold == hll, "SQL register fold must equal the direct sketch")
+
       // wrong arity fails at analysis with the function named, not with
       // a builder IndexOutOfBoundsException
       val arityErr = intercept[Exception] {
