@@ -61,6 +61,9 @@ object Bench {
         // q118 produces the trained-quantizer artifact q119 consumes
         if (name == "q46_embedding_neardup") graft.queries.EmbMemo.clear()
         if (name == "q118_kmeans_lloyd") graft.queries.EmbMemo.clearKmeans()
+        // q122 produces the winnow-selection artifact q126/q127 consume
+        if (name == "q122_winnow_fingerprints")
+          graft.queries.GramMemo.clearWinnow()
         System.err.println(s"[bench] running $name ($r/$repeats)")
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

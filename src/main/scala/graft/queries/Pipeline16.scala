@@ -163,23 +163,34 @@ object Pipeline16 {
   def winnowBase(words: DataFrame, k: Int = WinK,
                  w: Int = WinW): DataFrame = {
     val wc = col("words")
-    words.select(col("doc_id"),
-      greatest(size(wc) - (k - 1), lit(0)).cast("long").as("n_grams"),
-      when(size(wc) >= k + w - 1,
-        array_distinct(transform(
-          sequence(lit(0), size(wc) - (k + w - 1)),
-          p => array_min(transform(
-            sequence(p, p + w - 1),
-            i => substring(md5(to_binary(
-              array_join(slice(wc, i + 1, lit(k)), " "),
-              lit("utf-8"))), 1, 16))))))
-        .otherwise(array().cast("array<string>")).as("fps"))
+    // hash once per GRAM, then window-min over the precomputed array —
+    // the fused form recomputed each gram's md5 in every window that
+    // contains it (w× redundant hashing; measured ~2× the whole query)
+    words.select(col("doc_id"), wc,
+        when(size(wc) >= k, transform(
+          sequence(lit(0), size(wc) - k),
+          i => substring(md5(to_binary(
+            array_join(slice(wc, i + 1, lit(k)), " "),
+            lit("utf-8"))), 1, 16)))
+          .otherwise(array().cast("array<string>")).as("_ha"))
+      .select(col("doc_id"),
+        greatest(size(wc) - (k - 1), lit(0)).cast("long").as("n_grams"),
+        when(size(col("_ha")) >= w,
+          array_distinct(transform(
+            sequence(lit(0), size(col("_ha")) - w),
+            p => array_min(slice(col("_ha"), p + 1, lit(w))))))
+          .otherwise(array().cast("array<string>")).as("fps"))
       .localCheckpoint()
   }
 
   def winnowFingerprints(words: DataFrame, k: Int = WinK,
-                         w: Int = WinW): DataFrame = {
-    val base = winnowBase(words, k, w)
+                         w: Int = WinW): DataFrame =
+    winnowFingerprintsFromBase(winnowBase(words, k, w))
+
+  /** [[winnowFingerprints]] over an ALREADY-materialized selection (the
+    * [[GramMemo.winnow]] artifact).
+    */
+  def winnowFingerprintsFromBase(base: DataFrame): DataFrame = {
     val fp = base.select(col("doc_id"), explode(col("fps")).as("fp"))
     val shared = fp.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("ndoc"))
@@ -195,7 +206,8 @@ object Pipeline16 {
       .orderBy(col("doc_id"))
   }
 
-  private val q122: Q = (s, d) => winnowFingerprints(GramMemo.words(s, d))
+  private val q122: Q = (s, d) =>
+    winnowFingerprintsFromBase(GramMemo.winnow(s, d))
 
   private val q122Sql = {
     val k = WinK; val w = WinW
@@ -391,15 +403,28 @@ object Pipeline16 {
   private val q126: Q = (s, d) => {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val w = GramMemo.words(s, d)
-    val base = w.groupBy(col("source")).agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(col("words"))).cast("long").as("n_tokens"))
-    val vocab = w.select(col("source"), explode(col("words")).as("word"))
+    val base = w.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    // ONE (source, word) counts table feeds tokens, vocab AND the KL —
+    // the same vocab-bounded pin q113 uses; re-deriving each from its
+    // own corpus explode tripled the lexical branches' cost
+    val c = w.select(col("source"), explode(col("words")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val vocab = c.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("vocab_size"))
+    val wt = c.groupBy(col("word")).agg(sum(col("c")).as("cw"))
+    val st = c.groupBy(col("source")).agg(sum(col("c")).as("cs"))
+    val tot = st.agg(sum(col("cs")).as("ct"))
+    val kl = c.join(wt, Seq("word")).join(broadcast(st), Seq("source"))
+      .crossJoin(broadcast(tot))
       .groupBy(col("source"))
-      .agg(countDistinct(col("word")).as("vocab_size"))
-    val kl = Pipeline14.sourceKlOfWords(w).select(col("source"), col("kl"))
+      .agg(round(sum((col("c") / col("cs")) *
+        log((col("c") / col("cs")) / (col("cw") / col("ct")))), 6)
+        .as("kl"))
     val dup = w.select(col("doc_id"), col("source"))
-      .join(winnowFingerprints(w).select(col("doc_id"),
+      .join(winnowFingerprintsFromBase(GramMemo.winnow(s, d))
+        .select(col("doc_id"),
         (col("n_shared_fps") > 0).cast("int").as("_dup")), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(round(avg(col("_dup")), 6).as("dup_doc_share"))
@@ -518,9 +543,13 @@ object Pipeline16 {
     */
   def winnowFamilies(words: DataFrame, k: Int = WinK, w: Int = WinW,
                      dfMax: Int = WinDfMax,
-                     minShared: Int = WinMinShared): DataFrame = {
+                     minShared: Int = WinMinShared): DataFrame =
+    winnowFamiliesFromBase(winnowBase(words, k, w), dfMax, minShared)
+
+  /** [[winnowFamilies]] over an ALREADY-materialized selection. */
+  def winnowFamiliesFromBase(base: DataFrame, dfMax: Int = WinDfMax,
+                             minShared: Int = WinMinShared): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = winnowBase(words, k, w)
     val fp = base.select(col("doc_id"), explode(col("fps")).as("fp"))
     val keep = fp.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("ndoc"))
@@ -542,7 +571,8 @@ object Pipeline16 {
       .orderBy(col("doc_id"))
   }
 
-  private val q127: Q = (s, d) => winnowFamilies(GramMemo.words(s, d))
+  private val q127: Q = (s, d) =>
+    winnowFamiliesFromBase(GramMemo.winnow(s, d))
 
   private lazy val q127Sql = {
     val k = WinK; val ww = WinW
