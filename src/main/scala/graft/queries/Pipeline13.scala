@@ -72,15 +72,18 @@ object Pipeline13 {
   private val q109: Q = (s, d) =>
     rrfFusionW(GramMemo.words(s, d), embeddings(s, d))
 
-  private lazy val q109Sql = {
+  /** The q109 fusion CTE chain (scores … final) without the outer
+    * SELECT — shared verbatim by q109's output and q129's RBO probe so
+    * the two oracles cannot disagree on the fused ranking.
+    */
+  private lazy val fusionCtes: String = {
     val dot = """list_sum(list_transform(generate_series(1, 64),
            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))"""
     val nA = """sqrt(list_sum(list_transform(e.embedding,
            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
     val nB = """sqrt(list_sum(list_transform(q.q_vec,
            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""
-    s"""
-    WITH ${OracleSql.bm25ScoresSql(FuseTerms, BmK1, BmB)},
+    s"""${OracleSql.bm25ScoresSql(FuseTerms, BmK1, BmB)},
     lexr AS (SELECT doc_id, score, row_number() OVER
                (ORDER BY score DESC, doc_id) AS rnk_lex FROM scores),
     lex AS (SELECT doc_id, rnk_lex FROM lexr WHERE rnk_lex <= $FuseK),
@@ -99,11 +102,14 @@ object Pipeline13 {
           AS rrf
       FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id),
     final AS (SELECT doc_id, rnk_lex, rnk_sem, rrf, row_number() OVER
-                (ORDER BY rrf DESC, doc_id) AS rnk FROM fused)
+                (ORDER BY rrf DESC, doc_id) AS rnk FROM fused)"""
+  }
+
+  private lazy val q109Sql = s"""
+    WITH $fusionCtes
     SELECT doc_id, CAST(rnk_lex AS BIGINT) AS rnk_lex,
            CAST(rnk_sem AS BIGINT) AS rnk_sem, rrf, CAST(rnk AS BIGINT) AS rnk
     FROM final WHERE rnk <= $FuseTopN ORDER BY rnk"""
-  }
 
   // ------------------------------------------------------------------ q110
   // Per-source quantile-threshold quality gate: keep each source's docs
@@ -261,7 +267,74 @@ object Pipeline13 {
     WHERE r <= $RmFbDocs ORDER BY rnk"""
   }
 
+  // ------------------------------------------------------------------ q129
+  // Rank-biased overlap (Webber, Moffat & Zobel 2010) between the two
+  // retrieval modalities q109 fuses — the truncated-RBO curve
+  // RBO@i = (1−p) Σ_{j≤i} p^{j−1}·|A_j ∩ B_j|/j, p = 0.9, between the
+  // lexical BM25 top-10 and the FUSED top-10 for the same query — how
+  // much of the lexical ordering fusion preserved. This is the eval
+  // number a retrieval stack watches when tuning fusion (RBO ≈ 1 → the
+  // fused list is just the lexical list, the semantic leg added
+  // nothing; low RBO → the semantic evidence reshaped the ranking).
+  // Identity used: |A_i ∩ B_i| = #{docs: max(rank_A, rank_B) ≤ i}, so
+  // one inner join + one ≤k-row cumulative window replaces per-depth
+  // set intersections.
+  //
+  // Scale shape: both legs are the q109 bounded k-heap scans; everything
+  // after them touches ≤ k rows (the two global windows are over ≤ 10
+  // rows by construction). Same shape at any corpus size.
+  private val RboK = 10
+  private val RboP = 0.9
+
+  private val q129: Q = (s, d) => {
+    val lex = Retrieval.rankedTopK(
+        Retrieval.bm25ScoresW(GramMemo.words(s, d), FuseTerms, BmK1, BmB),
+        RboK)
+      .select(col("doc_id"), col("rnk").as("ra"))
+    val fused = rrfFusionW(GramMemo.words(s, d), embeddings(s, d))
+      .filter(col("rnk") <= RboK)
+      .select(col("doc_id"), col("rnk").as("rb"))
+    val cnt = lex.join(fused, Seq("doc_id"))
+      .select(greatest(col("ra"), col("rb")).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("depth"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.range(1, RboK + 1).select(col("id").as("depth"))
+      .join(cnt.select(col("m").as("depth"), col("c")), Seq("depth"), "left")
+      .withColumn("n_overlap", sum(coalesce(col("c"), lit(0L))).over(w))
+      .withColumn("_contrib", lit(1 - RboP) *
+        pow(lit(RboP), col("depth") - 1) * col("n_overlap") / col("depth"))
+      .withColumn("rbo_at_depth", round(sum(col("_contrib")).over(w), 6))
+      .select(col("depth"), col("n_overlap"),
+        round(col("_contrib"), 6).as("contrib"), col("rbo_at_depth"))
+      .orderBy(col("depth"))
+  }
+
+  private lazy val q129Sql = s"""
+    WITH $fusionCtes,
+    la AS (SELECT doc_id, rnk_lex AS ra FROM lex WHERE rnk_lex <= $RboK),
+    fb AS (SELECT doc_id, rnk AS rb FROM final WHERE rnk <= $RboK),
+    mt AS (SELECT greatest(la.ra, fb.rb) AS m
+           FROM la JOIN fb USING (doc_id)),
+    cnt AS (SELECT m, count(*) AS c FROM mt GROUP BY m),
+    dep AS (SELECT unnest(generate_series(1, $RboK)) AS depth),
+    cum AS (SELECT dep.depth,
+              sum(coalesce(cnt.c, 0)) OVER
+                (ORDER BY dep.depth ROWS UNBOUNDED PRECEDING) AS n_overlap
+            FROM dep LEFT JOIN cnt ON cnt.m = dep.depth),
+    fin AS (SELECT depth, n_overlap,
+              ${1 - RboP} * pow($RboP, depth - 1) * n_overlap / depth
+                AS contrib
+            FROM cum)
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           round(contrib, 6) AS contrib,
+           round(sum(contrib) OVER
+             (ORDER BY depth ROWS UNBOUNDED PRECEDING), 6) AS rbo_at_depth
+    FROM fin ORDER BY depth"""
+
   val queries: Map[String, Q] = Map(
+    "q129_rbo_rankings" -> q129,
     "q109_rrf_fusion" -> q109,
     "q110_quality_gate" -> q110,
     "q111_rm3_expansion" -> q111)
@@ -269,5 +342,6 @@ object Pipeline13 {
   val oracleSql: Map[String, String] = Map(
     "q109_rrf_fusion" -> q109Sql,
     "q110_quality_gate" -> q110Sql,
-    "q111_rm3_expansion" -> q111Sql)
+    "q111_rm3_expansion" -> q111Sql,
+    "q129_rbo_rankings" -> q129Sql)
 }
