@@ -661,7 +661,95 @@ object Pipeline16 {
     FROM days d JOIN est ON est.grp = d.grp
     ORDER BY event_type"""
 
+  // ------------------------------------------------------------------ q130
+  // Embedding centroid drift — the embedding-modality twin of q113's
+  // lexical KL monitor: per label, the centroid of the FIRST half of
+  // the stream (vec_id < median split) vs the SECOND half, reported as
+  // cosine drift (1 − cos) and L2 shift. A drifting encoder, a crawl
+  // whose topic mix rotated, or a poisoned batch all show up here
+  // before any downstream metric moves. Determinism: per-dim means are
+  // 6-dp-pinned BEFORE the distance arithmetic (the q92 rule), so
+  // group-sum ulps cannot reach the output.
+  //
+  // Scale shape: ONE scan — per (label, half) the dim sums are 64
+  // aggregate columns with map-side partial aggregation (the q117/q118
+  // shape: the exchange carries labels × 2 × 64 doubles, independent of
+  // row count); the halves pair up in a label-keyed self-join of that
+  // tiny aggregate; the distances are scan-local array folds.
+  private val DriftDim = 64
+
+  /** q130's core over an explicit (id, vec, label) frame — public for
+    * the hand-fixture spec (planted shift → exact drift arithmetic).
+    */
+  def centroidDrift(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, splitAt: Long,
+                    dim: Int = DriftDim): DataFrame = {
+    val sums = (0 until dim).map(j =>
+      round(avg(element_at(col(vecCol), j + 1).cast("double")), 6)
+        .as(s"_m$j"))
+    val cents = emb
+      .select(col(labelCol).as("label"),
+        (col(idCol) < splitAt).as("first_half"), col(vecCol))
+      .groupBy(col("label"), col("first_half"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("label"), col("first_half"), col("n"),
+        array((0 until dim).map(j => col(s"_m$j")): _*).as("c"))
+    val a = cents.filter(col("first_half"))
+      .select(col("label"), col("n").as("n_first"), col("c").as("ca"))
+    val b = cents.filter(!col("first_half"))
+      .select(col("label"), col("n").as("n_second"), col("c").as("cb"))
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, t) => acc + t)
+    a.join(b, Seq("label"))
+      .select(col("label").cast("long").as("label"),
+        col("n_first"), col("n_second"),
+        round(lit(1.0) - dot(col("ca"), col("cb")) /
+          (sqrt(dot(col("ca"), col("ca"))) *
+            sqrt(dot(col("cb"), col("cb")))), 6).as("cos_drift"),
+        round(sqrt(aggregate(zip_with(col("ca"), col("cb"),
+          (p, q) => (p - q) * (p - q)), lit(0.0), (acc, t) => acc + t)), 6)
+          .as("l2_shift"))
+      .orderBy(col("label"))
+  }
+
+  private val q130: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    centroidDrift(emb, "vec_id", "embedding", "label",
+      splitAt = 250L)
+  }
+
+  private lazy val q130Sql = {
+    def dotS(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, $DriftDim), " +
+        s"_j -> $x[_j] * $y[_j]))"
+    s"""
+    WITH e AS (SELECT label, vec_id < 250 AS first_half,
+                 t.j, CAST(embedding[t.j] AS DOUBLE) AS x
+               FROM embeddings,
+                 unnest(generate_series(1, $DriftDim)) t(j)),
+    m AS (SELECT label, first_half, j, round(avg(x), 6) AS mj,
+                 count(*) AS n
+          FROM e GROUP BY label, first_half, j),
+    c AS (SELECT label, first_half, max(n) AS n,
+                 list(mj ORDER BY j) AS c
+          FROM m GROUP BY label, first_half),
+    a AS (SELECT label, n AS n_first, c AS ca FROM c WHERE first_half),
+    b AS (SELECT label, n AS n_second, c AS cb FROM c WHERE NOT first_half)
+    SELECT CAST(a.label AS BIGINT) AS label,
+           CAST(a.n_first AS BIGINT) AS n_first,
+           CAST(b.n_second AS BIGINT) AS n_second,
+           round(1.0 - ${dotS("ca", "cb")} /
+             (sqrt(${dotS("ca", "ca")}) * sqrt(${dotS("cb", "cb")})), 6)
+             AS cos_drift,
+           round(sqrt(list_sum(list_transform(
+             generate_series(1, $DriftDim),
+             _j -> (ca[_j] - cb[_j]) * (ca[_j] - cb[_j])))), 6) AS l2_shift
+    FROM a JOIN b ON b.label = a.label
+    ORDER BY label"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "q130_centroid_drift" -> q130,
     "q121_triangle_closure" -> q121,
     "q122_winnow_fingerprints" -> q122,
     "q123_hll_distinct" -> q123,
@@ -681,5 +769,6 @@ object Pipeline16 {
     "q126_source_health" -> q126Sql,
     "q127_winnow_families" -> q127Sql,
     "q128_hll_shard_fold" -> q128Sql,
+    "q130_centroid_drift" -> q130Sql,
   )
 }

@@ -159,6 +159,27 @@ class Pipeline16Spec extends AnyFunSuite {
       "a fingerprint over the df cap must not create families")
   }
 
+  test("q130 core: identical halves drift zero; a planted shift is exact") {
+    import spark.implicits._
+    // dim-4 fixture: label 0 identical across halves; label 1's second
+    // half doubles the vector → cos 1 (drift 0) but l2 = |c| exactly
+    def vec(xs: Double*) = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (0L, vec(1, 0, 0, 0), 0), (10L, vec(1, 0, 0, 0), 0),
+      (1L, vec(0, 3, 0, 0), 1), (11L, vec(0, 6, 0, 0), 1),
+      (2L, vec(1, 0, 0, 0), 2), (12L, vec(0, 1, 0, 0), 2))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Pipeline16.centroidDrift(emb, "vec_id", "embedding",
+        "label", splitAt = 10L, dim = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(0L) == ((0.0, 0.0)))
+    assert(out(1L) == ((0.0, 3.0))) // same direction, |3-6| shift
+    assert(out(2L) == ((1.0, math.sqrt(2.0) match {
+      case s => BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }))) // orthogonal unit centroids: cos 0 → drift 1, l2 √2
+  }
+
   test("q124 core: an exact power law fits slope -1 with r2 = 1") {
     import spark.implicits._
     // freq(r) = 12/r for r = 1..4: ln c = ln 12 − ln r exactly
