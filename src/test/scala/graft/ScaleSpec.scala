@@ -657,5 +657,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(math.abs(e - 50000.0) / 50000.0 < 0.15,
       s"HLL(256) must sit within ~2 sigma at 50k, got $e")
     assert(est(7) == e, "register merge is partitioning-invariant")
+
+    // q127's claim at 50k docs: 1000 planted 3-doc families (every
+    // member carries the family's 11-word run at a different offset)
+    // are recovered EXACTLY — the winnow guarantee plus the df-capped
+    // pair enumeration neither merges families (distinct runs can't
+    // collide barring md5 collisions) nor splits them
+    val famRun = (0 until 11).map(i =>
+      concat(lit(s"f${i}_"), (col("id") % 1000).cast("string")))
+    val member = concat_ws(" ",
+      (md5(concat(lit("pre"), col("id").cast("string")))
+        .substr(lit(1), ((col("id") % 3) * 2 + 2).cast("int")) +:
+        famRun :+
+        substring(md5(concat(lit("post"), col("id").cast("string"))), 1, 6)): _*)
+    val famWords = spark.range(3000)
+      .select(col("id").as("doc_id"),
+        split(graft.text.TextOps.normalize(member), " ").as("words"))
+    // minShared = 1: the winnow guarantee promises ≥1 shared fp per
+    // 11-word run (the ≥2 default needs longer shared spans)
+    val fams = graft.queries.Pipeline16.winnowFamilies(famWords,
+      minShared = 1)
+    assert(fams.filter(col("n_members") =!= 3L).isEmpty,
+      "every planted 3-doc family must be recovered exactly")
+    assert(fams.filter(col("cluster_id") =!= col("doc_id") % 1000)
+      .isEmpty, "family rep must be the min doc_id of its run group")
   }
 }
