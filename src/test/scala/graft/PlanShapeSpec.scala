@@ -701,4 +701,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("struct<text:string,source:string>"),
       "q110 must prune the scan to text+source")
   }
+
+  test("batch 17: one checkpointed pass each; small sides broadcast; " +
+    "no corpus-width windows after the histogram") {
+    // q131/q132/q133 each materialize ONE source pass (histogram / lead
+    // window / scored docs) via localCheckpoint and derive everything
+    // downstream from it: the executed plans must contain no parquet
+    // scan at all (a scan here = a second pass the checkpoint exists to
+    // prevent)
+    for (q <- Seq("q131_ddsketch_quantiles", "q132_event_paths",
+        "q133_curriculum_phases")) {
+      val p = planString(q)
+      assert(!p.contains("Scan parquet"),
+        s"$q must read only its checkpointed single pass")
+      assert(!p.contains("CartesianProduct"), s"$q plan shape")
+    }
+    // q132's pair/single tables (≤|types|² rows) ride broadcasts onto
+    // the triples — a shuffle join would re-exchange the triple table
+    // once per enrichment
+    val p132 = planString("q132_event_paths")
+    assert(!p132.contains("SortMergeJoin") &&
+      !p132.contains("ShuffledHashJoin"),
+      "q132 enrichment joins must broadcast the bounded count tables")
+    // q133's thresholds are ONE row riding a broadcast back into the
+    // doc pass; the only window sorts the bounded score histogram
+    val p133 = planString("q133_curriculum_phases")
+    assert(p133.contains("BroadcastNestedLoopJoin Cross") ||
+      p133.contains("BroadcastExchange"),
+      "q133 thresholds must ride a broadcast")
+    assert(!p133.contains("SortMergeJoin"),
+      "q133 must not shuffle docs against thresholds")
+  }
 }
