@@ -64,6 +64,10 @@ object Bench {
         // q122 produces the winnow-selection artifact q126/q127 consume
         if (name == "q122_winnow_fingerprints")
           graft.queries.GramMemo.clearWinnow()
+        // q80 produces the decontamination gram-key artifact that
+        // q125/q126 consume
+        if (name == "q80_contamination_fraction")
+          graft.queries.GramMemo.clearLeak()
         System.err.println(s"[bench] running $name ($r/$repeats)")
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

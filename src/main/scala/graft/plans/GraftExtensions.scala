@@ -116,5 +116,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("hll_merge", 1)(es =>
         graft.dedup.HllMergeRegisters(Cast(es.head, BinaryType))
           .toAggregateExpression())))
+    e.injectFunction((FunctionIdentifier("dd_quantile"),
+      info("dd_quantile", "DDSketch log-linear quantile estimate (type-1 bucket lower bound, <12.5% rel err) over BIGINT cents; engine-portable, mergeable"),
+      arity("dd_quantile", 2)(es =>
+        graft.dedup.DdSketchQuantile(Cast(es.head, LongType),
+          Cast(es(1), DoubleType)).toAggregateExpression())))
   }
 }

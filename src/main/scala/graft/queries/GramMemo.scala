@@ -27,8 +27,15 @@ object GramMemo {
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private val winnowCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val winnowStatsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val leakCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val contamCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
-  def clear(): Unit = { wordsCache.clear(); winnowCache.clear() }
+  def clear(): Unit = { wordsCache.clear(); winnowCache.clear()
+    winnowStatsCache.clear(); leakCache.clear(); contamCache.clear() }
 
   /** Clears only the winnow-selection artifact — `Bench` calls this
     * before each timed repeat of the PRODUCER q122 so its number keeps
@@ -36,7 +43,7 @@ object GramMemo {
     * read the warm artifact, which is the marginal cost a pipeline
     * pays after its fingerprint store is built.
     */
-  def clearWinnow(): Unit = winnowCache.clear()
+  def clearWinnow(): Unit = { winnowCache.clear(); winnowStatsCache.clear() }
 
   /** The winnowing selection (doc_id, n_grams, fps) at the board-wide
     * (k, w) = (4, 8) — [[Pipeline16.winnowBase]] over [[words]],
@@ -47,6 +54,83 @@ object GramMemo {
   def winnow(s: SparkSession, d: String): DataFrame =
     winnowCache.getOrElseUpdate((System.identityHashCode(s), d),
       Pipeline16.winnowBase(words(s, d)))
+
+  /** The per-doc fingerprint-sharing stats (doc_id, n_grams, n_fps,
+    * n_shared_fps, max_fp_docs) over [[winnow]] — the q122 RESULT,
+    * materialized once: the sharing election (explode → df count →
+    * per-doc fold) is the expensive half of the winnow family, and both
+    * q122 (the report) and q126's dup-share branch need exactly these
+    * rows. Cleared with [[clearWinnow]] so q122's bench number keeps
+    * measuring the election.
+    */
+  def winnowStats(s: SparkSession, d: String): DataFrame =
+    winnowStatsCache.getOrElseUpdate((System.identityHashCode(s), d),
+      Pipeline16.winnowFingerprintsFromBase(winnow(s, d)).localCheckpoint())
+
+  /** The decontamination family's gram-n (q56/q80/q125/q126 all probe
+    * word 3-grams).
+    */
+  val LeakN = 3
+
+  /** Bench clears this before each timed repeat of the PRODUCER (q80)
+    * so its number keeps measuring the gram derivation; q125/q126 read
+    * the warm artifact — the marginal cost after the decontamination
+    * store is built.
+    */
+  def clearLeak(): Unit = { leakCache.clear(); contamCache.clear() }
+
+  /** (doc_id, source, gks) — each doc's DISTINCT word-3-gram keys (the
+    * NGramArray set semantics every consumer's oracle mirrors)
+    * (16-hex-char md5 prefixes, the winnow/q94 house key width: gram
+    * TEXT never rides an exchange), derived from [[words]] scan-locally
+    * and materialized once per (session, sfDir). The contamination
+    * family (q80 fraction, q125 attribution, q126's health branch) all
+    * explode exactly these arrays; a decontamination service stores
+    * them per admitted doc — re-gramming the corpus per consumer was
+    * three redundant normalize+hash passes.
+    */
+  /** Per-corpus-doc contamination stats (doc_id, source, n_grams,
+    * n_hits) — the q80 eval-gram probe, materialized once: q80 reports
+    * it per doc, q126's health branch aggregates it per source, and a
+    * production decontamination service stores exactly these flags per
+    * admitted doc rather than re-probing the corpus per dashboard.
+    * Cleared with [[clearLeak]] so q80's bench number keeps measuring
+    * the probe.
+    */
+  def contamStats(s: SparkSession, d: String): DataFrame =
+    contamCache.getOrElseUpdate((System.identityHashCode(s), d),
+      contamStatsPlan(s, d).localCheckpoint())
+
+  /** The un-memoized probe lineage (public so PlanShapeSpec can gate the
+    * PLAN — broadcast eval set, no shuffle join — which the checkpoint
+    * would hide).
+    */
+  def contamStatsPlan(s: SparkSession, d: String): DataFrame = {
+    val docs = leak(s, d)
+    val evalGrams = docs.filter(col("doc_id") % 10 === 0)
+      .select(explode(col("gks")).as("gram")).distinct()
+      .withColumn("_hit", lit(1))
+    docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("source"),
+        size(col("gks")).cast("long").as("n_grams"),
+        explode(col("gks")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("source"), col("n_grams"))
+      .agg(count(col("_hit")).as("n_hits"))
+  }
+
+  def leak(s: SparkSession, d: String): DataFrame =
+    leakCache.getOrElseUpdate((System.identityHashCode(s), d), {
+      val n = LeakN
+      words(s, d).select(col("doc_id"), col("source"),
+        when(size(col("words")) >= n, array_distinct(transform(
+          sequence(lit(0), size(col("words")) - n),
+          i => substring(md5(to_binary(
+            array_join(slice(col("words"), i + 1, lit(n)), " "),
+            lit("utf-8"))), 1, 16))))
+          .otherwise(array().cast("array<string>")).as("gks"))
+        .localCheckpoint()
+    })
 
   /** (doc_id, lang, source, words) — `split(normalize(text), " ")` plus
     * the per-doc metadata columns, materialized once per (session,

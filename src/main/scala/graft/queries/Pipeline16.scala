@@ -206,8 +206,7 @@ object Pipeline16 {
       .orderBy(col("doc_id"))
   }
 
-  private val q122: Q = (s, d) =>
-    winnowFingerprintsFromBase(GramMemo.winnow(s, d))
+  private val q122: Q = (s, d) => GramMemo.winnowStats(s, d)
 
   private val q122Sql = {
     val k = WinK; val w = WinW
@@ -344,20 +343,14 @@ object Pipeline16 {
   private val LeakMinShared = 3
 
   private val q125: Q = (s, d) => {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val docs = documents(s, d).select(col("doc_id"),
-      column(graft.dedup.NGramArray(expression(col("text")), LeakGramN))
-        .as("_g"))
+    // the (doc, gram-key) base rides the memoized GramMemo.leak
+    // artifact — one derivation for the whole decontamination family
+    val docs = GramMemo.leak(s, d)
     val ev = docs.filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id").as("eval_id"),
-        explode(col("_g")).as("gram"))
-      .select(col("eval_id"), md5(to_binary(col("gram"), lit("utf-8")))
-        .as("gk"))
+      .select(col("doc_id").as("eval_id"), explode(col("gks")).as("gk"))
       .distinct()
     docs.filter(col("doc_id") % 10 =!= 0)
-      .select(col("doc_id"), explode(col("_g")).as("gram"))
-      .select(col("doc_id"), md5(to_binary(col("gram"), lit("utf-8")))
-        .as("gk"))
+      .select(col("doc_id"), explode(col("gks")).as("gk"))
       .join(broadcast(ev), Seq("gk"))
       .groupBy(col("eval_id"), col("doc_id"))
       .agg(countDistinct(col("gk")).as("n_shared"))
@@ -400,7 +393,10 @@ object Pipeline16 {
   // handful of rows. Nothing new shuffles.
   private val HealthContamFrac = 0.25
 
-  private val q126: Q = (s, d) => {
+  /** q126's diagnostic branches, individually — for the branch profiler
+    * (`tools.ProfileQ126`). Each returns (source, ...cols).
+    */
+  def healthBranches(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val w = GramMemo.words(s, d)
     val base = w.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
@@ -423,29 +419,23 @@ object Pipeline16 {
         log((col("c") / col("cs")) / (col("cw") / col("ct")))), 6)
         .as("kl"))
     val dup = w.select(col("doc_id"), col("source"))
-      .join(winnowFingerprintsFromBase(GramMemo.winnow(s, d))
-        .select(col("doc_id"),
+      .join(GramMemo.winnowStats(s, d).select(col("doc_id"),
         (col("n_shared_fps") > 0).cast("int").as("_dup")), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(round(avg(col("_dup")), 6).as("dup_doc_share"))
-    val docs = documents(s, d).select(col("doc_id"), col("source"),
-      column(graft.dedup.NGramArray(expression(col("text")), LeakGramN))
-        .as("_g"))
-    val evalGrams = docs.filter(col("doc_id") % 10 === 0)
-      .select(explode(col("_g")).as("gram")).distinct()
-      .withColumn("_hit", lit(1))
-    val contam = docs.filter(col("doc_id") % 10 =!= 0)
-      .select(col("doc_id"), col("source"),
-        size(col("_g")).cast("long").as("n_grams"),
-        explode(col("_g")).as("gram"))
-      .join(broadcast(evalGrams), Seq("gram"), "left")
-      .groupBy(col("doc_id"), col("source"), col("n_grams"))
-      .agg(count(col("_hit")).as("n_hits"))
+    val contam = GramMemo.contamStats(s, d)
       .select(col("source"),
         (round(col("n_hits").cast("double") / col("n_grams"), 6) >=
           HealthContamFrac).cast("int").as("_c"))
       .groupBy(col("source"))
       .agg(round(avg(col("_c")), 6).as("contam_doc_share"))
+    Seq("base" -> base, "vocab" -> vocab, "kl" -> kl, "dup" -> dup,
+      "contam" -> contam)
+  }
+
+  private val q126: Q = (s, d) => {
+    val Seq((_, base), (_, vocab), (_, kl), (_, dup), (_, contam)) =
+      healthBranches(s, d)
     base.join(vocab, Seq("source")).join(kl, Seq("source"))
       .join(dup, Seq("source")).join(contam, Seq("source"))
       .orderBy(col("source"))

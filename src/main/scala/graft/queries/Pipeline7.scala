@@ -127,19 +127,12 @@ object Pipeline7 {
   private val ContamFrac = 0.25
 
   private val q80: Q = (s, d) => {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val docs = documents(s, d).select(col("doc_id"),
-      column(graft.dedup.NGramArray(expression(col("text")), ContamN))
-        .as("_g"))
-    val evalGrams = docs.filter(col("doc_id") % 10 === 0)
-      .select(explode(col("_g")).as("gram")).distinct()
-      .withColumn("_hit", lit(1))
-    docs.filter(col("doc_id") % 10 =!= 0)
-      .select(col("doc_id"), size(col("_g")).cast("long").as("n_grams"),
-        explode(col("_g")).as("gram"))
-      .join(broadcast(evalGrams), Seq("gram"), "left")
-      .groupBy(col("doc_id"), col("n_grams"))
-      .agg(count(col("_hit")).as("n_hits"))
+    // the probe rides the memoized GramMemo.contamStats artifact (built
+    // over GramMemo.leak — one gram derivation and ONE eval-broadcast
+    // probe for the whole q80/q125/q126 decontamination family); gram
+    // identity is the 16-hex md5 prefix, never gram text
+    GramMemo.contamStats(s, d)
+      .select(col("doc_id"), col("n_grams"), col("n_hits"))
       .withColumn("overlap_frac",
         round(col("n_hits").cast("double") / col("n_grams"), 6))
       .withColumn("is_contaminated", col("overlap_frac") >= ContamFrac)

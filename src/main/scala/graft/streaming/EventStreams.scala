@@ -696,4 +696,29 @@ object EventStreams {
     TrigramLm.scoreInRow(docs, TrigramLm.collectModelFrame(model),
       "doc_id", "text")
   }
+
+  /** Streaming per-(window, type) value-quantile monitor — q131's
+    * DDSketch run live: p50/p90/p99 of event values per 5-minute window
+    * via the mergeable [[graft.dedup.DdSketchQuantile]] aggregate, whose
+    * state per open group is the FIXED ≤ 7+8·60 bucket map no matter
+    * how many distinct double values the stream carries (an exact
+    * per-value histogram grows state with the value space; a latency
+    * monitor cannot). Bucket map and type-1 readout are the exact q131
+    * integer arithmetic, so on replay every emitted row equals the
+    * batch sketch columns on the same slice (StreamingSpec pins it) —
+    * and the same bucket counts fold across shards/days (the q128
+    * stored-artifact economics).
+    */
+  def windowedValueQuantiles(events: DataFrame): DataFrame = {
+    import graft.dedup.Dd
+    val cents = floor(col("value") * 100).cast("long")
+    events
+      .withWatermark("ts_t", "10 minutes")
+      .groupBy(window(col("ts_t"), "5 minutes"), col("event_type"))
+      .agg(Dd.ddQuantile(cents, 0.50).as("p50_sketch"),
+        Dd.ddQuantile(cents, 0.90).as("p90_sketch"),
+        Dd.ddQuantile(cents, 0.99).as("p99_sketch"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("p50_sketch"), col("p90_sketch"), col("p99_sketch"))
+  }
 }

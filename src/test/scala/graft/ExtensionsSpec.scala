@@ -69,6 +69,16 @@ class ExtensionsSpec extends AnyFunSuite {
       """).head().getDouble(0)
       assert(hllFold == hll, "SQL register fold must equal the direct sketch")
 
+      // dd_quantile: cents ladder 1..1000 — same closed-form sketch
+      // lower bounds Pipeline17Spec pins for q131 (480/896/960)
+      val ddq = spark.sql("""
+        SELECT dd_quantile(v, 0.50) AS p50, dd_quantile(v, 0.90) AS p90,
+               dd_quantile(v, 0.99) AS p99
+        FROM (SELECT explode(sequence(1, 1000)) AS v)
+      """).head()
+      assert((ddq.getLong(0), ddq.getLong(1), ddq.getLong(2)) ==
+        ((480L, 896L, 960L)))
+
       // wrong arity fails at analysis with the function named, not with
       // a builder IndexOutOfBoundsException
       val arityErr = intercept[Exception] {

@@ -62,6 +62,36 @@ class Pipeline17Spec extends AnyFunSuite {
     assert(agg.getLong(2) == 0L) // lb is a LOWER bound everywhere
   }
 
+  test("DdSketchQuantile aggregate == q131's relational readout, and " +
+    "is partitioning-invariant (mergeable)") {
+    import spark.implicits._
+    import graft.dedup.Dd
+    // a skewed mixed ladder across two groups
+    val rows = ((1 to 500).map(c => ("a", c.toLong)) ++
+      (1 to 300).map(c => ("a", (c * 7).toLong)) ++
+      (1 to 400).map(c => ("b", (c * 3 + 1).toLong)))
+    val df = rows.toDF("event_type", "c")
+    def agg(parts: Int) = df.repartition(parts)
+      .groupBy(col("event_type"))
+      .agg(Dd.ddQuantile(col("c") * 25, 0.50).as("p50"),
+        Dd.ddQuantile(col("c") * 25, 0.90).as("p90"),
+        Dd.ddQuantile(col("c") * 25, 0.99).as("p99"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val one = agg(1)
+    assert(agg(7) == one, "sketch must be merge-order invariant")
+    // relational q131 readout over the same cents: value = c/4.0 is
+    // binary-exact, so floor(100·value) = 25·c exactly — both forms
+    // sketch the identical integer stream
+    val rel = Pipeline17.valueQuantiles(
+      df.select(col("event_type"), (col("c") / 4.0).as("value")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("p50_sketch"), r.getAs[Long]("p90_sketch"),
+          r.getAs[Long]("p99_sketch")))).toMap
+    assert(one == rel,
+      "aggregate readout must equal the relational bucket-histogram form")
+  }
+
   private def ts(s: Long) = new Timestamp(s * 1000L)
 
   test("q132 core: planted journeys — exact triple counts and " +

@@ -116,13 +116,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "q124 must ride the words artifact")
     assert(!p124.contains("Exchange SinglePartition, ENSURE"),
       "q124 must not funnel the vocab through one partition")
-    // q126: the health dashboard composes four diagnostic branches —
-    // only the contamination branch may touch parquet (eval + corpus
-    // sides of the q80 shape); everything lexical rides the artifact,
-    // and nothing cartesians
+    // q126: the health dashboard composes four diagnostic branches, and
+    // ALL of them now ride session artifacts (words/winnowStats/
+    // contamStats) — a parquet scan here means a branch regressed to
+    // re-deriving what the stores hold
     val p126 = planString("q126_source_health")
-    assert("Scan parquet".r.findAllIn(p126).size <= 2,
-      "q126's lexical branches must ride the words artifact")
+    assert("Scan parquet".r.findAllIn(p126).isEmpty,
+      "q126's branches must ride the session artifacts")
     // the KL branch's <=1-row totals broadcast is the one sanctioned
     // nested-loop (scalar plumbing); a true cartesian is still banned
     assert(!p126.contains("CartesianProduct"))
@@ -131,9 +131,16 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("decontamination probes eval grams via broadcast, never a shuffle join") {
-    for (q <- Seq("q56_decontaminate", "q80_contamination_fraction",
-        "q125_contamination_attribution")) {
-      val p = planString(q)
+    // q80 serves the memoized contamStats artifact, whose plan is an
+    // ExistingRDD — the probe SHAPE gate targets the un-memoized
+    // producer lineage (the EmbMemo.pairsPlan pattern)
+    val producer = graft.queries.GramMemo
+      .contamStatsPlan(spark, d).queryExecution.executedPlan.toString
+    val probes = Seq("q56_decontaminate" -> planString("q56_decontaminate"),
+      "contamStatsPlan" -> producer,
+      "q125_contamination_attribution" ->
+        planString("q125_contamination_attribution"))
+    for ((q, p) <- probes) {
       assert(p.contains("BroadcastHashJoin"),
         s"$q's eval gram set must broadcast")
       assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),

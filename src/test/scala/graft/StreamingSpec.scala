@@ -467,6 +467,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed DDSketch value quantiles: streaming == batch") {
+    import graft.dedup.Dd
+    val dir = stageDir()
+    val q = EventStreams.windowedValueQuantiles(
+        EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dd_windows").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dd_windows")
+      val cents = floor(col("value") * 100).cast("long")
+      val want = batchEvents(s"$dir/part-0.parquet")
+        .withColumn("ts_t", col("ts"))
+        .groupBy(window(col("ts_t"), "5 minutes"), col("event_type"))
+        .agg(Dd.ddQuantile(cents, 0.50).as("p50_sketch"),
+          Dd.ddQuantile(cents, 0.90).as("p90_sketch"),
+          Dd.ddQuantile(cents, 0.99).as("p99_sketch"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("p50_sketch"), col("p90_sketch"), col("p99_sketch"))
+      assert(got.count() > 0 && got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        "per-window sketch quantiles must equal the batch aggregation")
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join matches the batch bucketed interval join") {
     val dir = stageDir()
     def side(tpe: String) = EventStreams.readEvents(spark, dir)
