@@ -68,6 +68,9 @@ object Bench {
         // q125/q126 consume
         if (name == "q80_contamination_fraction")
           graft.queries.GramMemo.clearLeak()
+        // q93 produces the session BM25 score table q109/q111/q129
+        // consume
+        if (name == "q93_bm25_topk") graft.queries.RetrievalMemo.clear()
         System.err.println(s"[bench] running $name ($r/$repeats)")
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -18,8 +18,9 @@ import org.apache.spark.sql.types._
   * Buckets are the q131 integer log-linear map over cents
   * c = floor(100·x): c < 8 exact, else octave o = bit-length(c) split
   * into 8 sub-buckets, bucket key = its lower bound
-  * lb = ((c·8) div 2^(o-1)) · 2^(o-4). At most 8 buckets per octave ⇒
-  * ≤ 7 + 8·60 buckets EVER, whatever the distribution — constant state
+  * lb = ((c·8) div 2^(o-1)) · 2^(o-4); negative cents clamp to bucket
+  * 0. At most 8 buckets per octave ⇒ ≤ 8 + 8·60 buckets EVER,
+  * whatever the distribution — constant state
   * per group, constant shuffle payload per partial, and a constant
   * state-store row in streaming. The readout is the type-1 quantile
   * over the cumulative bucket histogram: the reported lower bound
@@ -33,20 +34,27 @@ import org.apache.spark.sql.types._
   */
 case class DdSketchQuantile(
     cents: Expression,
-    quantile: Expression,
+    q: Double,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Long]] {
 
-  private lazy val q: Double = quantile.eval() match {
-    case d: java.lang.Double => d.doubleValue()
-    case n: java.lang.Number => n.doubleValue()
-    case other => throw new IllegalArgumentException(
-      s"dd_quantile: quantile must be a foldable DOUBLE, got $other")
-  }
-  require(quantile.foldable, "dd_quantile: quantile must be foldable")
+  // Plain-Double param (the KmvSketch pattern, KmvAgg.scala:32): an
+  // Expression param would need `.foldable`/`.eval()` at construction,
+  // which the Column bridge cannot satisfy pre-analysis (its
+  // ColumnNodeExpression is unresolved ⇒ foldable=false). The SQL
+  // builder (GraftExtensions) evaluates its literal argument instead.
+  require(q > 0.0 && q <= 1.0,
+    s"dd_quantile: quantile must be in (0, 1], got $q")
 
-  override def children: Seq[Expression] = Seq(cents, quantile)
+  // Readout resolution is 1e-6 (micro-quantile): need = ceil(q·n) is
+  // computed as exact Long arithmetic on round(q·1e6), so q=0.995 and
+  // q=0.999999 are distinct (the old percent rounding silently mapped
+  // 0.995 → p100). Safe to n ≈ 9.2e12 events per group before the
+  // Long product could overflow — far past any per-group count.
+  private val qMicro: Long = Math.round(q * 1e6)
+
+  override def children: Seq[Expression] = Seq(cents)
   override def nullable: Boolean = true
   override def dataType: DataType = LongType
   override def prettyName: String = "dd_quantile"
@@ -96,7 +104,7 @@ case class DdSketchQuantile(
     while (it0.hasNext) tot += it0.next()
     if (tot == 0L) null
     else {
-      val need = (Math.round(q * 100).toLong * tot + 99) / 100
+      val need = (qMicro * tot + 999999L) / 1000000L
       var cum = 0L
       var out: java.lang.Long = null
       val it = buf.entrySet().iterator()
@@ -138,7 +146,7 @@ case class DdSketchQuantile(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): DdSketchQuantile =
-    copy(cents = newChildren(0), quantile = newChildren(1))
+    copy(cents = newChildren(0))
 }
 
 object Dd {
@@ -147,26 +155,39 @@ object Dd {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   /** The q131 bucket map on the JVM side — MUST stay in lockstep with
-    * the SQL form ([[bucketLbSqlExpr]], mirrored by the q131 oracle):
-    * c < 8 exact, else 8 log-linear sub-buckets per octave.
+    * the SQL forms ([[bucketLbSqlExpr]] for Spark, [[bucketLbDuckSql]]
+    * for the DuckDB oracle; all three live HERE so they cannot drift):
+    * c clamped at 0 (a negative metric would otherwise get one exact
+    * bucket PER distinct negative value — unbounded state, the exact
+    * failure the sketch exists to prevent), c < 8 exact, else 8
+    * log-linear sub-buckets per octave ⇒ ≤ 8 + 8·60 buckets ever.
     */
-  def bucketLb(c: Long): Long =
+  def bucketLb(c0: Long): Long = {
+    val c = if (c0 < 0L) 0L else c0
     if (c < 8L) c
     else {
       val o = 64 - java.lang.Long.numberOfLeadingZeros(c) // bit-length
       ((c * 8L) >> (o - 1)) << (o - 4)
     }
+  }
 
   /** The identical bucket map as a Spark SQL expression over a BIGINT
     * cents column (shared with q131's relational form).
     */
   def bucketLbSqlExpr(c: String): String =
-    s"""CASE WHEN $c < 8 THEN $c ELSE
+    s"""CASE WHEN $c < 8 THEN greatest($c, 0) ELSE
          shiftleft(($c * 8) div shiftleft(1, length(bin($c)) - 1),
                    length(bin($c)) - 4) END"""
 
+  /** The identical bucket map in the DuckDB dialect (`//` integer
+    * division, `<<` shift) — consumed by q131's oracle SQL.
+    */
+  def bucketLbDuckSql(c: String): String =
+    s"""CASE WHEN $c < 8 THEN greatest($c, 0) ELSE
+        ((($c * 8) // (1 << (length(bin($c)) - 1)))
+          << (length(bin($c)) - 4)) END"""
+
   /** The sketch quantile as an aggregate Column over BIGINT cents. */
   def ddQuantile(cents: Column, q: Double): Column =
-    column(DdSketchQuantile(expression(cents), expression(lit(q)))
-      .toAggregateExpression())
+    column(DdSketchQuantile(expression(cents), q).toAggregateExpression())
 }

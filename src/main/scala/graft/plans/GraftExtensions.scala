@@ -118,8 +118,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toAggregateExpression())))
     e.injectFunction((FunctionIdentifier("dd_quantile"),
       info("dd_quantile", "DDSketch log-linear quantile estimate (type-1 bucket lower bound, <12.5% rel err) over BIGINT cents; engine-portable, mergeable"),
-      arity("dd_quantile", 2)(es =>
-        graft.dedup.DdSketchQuantile(Cast(es.head, LongType),
-          Cast(es(1), DoubleType)).toAggregateExpression())))
+      arity("dd_quantile", 2)(es => {
+        // the aggregate takes a plain Double (the KmvSketch pattern —
+        // a Column-bridge Expression is unresolved, so foldability
+        // can't be checked there); the SQL path evaluates its literal
+        // here, where the parser has handed us a real one
+        val qe = es(1)
+        if (!qe.foldable)
+          throw new IllegalArgumentException(
+            "dd_quantile: quantile argument must be a literal")
+        val q = Cast(qe, DoubleType).eval() match {
+          case n: java.lang.Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"dd_quantile: quantile must be a DOUBLE literal, got $other")
+        }
+        graft.dedup.DdSketchQuantile(Cast(es.head, LongType), q)
+          .toAggregateExpression()
+      })))
   }
 }

@@ -65,13 +65,14 @@ object ClusterMemo {
   def corpusLabels(s: SparkSession, d: String, threshold: Double,
                    batchMod: Int): DataFrame =
     corpusLabelCache.getOrElseUpdate(
-      (System.identityHashCode(s), d, threshold, batchMod), {
+      (System.identityHashCode(s), d, threshold, batchMod),
+      ArtifactStore.loadOrBuild(s, d,
+        s"corpus_labels_t${threshold}_m$batchMod") {
         val corpus = Tables.documents(s, d)
           .select(col("doc_id"), col("text"))
           .filter(col("doc_id") % batchMod =!= 0)
         DedupOps.nearDupClusters(corpus, "doc_id", "text", threshold)
           .select(col("doc_id"), col("cluster_id"))
-          .localCheckpoint()
       })
 
   /** "Yesterday's" corpus band index for q108 — the second stored
@@ -84,13 +85,13 @@ object ClusterMemo {
     */
   def corpusBandIndex(s: SparkSession, d: String, batchMod: Int): DataFrame =
     bandIndexCache.getOrElseUpdate(
-      (System.identityHashCode(s), d, batchMod), {
+      (System.identityHashCode(s), d, batchMod),
+      ArtifactStore.loadOrBuild(s, d, s"corpus_band_index_m$batchMod") {
         val corpus = Tables.documents(s, d)
           .select(col("doc_id"), col("text"))
           .filter(col("doc_id") % batchMod =!= 0)
         DedupOps.bandIndex(corpus, "doc_id", "text", ShingleK, NumHashes,
             RowsPerBand, NGram)
-          .localCheckpoint()
       })
 
   /** "Yesterday's" per-doc dedup artifacts for the incremental-admission
@@ -104,12 +105,11 @@ object ClusterMemo {
     */
   def incrDocArtifacts(s: SparkSession, d: String, batchMod: Int): DataFrame =
     incrArtifactCache.getOrElseUpdate(
-      (System.identityHashCode(s), d, batchMod), {
+      (System.identityHashCode(s), d, batchMod),
+      ArtifactStore.loadOrBuild(s, d, s"incr_doc_artifacts_m$batchMod")(
         incrDocArtifactsPlan(
           Tables.documents(s, d).select(col("doc_id"), col("text"))
-            .filter(col("doc_id") % batchMod =!= batchMod - 1))
-          .localCheckpoint()
-      })
+            .filter(col("doc_id") % batchMod =!= batchMod - 1))))
 
   /** The artifact derivation shared by the memoized corpus slice and the
     * per-call batch slice: one scan, every hash expression once.
@@ -175,14 +175,16 @@ object ClusterMemo {
   /** Scored candidate pairs, materialized once per (session, sfDir). */
   def scoredPairs(s: SparkSession, d: String): DataFrame =
     pairCache.getOrElseUpdate((System.identityHashCode(s), d),
-      scoredPairsPlan(s, d).localCheckpoint())
+      ArtifactStore.loadOrBuild(s, d, "scored_pairs")(
+        scoredPairsPlan(s, d)))
 
   /** Near-dup clustering over the memoized pairs: one row per document
     * (doc_id, cluster_id, n_members, is_rep) — the q50 result shape.
     */
   def clusters(s: SparkSession, d: String, threshold: Double): DataFrame =
     clusterCache.getOrElseUpdate(
-      (System.identityHashCode(s), d, threshold), {
+      (System.identityHashCode(s), d, threshold),
+      ArtifactStore.loadOrBuild(s, d, s"clusters_t$threshold") {
         import org.apache.spark.sql.expressions.Window
         val edges = scoredPairs(s, d).filter(col("jaccard") >= threshold)
           .select(col("id_a").as("a"), col("id_b").as("b"))
@@ -192,6 +194,5 @@ object ClusterMemo {
           .withColumn("n_members", count(lit(1))
             .over(Window.partitionBy(col("cluster_id"))).cast("long"))
           .withColumn("is_rep", col("doc_id") === col("cluster_id"))
-          .localCheckpoint()
       })
 }

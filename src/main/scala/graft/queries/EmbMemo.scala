@@ -43,9 +43,15 @@ object EmbMemo {
     */
   def kmeansCents(s: SparkSession, d: String): DataFrame =
     kmeansCache.getOrElseUpdate((System.identityHashCode(s), d),
-      Pipeline15.kmeansCentroidRow(
-        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding"))
+      if (ArtifactStore.dirOf(s).isDefined)
+        ArtifactStore.loadOrBuild(s, d, "kmeans_cents")(
+          Pipeline15.kmeansCentroidRow(
+            Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+            "vec_id", "embedding"))
+      else
+        Pipeline15.kmeansCentroidRow(
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding"))
 
   /** The un-memoized pair lineage: (id_a, id_b, hamming, sim). */
   def pairsPlan(s: SparkSession, d: String): DataFrame =
@@ -56,5 +62,5 @@ object EmbMemo {
   /** Verified pair table, materialized once per (session, sfDir). */
   def pairs(s: SparkSession, d: String): DataFrame =
     cache.getOrElseUpdate((System.identityHashCode(s), d),
-      pairsPlan(s, d).localCheckpoint())
+      ArtifactStore.loadOrBuild(s, d, "emb_pairs")(pairsPlan(s, d)))
 }

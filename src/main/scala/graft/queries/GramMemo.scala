@@ -53,7 +53,14 @@ object GramMemo {
     */
   def winnow(s: SparkSession, d: String): DataFrame =
     winnowCache.getOrElseUpdate((System.identityHashCode(s), d),
-      Pipeline16.winnowBase(words(s, d)))
+      // store configured → persist the selection (the per-doc
+      // fingerprint table a dedup service keeps); unset → keep the
+      // r7 lazy plan: consumers derive from the pinned words table,
+      // and q122's bench number keeps measuring the selection
+      if (ArtifactStore.dirOf(s).isDefined)
+        ArtifactStore.loadOrBuild(s, d, "winnow")(
+          Pipeline16.winnowBase(words(s, d)))
+      else Pipeline16.winnowBase(words(s, d)))
 
   /** The per-doc fingerprint-sharing stats (doc_id, n_grams, n_fps,
     * n_shared_fps, max_fp_docs) over [[winnow]] — the q122 RESULT,
@@ -65,7 +72,8 @@ object GramMemo {
     */
   def winnowStats(s: SparkSession, d: String): DataFrame =
     winnowStatsCache.getOrElseUpdate((System.identityHashCode(s), d),
-      Pipeline16.winnowFingerprintsFromBase(winnow(s, d)).localCheckpoint())
+      ArtifactStore.loadOrBuild(s, d, "winnow_stats")(
+        Pipeline16.winnowFingerprintsFromBase(winnow(s, d))))
 
   /** The decontamination family's gram-n (q56/q80/q125/q126 all probe
     * word 3-grams).
@@ -99,7 +107,8 @@ object GramMemo {
     */
   def contamStats(s: SparkSession, d: String): DataFrame =
     contamCache.getOrElseUpdate((System.identityHashCode(s), d),
-      contamStatsPlan(s, d).localCheckpoint())
+      ArtifactStore.loadOrBuild(s, d, "contam_stats")(
+        contamStatsPlan(s, d)))
 
   /** The un-memoized probe lineage (public so PlanShapeSpec can gate the
     * PLAN — broadcast eval set, no shuffle join — which the checkpoint
@@ -120,17 +129,21 @@ object GramMemo {
   }
 
   def leak(s: SparkSession, d: String): DataFrame =
-    leakCache.getOrElseUpdate((System.identityHashCode(s), d), {
-      val n = LeakN
-      words(s, d).select(col("doc_id"), col("source"),
-        when(size(col("words")) >= n, array_distinct(transform(
-          sequence(lit(0), size(col("words")) - n),
-          i => substring(md5(to_binary(
-            array_join(slice(col("words"), i + 1, lit(n)), " "),
-            lit("utf-8"))), 1, 16))))
-          .otherwise(array().cast("array<string>")).as("gks"))
-        .localCheckpoint()
-    })
+    leakCache.getOrElseUpdate((System.identityHashCode(s), d),
+      ArtifactStore.loadOrBuild(s, d, "leak_grams") {
+        val n = LeakN
+        // greatest(..., 0) clamp, NOT a when() guard: NGramArray and the
+        // oracle (generate_series(0, greatest(len(w)-n, 0))) emit one
+        // clamped gram for docs with < n words — slice() past the array
+        // end truncates, reproducing that exactly. A guard returning []
+        // would zero n_grams for short docs and null q80's overlap_frac.
+        words(s, d).select(col("doc_id"), col("source"),
+          array_distinct(transform(
+            sequence(lit(0), greatest(size(col("words")) - n, lit(0))),
+            i => substring(md5(to_binary(
+              array_join(slice(col("words"), i + 1, lit(n)), " "),
+              lit("utf-8"))), 1, 16))).as("gks"))
+      })
 
   /** (doc_id, lang, source, words) — `split(normalize(text), " ")` plus
     * the per-doc metadata columns, materialized once per (session,
@@ -141,15 +154,15 @@ object GramMemo {
     * normalize to get words WITH their labels.
     */
   def words(s: SparkSession, d: String): DataFrame =
-    wordsCache.getOrElseUpdate((System.identityHashCode(s), d), {
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"), col("text"))
-        // spread RAW rows first: projecting before the exchange would
-        // run the whole-corpus regex normalize inside the one input
-        // partition (measured 5.5 s vs 0.6 s at sf0.1)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("lang"), col("source"),
-          split(TextOps.normalize(col("text")), " ").as("words"))
-        .localCheckpoint()
-    })
+    wordsCache.getOrElseUpdate((System.identityHashCode(s), d),
+      ArtifactStore.loadOrBuild(s, d, "words") {
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+          // spread RAW rows first: projecting before the exchange would
+          // run the whole-corpus regex normalize inside the one input
+          // partition (measured 5.5 s vs 0.6 s at sf0.1)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("lang"), col("source"),
+            split(TextOps.normalize(col("text")), " ").as("words"))
+      })
 }

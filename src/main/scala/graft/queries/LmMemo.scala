@@ -33,12 +33,11 @@ object LmMemo {
     * (session, sfDir).
     */
   def trigramCounts(s: SparkSession, d: String): DataFrame =
-    countCache.getOrElseUpdate((System.identityHashCode(s), d), {
-      TrigramLm.counts(
+    countCache.getOrElseUpdate((System.identityHashCode(s), d),
+      ArtifactStore.loadOrBuild(s, d, "trigram_counts")(
+        TrigramLm.counts(
           Tables.documents(s, d).select(col("doc_id"), col("text")),
-          "doc_id", "text")
-        .localCheckpoint()
-    })
+          "doc_id", "text")))
 
   /** The ONE-ROW broadcastable model ([[TrigramLm.modelFrame]]: logp map
     * + unseen default) over [[trigramCounts]] — the probe payload both

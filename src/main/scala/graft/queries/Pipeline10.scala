@@ -134,16 +134,18 @@ object Pipeline10 {
   // reads) with map-side combine, doc lengths from size(words) with no
   // explode; the global top-20 is the bounded TopKByScore k-heap — no
   // global sort, no per-query window.
-  private val BmQuery = Seq("spark", "window", "merge")
-  private val BmK1 = 1.2
-  private val BmB = 0.75
+  private val BmQuery = RetrievalMemo.Terms
+  private val BmK1 = RetrievalMemo.K1
+  private val BmB = RetrievalMemo.B
   private val BmTopK = 20
 
+  // q93 is the DESIGNATED PRODUCER of the session BM25 score table
+  // (RetrievalMemo) that q109/q111/q129 consume — Bench clears the memo
+  // before each q93 repeat so this query measures the retrieval
+  // computation while the consumers measure their marginal cost.
   private val q93: Q = (s, d) => {
     import graft.text.Retrieval
-    Retrieval.rankedTopK(
-        Retrieval.bm25ScoresW(GramMemo.words(s, d), BmQuery, BmK1, BmB),
-        BmTopK)
+    Retrieval.rankedTopK(RetrievalMemo.bm25(s, d), BmTopK)
       .orderBy(col("rnk"))
   }
 

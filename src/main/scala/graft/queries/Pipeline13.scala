@@ -26,13 +26,13 @@ object Pipeline13 {
   // the fusion itself is a full-outer join of two ≤50-row lists: driver-
   // trivial at any corpus size, and the two legs share nothing, so they
   // scan in parallel. The semantic leg broadcasts the single query vector.
-  private val FuseTerms = Seq("spark", "window", "merge")
+  private val FuseTerms = RetrievalMemo.Terms
   private val FuseQueryVec = 0L
   private val FuseK = 50
   private val RrfK = 60
   private val FuseTopN = 20
-  private val BmK1 = 1.2
-  private val BmB = 0.75
+  private val BmK1 = RetrievalMemo.K1
+  private val BmB = RetrievalMemo.B
 
   /** q109's fusion against EXPLICIT doc/embedding frames — public so
     * AnnRecallSpec can re-run the end metric on int8-requantized
@@ -46,9 +46,15 @@ object Pipeline13 {
     * query path passes the memoized session words artifact so the
     * lexical leg reads no corpus text at all.
     */
-  def rrfFusionW(words: DataFrame, emb: DataFrame): DataFrame = {
-    val lex = Retrieval.rankedTopK(
-        Retrieval.bm25ScoresW(words, FuseTerms, BmK1, BmB), FuseK)
+  def rrfFusionW(words: DataFrame, emb: DataFrame): DataFrame =
+    rrfFusionS(Retrieval.bm25ScoresW(words, FuseTerms, BmK1, BmB), emb)
+
+  /** [[rrfFusion]] over an already-computed (doc_id, score) BM25 table —
+    * the query path passes [[RetrievalMemo.bm25]] so the lexical leg is
+    * a k-heap over the pinned score table, zero corpus derivations.
+    */
+  def rrfFusionS(lexScores: DataFrame, emb: DataFrame): DataFrame = {
+    val lex = Retrieval.rankedTopK(lexScores, FuseK)
       .select(col("doc_id"), col("rnk").as("rnk_lex"))
     val qv = emb.filter(col("vec_id") === FuseQueryVec)
       .select(col("embedding").as("q_vec"))
@@ -70,7 +76,7 @@ object Pipeline13 {
   }
 
   private val q109: Q = (s, d) =>
-    rrfFusionW(GramMemo.words(s, d), embeddings(s, d))
+    rrfFusionS(RetrievalMemo.bm25(s, d), embeddings(s, d))
 
   /** The q109 fusion CTE chain (scores … final) without the outer
     * SELECT — shared verbatim by q109's output and q129's RBO probe so
@@ -194,8 +200,7 @@ object Pipeline13 {
     val words = GramMemo.words(s, d)
     // 10 rows; materialized so the two feedback derivations (doc
     // lengths, term weights) don't each re-run the stage-1 retrieval
-    val top = Retrieval.rankedTopK(
-      Retrieval.bm25ScoresW(words, FuseTerms, BmK1, BmB), RmFbDocs)
+    val top = Retrieval.rankedTopK(RetrievalMemo.bm25(s, d), RmFbDocs)
       .localCheckpoint()
     // restrict to the 10 feedback docs BEFORE exploding: the broadcast
     // join prunes on doc_id scan-local, so only 10 docs' tokens explode
@@ -287,11 +292,9 @@ object Pipeline13 {
   private val RboP = 0.9
 
   private val q129: Q = (s, d) => {
-    val lex = Retrieval.rankedTopK(
-        Retrieval.bm25ScoresW(GramMemo.words(s, d), FuseTerms, BmK1, BmB),
-        RboK)
+    val lex = Retrieval.rankedTopK(RetrievalMemo.bm25(s, d), RboK)
       .select(col("doc_id"), col("rnk").as("ra"))
-    val fused = rrfFusionW(GramMemo.words(s, d), embeddings(s, d))
+    val fused = rrfFusionS(RetrievalMemo.bm25(s, d), embeddings(s, d))
       .filter(col("rnk") <= RboK)
       .select(col("doc_id"), col("rnk").as("rb"))
     val cnt = lex.join(fused, Seq("doc_id"))

@@ -46,12 +46,19 @@ object Pipeline14 {
   def dupSpansOfWords(words: DataFrame, spanW: Int = SpanW,
                       longSpan: Int = LongSpan): DataFrame = {
     val base = words.select(col("doc_id"), col("words").as("w"))
+    // The positions table feeds BOTH the shared-gram election and the
+    // probe join, and the two exchanges never canonicalize equal (the
+    // join branch adds isnotnull(gk) the agg branch lacks — the q113
+    // failure mode, measured as a double gram-explode of the corpus).
+    // localCheckpoint pins the narrow (doc_id, pos, 16-byte gk) table so
+    // the expensive posexplode+md5 pass runs exactly once.
     val g = base.filter(size(col("w")) >= spanW)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("w")) - spanW),
         i => md5(to_binary(
           array_join(slice(col("w"), i + 1, lit(spanW)), " "),
           lit("utf-8"))))).as(Seq("pos", "gk")))
+      .localCheckpoint()
     val shared = g.groupBy(col("gk"))
       .agg(countDistinct(col("doc_id")).as("ndoc"))
       .filter(col("ndoc") >= 2).select(col("gk"))

@@ -65,10 +65,10 @@ object Pipeline17 {
         q(50), q(90), q(99))
   }
 
-  private val bucketLbSql =
-    """CASE WHEN c < 8 THEN c ELSE
-         shiftleft((c * 8) div shiftleft(1, length(bin(c)) - 1),
-                   length(bin(c)) - 4) END"""
+  // One definition for the bucket map across the aggregate, the
+  // relational form and the oracle — graft.dedup.Dd generates all
+  // three dialects, so they cannot drift.
+  private val bucketLbSql = graft.dedup.Dd.bucketLbSqlExpr("c")
 
   /** q131's core over an explicit (event_type, value) frame — public for
     * the hand-fixture spec (planted integer distribution → closed-form
@@ -101,9 +101,7 @@ object Pipeline17 {
     valueQuantiles(eventsMicros(s, d).select(col("event_type"), col("value")))
 
   private lazy val q131Sql = {
-    val lb = """CASE WHEN c < 8 THEN c ELSE
-        (((c * 8) // (1 << (length(bin(c)) - 1)))
-          << (length(bin(c)) - 4)) END"""
+    val lb = graft.dedup.Dd.bucketLbDuckSql("c")
     def qsel(p: Int, suf: String) =
       s"min(CASE WHEN cum >= ($p * tot + 99) // 100 THEN v END) AS p${p}_$suf"
     def cum(src: String) = s"""SELECT event_type, v, cnt,
@@ -178,7 +176,10 @@ object Pipeline17 {
       .join(broadcast(singles.select(col("b").as("e2"), col("nb"))),
         Seq("e2"))
       .select(col("e1"), col("e2"), col("e3"), col("n"), col("n_users"),
-        round(col("n") * col("nb") / (col("n12") * col("n23")), 6)
+        // double BEFORE the multiplies: Long n·nb / n12·n23 would wrap
+        // silently at ~1e11 counts (100 TB scale) where DuckDB raises
+        round(col("n").cast("double") * col("nb") /
+          (col("n12").cast("double") * col("n23")), 6)
           .as("lift"))
       .orderBy(col("e1"), col("e2"), col("e3"))
   }
@@ -202,7 +203,8 @@ object Pipeline17 {
                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
                 FROM seq WHERE e3 IS NOT NULL GROUP BY 1, 2, 3)
     SELECT t.e1, t.e2, t.e3, t.n, t.n_users,
-           round(t.n * s.nb / (p12.np * p23.np), 6) AS lift
+           round(CAST(t.n AS DOUBLE) * s.nb
+                 / (CAST(p12.np AS DOUBLE) * p23.np), 6) AS lift
     FROM triples t
       JOIN pairs p12 ON p12.pa = t.e1 AND p12.pb = t.e2
       JOIN pairs p23 ON p23.pa = t.e2 AND p23.pb = t.e3

@@ -700,7 +700,7 @@ object EventStreams {
   /** Streaming per-(window, type) value-quantile monitor — q131's
     * DDSketch run live: p50/p90/p99 of event values per 5-minute window
     * via the mergeable [[graft.dedup.DdSketchQuantile]] aggregate, whose
-    * state per open group is the FIXED ≤ 7+8·60 bucket map no matter
+    * state per open group is the FIXED ≤ 8+8·60 bucket map no matter
     * how many distinct double values the stream carries (an exact
     * per-value histogram grows state with the value space; a latency
     * monitor cannot). Bucket map and type-1 readout are the exact q131

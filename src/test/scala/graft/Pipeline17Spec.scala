@@ -49,9 +49,7 @@ class Pipeline17Spec extends AnyFunSuite {
     "lower bound under-estimates by less than 12.5 percent") {
     import spark.implicits._
     val df = (1L to 100000L).toDF("c").selectExpr("c",
-      """CASE WHEN c < 8 THEN c ELSE
-           shiftleft((c * 8) div shiftleft(1, length(bin(c)) - 1),
-                     length(bin(c)) - 4) END AS lb""")
+      s"${graft.dedup.Dd.bucketLbSqlExpr("c")} AS lb")
     val agg = df.agg(
       countDistinct(col("lb")).as("nb"),
       max((col("c") - col("lb")) / col("c")).as("maxerr"),
