@@ -79,13 +79,14 @@ object ArtifactStore {
           // concurrent readers of an old sig just rebuild next session)
           Option(base.listFiles()).getOrElse(Array.empty)
             .filter(f => f.isDirectory && f.getName != path.getName)
-            .foreach(deleteRecursively)
+            .foreach(deleteTree)
         }
         s.read.parquet(path.getPath)
     }
 
-  private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+  /** Best-effort recursive delete (stale-sig pruning; test cleanup). */
+  def deleteTree(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
     f.delete()
     ()
   }

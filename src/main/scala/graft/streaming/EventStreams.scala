@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -720,5 +720,42 @@ object EventStreams {
         Dd.ddQuantile(cents, 0.99).as("p99_sketch"))
       .select(col("window.start").as("ws"), col("event_type"),
         col("p50_sketch"), col("p90_sketch"), col("p99_sketch"))
+  }
+
+  /** The COMPOSED admission + monitoring deliverable: ONE readStream
+    * through the [[admissionPipeline]] cascade, then the
+    * [[windowedValueQuantiles]] DDSketch monitor run over the verdict
+    * stream itself — per (5-minute window, stage): the drop/admit count
+    * and sketch p50/p90/p99 of the quality score in integer micro-units
+    * (qs is 6-dp, so micro-units are exact — the q133 rule). This is the
+    * ops dashboard of the ingestion door: admission mix AND score
+    * distribution drift per window from one pass, no second subscription
+    * to the source. State stays bounded by construction: the cascade is
+    * stateless scan-local, the monitor keys on (window, stage ≤ 5) with
+    * the fixed ≤ 8+8·60-bucket sketch per open group. `ts` maps a
+    * verdict row to its event-time (production: the ingest timestamp
+    * column; the spec pins parity with a deterministic doc_id-derived
+    * time). Stages that never score (exact/near drops: qs is null by
+    * the short-circuit contract) report null quantiles — the sketch
+    * skips nulls like any Spark aggregate.
+    */
+  def admissionMonitor(docs: DataFrame, corpusFps: DataFrame,
+                       corpusIndex: DataFrame, thresholds: DataFrame,
+                       lmModel: DataFrame, lmMinScore: Double,
+                       ts: Column, nearThreshold: Double = 0.5): DataFrame = {
+    import graft.dedup.Dd
+    val qsMicro = round(col("qs") * 1e6).cast("long")
+    admissionPipeline(docs, corpusFps, corpusIndex, thresholds, lmModel,
+        lmMinScore, nearThreshold)
+      .withColumn("ts_t", ts)
+      .withWatermark("ts_t", "10 minutes")
+      .groupBy(window(col("ts_t"), "5 minutes"),
+        coalesce(col("stage"), lit("admitted")).as("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        Dd.ddQuantile(qsMicro, 0.50).as("qs_p50_micro"),
+        Dd.ddQuantile(qsMicro, 0.90).as("qs_p90_micro"),
+        Dd.ddQuantile(qsMicro, 0.99).as("qs_p99_micro"))
+      .select(col("window.start").as("ws"), col("stage"), col("n_docs"),
+        col("qs_p50_micro"), col("qs_p90_micro"), col("qs_p99_micro"))
   }
 }

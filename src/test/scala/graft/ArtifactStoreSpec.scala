@@ -1,0 +1,114 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{ArtifactStore, GramMemo}
+
+/** The parquet artifact store (directive: memo artifacts must survive a
+  * session): with `spark.graft.artifactDir` set, a COLD session — memo
+  * maps empty, only the store on disk — must serve q122/q125 from the
+  * stored artifact with zero corpus scans, value-identical to the warm
+  * run; and the corpus-signature staleness check must invalidate the
+  * store when the corpus changes.
+  */
+class ArtifactStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("cold session serves q122/q125 from the store, not documents.parquet") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-artifacts").toFile.getAbsolutePath
+    spark.conf.set(ArtifactStore.DirConf, tmp)
+    try {
+      GramMemo.clear()
+      // warm run: builds the artifacts and persists them
+      val warm122 = SparkEntry
+        .queries("q122_winnow_fingerprints")(spark, d)
+        .orderBy("doc_id").collect().toSeq
+      val warm125 = SparkEntry
+        .queries("q125_contamination_attribution")(spark, d)
+        .collect().toSeq
+      assert(new File(new File(tmp, "winnow_stats"),
+        ArtifactStore.corpusSig(d)).isDirectory, "winnow artifact stored")
+      assert(new File(new File(tmp, "leak_grams"),
+        ArtifactStore.corpusSig(d)).isDirectory, "leak artifact stored")
+
+      // cold session: memo maps emptied; only the store remains
+      GramMemo.clear()
+      val q122 = SparkEntry.queries("q122_winnow_fingerprints")(spark, d)
+      val q125 = SparkEntry.queries("q125_contamination_attribution")(spark, d)
+      val p122 = q122.queryExecution.executedPlan.toString
+      val p125 = q125.queryExecution.executedPlan.toString
+      assert(!p122.contains("documents.parquet"),
+        "cold q122 must scan the stored artifact, not the corpus")
+      assert(p122.contains(tmp), "cold q122 must scan the artifact store")
+      assert(!p125.contains("documents.parquet"),
+        "cold q125 must scan the stored artifact, not the corpus")
+      assert(p125.contains(tmp), "cold q125 must scan the artifact store")
+      assert(q122.orderBy("doc_id").collect().toSeq == warm122,
+        "stored-artifact q122 must be value-identical to the warm run")
+      assert(q125.collect().toSeq == warm125,
+        "stored-artifact q125 must be value-identical to the warm run")
+    } finally {
+      spark.conf.set(ArtifactStore.DirConf, "")
+      GramMemo.clear()
+      ArtifactStore.deleteTree(new File(tmp))
+    }
+  }
+
+  test("corpus signature tracks file content changes (staleness check)") {
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft-corpus").toFile
+    val sub = new File(corpus, "documents.parquet")
+    assert(sub.mkdirs())
+    val f = new File(sub, "part-0.parquet")
+    java.nio.file.Files.writeString(f.toPath, "v1")
+    val sig1 = ArtifactStore.corpusSig(corpus.getAbsolutePath)
+    assert(sig1 == ArtifactStore.corpusSig(corpus.getAbsolutePath),
+      "signature is deterministic")
+    java.nio.file.Files.writeString(f.toPath, "v2-longer")
+    val sig2 = ArtifactStore.corpusSig(corpus.getAbsolutePath)
+    assert(sig1 != sig2, "a changed file must change the signature")
+    java.nio.file.Files.writeString(new File(sub, "part-1.parquet").toPath,
+      "new shard")
+    val sig3 = ArtifactStore.corpusSig(corpus.getAbsolutePath)
+    assert(sig2 != sig3, "a new file must change the signature")
+    ArtifactStore.deleteTree(corpus)
+  }
+
+  test("a stale-signature artifact is superseded and pruned on rebuild") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-artifacts2").toFile.getAbsolutePath
+    spark.conf.set(ArtifactStore.DirConf, tmp)
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft-corpus2").toFile
+    val f = new File(corpus, "data.txt")
+    try {
+      java.nio.file.Files.writeString(f.toPath, "v1")
+      val a1 = ArtifactStore.loadOrBuild(spark, corpus.getAbsolutePath, "t")(
+        spark.range(3).select(col("id")))
+      assert(a1.count() == 3)
+      val sig1 = ArtifactStore.corpusSig(corpus.getAbsolutePath)
+      java.nio.file.Files.writeString(f.toPath, "v2-longer")
+      val a2 = ArtifactStore.loadOrBuild(spark, corpus.getAbsolutePath, "t")(
+        spark.range(5).select(col("id")))
+      assert(a2.count() == 5, "stale store must rebuild, not serve v1")
+      assert(!new File(new File(tmp, "t"), sig1).exists,
+        "superseded signature dir is pruned")
+    } finally {
+      spark.conf.set(ArtifactStore.DirConf, "")
+      ArtifactStore.deleteTree(new File(tmp))
+      ArtifactStore.deleteTree(corpus)
+    }
+  }
+}

@@ -767,6 +767,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("composed admission + DDSketch monitor: one readStream, " +
+    "per-stage drop counts and score quantiles == batch") {
+    import org.apache.spark.sql.functions._
+    import graft.dedup.DedupOps
+    import graft.text.{TextOps, TrigramLm}
+    val dir = Files.createTempDirectory("docs_monitor")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = spark.read.parquet(s"$dir/part-0.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val corpus = batchDocs.filter(col("doc_id") % 2 === 0)
+    val corpusFps =
+      corpus.select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+    val corpusIndex = DedupOps.bandIndex(corpus, "doc_id", "text")
+      .localCheckpoint()
+    val thresholds = SparkEntry
+      .queries("q110_quality_gate")(spark, "/root/testdata/sf0.001")
+      .select(col("source"), col("thr")).localCheckpoint()
+    val lmModel = TrigramLm.modelFrame(
+      TrigramLm.counts(corpus, "doc_id", "text")).localCheckpoint()
+    // an LM floor splitting the quality survivors, so the lm stage fires
+    val probe = EventStreams.admissionPipeline(batchDocs, corpusFps,
+        corpusIndex, thresholds, lmModel, lmMinScore = -1e9)
+      .filter(col("lm_score").isNotNull)
+      .select(col("lm_score")).collect().map(_.getDouble(0)).sorted
+    assert(probe.length >= 4, "fixture must reach the LM gate")
+    val lmMin = probe(probe.length / 2)
+    // deterministic event-time: doc_id spreads the stream over two
+    // 5-minute windows, so the monitor emits per-window rows
+    val ts = timestamp_seconds(lit(1700000000L) + (col("doc_id") % 600))
+    val q = EventStreams.admissionMonitor(
+        EventStreams.readDocuments(spark, dir.toString),
+        corpusFps, corpusIndex, thresholds, lmModel, lmMin, ts)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("admission_monitor").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("admission_monitor")
+      val want = EventStreams.admissionMonitor(batchDocs, corpusFps,
+        corpusIndex, thresholds, lmModel, lmMin, ts)
+      assert(got.count() > 0 && got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        "streamed monitor rows must equal the batch composition")
+      // per-stage drop counts: every cascade gate fires somewhere, the
+      // doc total is conserved, and two windows are populated
+      val byStage = got.groupBy(col("stage"))
+        .agg(sum(col("n_docs")).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      for (s <- Seq("exact", "near", "quality", "lm", "admitted"))
+        assert(byStage.getOrElse(s, 0L) > 0, s"stage $s must be exercised")
+      assert(byStage.values.sum == batchDocs.count(),
+        "every offered doc lands in exactly one (window, stage) count")
+      assert(got.select(col("ws")).distinct().count() >= 2,
+        "the monitor must emit per-window rows")
+      // scored stages carry sketch quantiles; short-circuit stages don't
+      assert(got.filter(col("stage") === "admitted" &&
+        col("qs_p50_micro").isNull).count() == 0,
+        "admitted docs are quality-scored, so quantiles must exist")
+      assert(got.filter(col("stage") === "exact" &&
+        col("qs_p50_micro").isNotNull).count() == 0,
+        "exact drops never reach the quality scorer")
+    } finally q.stop()
+  }
+
   test("stream-static admission filter drops known fingerprints at the door") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("docs_admit")
