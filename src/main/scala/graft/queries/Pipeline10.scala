@@ -36,12 +36,17 @@ object Pipeline10 {
     // and the pivot is what gets checkpointed (the q113 rule: pin the
     // vocab-bounded table, never materialize the exploded token stream —
     // a corpus-sized checkpoint costs more than the passes it saves)
+    // conditional sums, NOT .pivot(): Spark lowers pivot to a TWO-level
+    // aggregate (groupBy(w, lang) then PivotFirst over w — two shuffles
+    // of the token stream); the explicit per-lang when() counts compile
+    // to ONE hash aggregate with map-side partials (adjudicated r8: the
+    // r7 pivot shape reproduced at ~1.35s isolated, this is ~2x less)
+    val cCols = Langs.map(l =>
+      sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l"))
     val wl = GramMemo.words(s, d)
       .select(col("lang"), explode(col("words")).as("w"))
-      .groupBy(col("w")).pivot("lang", Langs)
-      .agg(count(lit(1)))
-      .select(col("w") +: Langs.map(l =>
-        coalesce(col(l), lit(0L)).as(s"c_$l")): _*)
+      .groupBy(col("w"))
+      .agg(cCols.head, cCols.tail: _*)
       .localCheckpoint()
     // per-lang instance totals + vocab size + doc-count priors, all from
     // the pivot (its zero-fill already absorbed absent languages; priors
@@ -51,9 +56,10 @@ object Pipeline10 {
     val clv = wl.agg(
       count(lit(1)).as("v"),
       Langs.map(l => sum(col(s"c_$l")).as(s"cl_$l")): _*)
-    val pri = GramMemo.words(s, d).groupBy().pivot("lang", Langs)
-      .agg(count(lit(1)))
-      .select(Langs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+    val nCols = Langs.map(l =>
+      sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"n_$l"))
+    val pri = GramMemo.words(s, d)
+      .agg(nCols.head, nCols.tail: _*)
       .withColumn("n_all", Langs.map(l => col(s"n_$l")).reduce(_ + _))
     val model = wl.crossJoin(broadcast(clv))
       .select(col("w") +: Langs.map(l =>
