@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.Pipeline15.queries ++
       graft.queries.Pipeline16.queries ++
       graft.queries.Pipeline17.queries ++
-      graft.queries.Pipeline18.queries
+      graft.queries.Pipeline18.queries ++
+      graft.queries.Pipeline19.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -67,5 +68,6 @@ object SparkEntry {
       graft.queries.Pipeline15.oracleSql ++
       graft.queries.Pipeline16.oracleSql ++
       graft.queries.Pipeline17.oracleSql ++
-      graft.queries.Pipeline18.oracleSql
+      graft.queries.Pipeline18.oracleSql ++
+      graft.queries.Pipeline19.oracleSql
 }

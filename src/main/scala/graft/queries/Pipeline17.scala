@@ -51,7 +51,7 @@ object Pipeline17 {
     * no self-join), then min-v-reaching-ceil(q·tot) — integer-exact in
     * both engines.
     */
-  private def t1Quantiles(hist: DataFrame, suffix: String): DataFrame = {
+  private[queries] def t1Quantiles(hist: DataFrame, suffix: String): DataFrame = {
     val wc = Window.partitionBy(col("event_type")).orderBy(col("v"))
     val wt = Window.partitionBy(col("event_type"))
     def q(p: Int): Column =
