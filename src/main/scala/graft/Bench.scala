@@ -71,6 +71,9 @@ object Bench {
         // q93 produces the session BM25 score table q109/q111/q129
         // consume
         if (name == "q93_bm25_topk") graft.queries.RetrievalMemo.clear()
+        // q43 produces the SimHash pair artifact q136 consumes
+        if (name == "q43_simhash_hamming_pairs")
+          graft.queries.ClusterMemo.clearSimhash()
         System.err.println(s"[bench] running $name ($r/$repeats)")
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

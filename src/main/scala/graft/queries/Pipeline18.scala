@@ -262,9 +262,7 @@ object Pipeline18 {
       .filter(col("jaccard") >= AgreeJaccard)
     val mids = mh.select(col("id_a").as("doc_id"))
       .unionByName(mh.select(col("id_b").as("doc_id"))).distinct()
-    val sp = DedupOps.simhashHammingPairs(
-      DedupOps.withSimhash16(docs, "text", "simhash"),
-      "doc_id", "simhash", maxDist = AgreeHamming)
+    val sp = ClusterMemo.simhashPairs(s, d) // hamming <= AgreeHamming
     val sids = sp.select(col("id_a").as("doc_id"))
       .unionByName(sp.select(col("id_b").as("doc_id"))).distinct()
     def flag(ids: DataFrame, name: String): DataFrame =
