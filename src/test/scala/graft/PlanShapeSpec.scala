@@ -130,6 +130,33 @@ class PlanShapeSpec extends AnyFunSuite {
       "only the scalar totals may nested-loop")
   }
 
+  test("batch-18/19 diagnostics keep their artifact-riding shapes") {
+    // q134: repetition is a per-doc property — the plan must say so:
+    // rides the words artifact (no corpus scan), no Join, and the only
+    // exchange is the output sort (the gram folds are all in-row)
+    val p134 = planString("q134_repetition_metrics")
+    assert("Scan parquet".r.findAllIn(p134).isEmpty,
+      "q134 must ride the words artifact, not re-scan the corpus")
+    assert(!p134.contains("Join"), "q134 must not join")
+    assert("Exchange".r.findAllIn(p134).size <= 1,
+      "q134's only exchange is the output sort")
+    // q136: every verdict family rides a session artifact — the only
+    // corpus reads are the doc-id spine and the fingerprint pass
+    val p136 = planString("q136_dedup_agreement")
+    assert(!p136.contains("CartesianProduct") &&
+      !p136.contains("BroadcastNestedLoopJoin"),
+      "q136 joins stay equi-joins")
+    // q138: both aggregations ride the words/leak artifacts
+    val p138 = planString("q138_source_diversity")
+    assert("Scan parquet".r.findAllIn(p138).isEmpty,
+      "q138 must ride the words/leak artifacts")
+    // q141: moments ride a broadcast back onto the checkpointed hourly
+    // table — the corpus is scanned once
+    val p141 = planString("q141_hourly_bursts")
+    assert(p141.contains("BroadcastHashJoin") || p141.contains("BroadcastExchange"),
+      "q141's moment table must broadcast")
+  }
+
   test("decontamination probes eval grams via broadcast, never a shuffle join") {
     // q80 serves the memoized contamStats artifact, whose plan is an
     // ExistingRDD — the probe SHAPE gate targets the un-memoized
