@@ -42,7 +42,8 @@ object SparkEntry {
       graft.queries.Pipeline17.queries ++
       graft.queries.Pipeline18.queries ++
       graft.queries.Pipeline19.queries ++
-      graft.queries.Pipeline20.queries
+      graft.queries.Pipeline20.queries ++
+      graft.queries.Pipeline21.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -71,5 +72,6 @@ object SparkEntry {
       graft.queries.Pipeline17.oracleSql ++
       graft.queries.Pipeline18.oracleSql ++
       graft.queries.Pipeline19.oracleSql ++
-      graft.queries.Pipeline20.oracleSql
+      graft.queries.Pipeline20.oracleSql ++
+      graft.queries.Pipeline21.oracleSql
 }

@@ -101,10 +101,10 @@ private[queries] object OracleSql {
   /** The banded `bands` CTE body (UNION ALL of per-band keys over `sig`)
     * — the SQL mirror of DedupOps.bandKey over adjacent pairs.
     */
-  def minhashBandsSql(numBands: Int): String =
+  def minhashBandsSql(numBands: Int, suffix: String = ""): String =
     (0 until numBands).map { bnd =>
       val x = bnd * 2; val y = bnd * 2 + 1
-      s"SELECT doc_id, md5('$bnd' || '|' || m$x || '|' || m$y) AS band FROM sig"
+      s"SELECT doc_id, md5('$bnd' || '|' || m$x || '|' || m$y) AS band FROM sig$suffix"
     }.mkString("\n      UNION ALL\n      ")
 
   /** Signature-agreement count between `sig` aliases `a` and `b` (the
@@ -239,35 +239,38 @@ private[queries] object OracleSql {
     * leading `WITH RECURSIVE` — the shared prefix of q50 and q63.
     */
   def textClusterCtes(threshold: Double, numHashes: Int = 8, k: Int = 5,
-                      numBands: Int = 4, nGram: Int = 3): String = s"""
-    nd AS (SELECT doc_id, $normSql AS n FROM documents),
-    sig AS (SELECT doc_id, ${minhashSigSelect(numHashes, k)} FROM nd),
-    bands AS (
-      ${minhashBandsSql(numBands)}),
-    cand AS (
+                      numBands: Int = 4, nGram: Int = 3,
+                      suffix: String = ""): String = s"""
+    nd$suffix AS (SELECT doc_id, $normSql AS n FROM documents),
+    sig$suffix AS (SELECT doc_id, ${minhashSigSelect(numHashes, k)}
+                   FROM nd$suffix),
+    bands$suffix AS (
+      ${minhashBandsSql(numBands, suffix)}),
+    cand$suffix AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
+      FROM bands$suffix a JOIN bands$suffix b
         ON a.band = b.band AND a.doc_id < b.doc_id),
-    wt AS (SELECT doc_id, string_split($normSql, ' ') AS w
+    wt$suffix AS (SELECT doc_id, string_split($normSql, ' ') AS w
            FROM documents),
-    g AS (SELECT doc_id, ${gramsSql(nGram)} AS gr FROM wt),
-    edges AS (
+    g$suffix AS (SELECT doc_id, ${gramsSql(nGram)} AS gr FROM wt$suffix),
+    edges$suffix AS (
       SELECT id_a, id_b
-      FROM cand
-        JOIN g ga ON ga.doc_id = id_a
-        JOIN g gb ON gb.doc_id = id_b
+      FROM cand$suffix
+        JOIN g$suffix ga ON ga.doc_id = id_a
+        JOIN g$suffix gb ON gb.doc_id = id_b
       WHERE ${jaccard3Sql("ga.gr", "gb.gr")} >= $threshold),
-    sym AS (
-      SELECT id_a AS a, id_b AS b FROM edges
+    sym$suffix AS (
+      SELECT id_a AS a, id_b AS b FROM edges$suffix
       UNION ALL
-      SELECT id_b AS a, id_a AS b FROM edges),
-    lbl AS (
+      SELECT id_b AS a, id_a AS b FROM edges$suffix),
+    lbl$suffix AS (
         SELECT doc_id AS id, doc_id AS l FROM documents
       UNION
-        SELECT s.a AS id, lbl.l AS l
-        FROM lbl JOIN sym s ON s.b = lbl.id
-        WHERE lbl.l < s.a),
-    cc AS (SELECT id AS doc_id, min(l) AS cluster_id FROM lbl GROUP BY id)"""
+        SELECT s.a AS id, lbl$suffix.l AS l
+        FROM lbl$suffix JOIN sym$suffix s ON s.b = lbl$suffix.id
+        WHERE lbl$suffix.l < s.a),
+    cc$suffix AS (SELECT id AS doc_id, min(l) AS cluster_id
+                  FROM lbl$suffix GROUP BY id)"""
 
   /** The Bloom-prescan CTE chain (normalized words → distinct n-grams →
     * eval gram set → bit positions → corpus (doc, gram) probe rows with

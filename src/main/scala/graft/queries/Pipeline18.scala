@@ -156,12 +156,14 @@ object Pipeline18 {
       val best = rel.iterator
         .filterNot { case (id, _) => picked.contains(id) }
         .map { case (id, r) =>
-          // true max over the selected set — may be NEGATIVE (anti-
-          // correlated vectors); flooring at 0 would over-reward picks
-          // and diverge from the oracle's max(sim) subquery
-          val pen =
-            if (picked.isEmpty) 0.0
-            else picked.iterator.map(s => sims((id, s))).max
+          // max over the sims that EXIST for (id, selected): may be
+          // NEGATIVE (anti-correlated vectors — flooring at 0 would
+          // over-reward picks), and a candidate with no embedding row
+          // contributes no pairs at all — exactly the oracle's
+          // coalesce(max(sim) WHERE list_contains, 0): absent rows are
+          // ignored, an empty match set means penalty 0
+          val pens = picked.iterator.flatMap(s => sims.get((id, s))).toSeq
+          val pen = if (pens.isEmpty) 0.0 else pens.max
           (id, r6(lambda * r - (1 - lambda) * pen))
         }
         // argmax on (mmr desc, doc_id asc) — the oracle's ORDER BY

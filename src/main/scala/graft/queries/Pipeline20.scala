@@ -97,9 +97,17 @@ object Pipeline20 {
           .as("err_micro"))
       .groupBy(col("bin_lo"))
       .agg(count(lit(1)).as("n_pairs"),
-        round(sum(col("err_micro")) / 1e6 / count(lit(1)), 6)
+        sum(col("err_micro")).as("sm"),
+        sum(when(col("err_micro") >= 0, 1L).otherwise(0L)).as("over"))
+      // the micro mean rounds half-away-from-zero in EXACT integer
+      // arithmetic — round(sm/1e6/n, 6) is a double division whose
+      // 6th-decimal boundary the engines can disagree on by one ulp
+      // (observed at sf0.1); the integer form cannot
+      .select(col("bin_lo"), col("n_pairs"),
+        (expr("(2 * abs(sm) + n_pairs) div (2 * n_pairs)") *
+          when(col("sm") < 0, -1L).otherwise(1L) / 1e6)
           .as("mean_est_err"),
-        round(avg(when(col("err_micro") >= 0, 1.0).otherwise(0.0)), 6)
+        round(col("over").cast("double") / col("n_pairs"), 6)
           .as("overestimate_frac"))
       .orderBy(col("bin_lo"))
   }
@@ -118,12 +126,18 @@ object Pipeline20 {
              JOIN g gb ON gb.doc_id = c.id_b),
     e AS (SELECT floor(jac * 20) / 20.0 AS bin_lo,
             CAST(round((est - jac) * 1e6, 0) AS BIGINT) AS err_micro
-          FROM sj)
-    SELECT bin_lo, CAST(count(*) AS BIGINT) AS n_pairs,
-           round(sum(err_micro) / 1e6 / count(*), 6) AS mean_est_err,
-           round(avg(CASE WHEN err_micro >= 0 THEN 1.0 ELSE 0.0 END), 6)
-             AS overestimate_frac
-    FROM e GROUP BY bin_lo ORDER BY bin_lo"""
+          FROM sj),
+    s AS (SELECT bin_lo, CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(err_micro) AS BIGINT) AS sm,
+            CAST(sum(CASE WHEN err_micro >= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS over
+          FROM e GROUP BY bin_lo)
+    SELECT bin_lo, n_pairs,
+           (((2 * abs(sm) + n_pairs) // (2 * n_pairs))
+             * (CASE WHEN sm < 0 THEN -1 ELSE 1 END)) / 1e6
+             AS mean_est_err,
+           round(CAST(over AS DOUBLE) / n_pairs, 6) AS overestimate_frac
+    FROM s ORDER BY bin_lo"""
   }
 
   // ------------------------------------------------------------------ q144

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Batch twenty-one: second-order curation audits — q145 per-source
+  * correlation of the quality signals (are length, the heuristic
+  * quality score, and the repetition fraction measuring the SAME thing
+  * on this source, or do they carry independent information? — the
+  * signal-redundancy audit behind any weighted quality gate), and q146
+  * clustering threshold stability (Rand / adjusted-Rand index between
+  * the J ≥ 0.5 and J ≥ 0.7 near-dup clusterings — how much does the
+  * dedup decision actually depend on the threshold knob?).
+  */
+object Pipeline21 {
+
+  type Q = (SparkSession, String) => DataFrame
+  import Tables._
+
+  // ------------------------------------------------------------------ q145
+  // Pearson correlations from EXACT integer moments: the three signals
+  // are integerized scan-local (chars; quality and dup-2-gram fraction
+  // in 6-dp micro-units — both already 6-dp by construction), the five
+  // sums per pair accumulate as DECIMAL(38,0) in Spark (sum(BIGINT) in
+  // DuckDB is HUGEINT — neither can wrap), and the r formula is pure
+  // scalar double arithmetic over those exact sums — no
+  // summation-order dependence anywhere, so the engines agree to the
+  // last bit before the final 6-dp round. One corpus scan; the only
+  // exchange carries |sources| × 13 numbers.
+  private def pearson(n: Column, sx: Column, sy: Column, sxx: Column,
+                      syy: Column, sxy: Column): Column = {
+    def d(c: Column) = c.cast("double")
+    round((d(n) * d(sxy) - d(sx) * d(sy)) /
+      sqrt((d(n) * d(sxx) - d(sx) * d(sx)) *
+        (d(n) * d(syy) - d(sy) * d(sy))), 6)
+  }
+
+  private val q145: Q = (s, d) => {
+    // staged projections: w and g2 are NAMED columns so the normalize/
+    // split and the gram build each run once per row — inlining them
+    // repeats the regex subtree per consumer when subexpression
+    // elimination doesn't fire across the wider expressions
+    val sc = documents(s, d)
+      .select(col("source"),
+        length(col("text")).cast("long").as("x"),
+        round(round(TextOps.qualityScore(col("text")), 6) * 1e6, 0)
+          .cast("long").as("y"),
+        split(TextOps.normalize(col("text")), " ").as("w"))
+      .withColumn("g2",
+        transform(sequence(lit(0), greatest(size(col("w")) - 2, lit(0))),
+          i => array_join(slice(col("w"), i + 1, lit(2)), " ")))
+      .select(col("source"), col("x"), col("y"),
+        round(round(lit(1.0) -
+          size(array_distinct(col("g2"))).cast("double") / size(col("g2")),
+          6) * 1e6, 0).cast("long").as("z"))
+    def dec(c: Column) = sum(c.cast("decimal(38,0)"))
+    sc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        dec(col("x")).as("sx"), dec(col("y")).as("sy"),
+        dec(col("z")).as("sz"),
+        dec(col("x") * col("x")).as("sxx"),
+        dec(col("y") * col("y")).as("syy"),
+        dec(col("z") * col("z")).as("szz"),
+        dec(col("x") * col("y")).as("sxy"),
+        dec(col("x") * col("z")).as("sxz"),
+        dec(col("y") * col("z")).as("syz"))
+      .select(col("source"), col("n").as("n_docs"),
+        pearson(col("n"), col("sx"), col("sy"), col("sxx"), col("syy"),
+          col("sxy")).as("r_len_quality"),
+        pearson(col("n"), col("sx"), col("sz"), col("sxx"), col("szz"),
+          col("sxz")).as("r_len_dup2"),
+        pearson(col("n"), col("sy"), col("sz"), col("syy"), col("szz"),
+          col("syz")).as("r_quality_dup2"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q145Sql = s"""
+    WITH raw AS (SELECT source, text, ${OracleSql.qualityScColsSql}
+                 FROM documents),
+    wd AS (SELECT source,
+             CAST(length(text) AS BIGINT) AS x,
+             CAST(round(${OracleSql.qualitySql} * 1e6, 0) AS BIGINT) AS y,
+             string_split(${OracleSql.normSql}, ' ') AS w
+           FROM raw),
+    gz AS (SELECT source, x, y,
+             list_transform(generate_series(0, greatest(len(w) - 2, 0)),
+               i -> array_to_string(w[i+1:i+2], ' ')) AS g2
+           FROM wd),
+    sc AS (SELECT source, x, y,
+             CAST(round(round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+               / len(g2), 6) * 1e6, 0) AS BIGINT) AS z
+           FROM gz),
+    m AS (SELECT source, count(*) AS n,
+            sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+            sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz,
+            sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz
+          FROM sc GROUP BY source)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+      round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+             (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+        AS r_len_quality,
+      round((CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz) /
+        sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+             (CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz)), 6)
+        AS r_len_dup2,
+      round((CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz) /
+        sqrt((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) *
+             (CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz)), 6)
+        AS r_quality_dup2
+    FROM m ORDER BY source"""
+
+  // ------------------------------------------------------------------ q146
+  // Threshold stability: the J ≥ 0.5 and J ≥ 0.7 clusterings (both off
+  // the ONE session scoredPairs artifact — the second threshold costs
+  // one more connected-components fold, zero corpus work) compared by
+  // Rand and adjusted-Rand index (Hubert & Arabie 1985) from the
+  // cluster contingency table. All pair counts C(n,2) are exact
+  // BIGINTs (bound: a cluster of ≤ 4.3e9 members before C(n,2) wraps —
+  // a dedup clustering past that is degenerate long before the
+  // arithmetic is), sums accumulate as DECIMAL(38,0)/HUGEINT, and the
+  // index formula is scalar double arithmetic over the exact sums.
+  // RI ≈ 1 ⇒ the knob hardly matters; low ARI ⇒ the 0.5→0.7 choice is
+  // re-deciding membership for a large pair mass and deserves a sweep.
+  private val q146: Q = (s, d) => {
+    def labels(t: Double, out: String) =
+      ClusterMemo.clusters(s, d, threshold = t)
+        .select(col("doc_id"), col("cluster_id").as(out))
+    def c2(c: Column) = (c * (c - 1)) / 2
+    def dec(c: Column) = sum(c.cast("decimal(38,0)"))
+    val ct = labels(0.5, "c1").join(labels(0.7, "c2"), Seq("doc_id"))
+      .groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // contingency feeds the three pair sums
+    val sij = ct.agg(dec(c2(col("nij"))).as("sPairs"),
+      sum(col("nij")).as("n"),
+      countDistinct(col("c1")).as("k1"),
+      countDistinct(col("c2")).as("k2"))
+    val sa = ct.groupBy(col("c1")).agg(sum(col("nij")).as("a"))
+      .agg(dec(c2(col("a"))).as("sa"))
+    val sb = ct.groupBy(col("c2")).agg(sum(col("nij")).as("b"))
+      .agg(dec(c2(col("b"))).as("sb"))
+    def dbl(c: Column) = c.cast("double")
+    sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .withColumn("np", dbl(col("n")) * (dbl(col("n")) - 1) / 2)
+      .withColumn("exp", dbl(col("sa")) * dbl(col("sb")) / col("np"))
+      .select(col("n").cast("long").as("n_docs"),
+        col("k1").cast("long").as("n_clusters_t05"),
+        col("k2").cast("long").as("n_clusters_t07"),
+        round((col("np") + lit(2) * dbl(col("sPairs")) - dbl(col("sa"))
+          - dbl(col("sb"))) / col("np"), 6).as("rand_index"),
+        round((dbl(col("sPairs")) - col("exp")) /
+          ((dbl(col("sa")) + dbl(col("sb"))) / 2 - col("exp")), 6)
+          .as("adjusted_rand"))
+  }
+
+  private lazy val q146Sql = s"""
+    WITH RECURSIVE ${OracleSql.textClusterCtes(0.5, suffix = "05")},
+    ${OracleSql.textClusterCtes(0.7, suffix = "07")},
+    ct AS (SELECT a.cluster_id AS c1, b.cluster_id AS c2,
+             CAST(count(*) AS BIGINT) AS nij
+           FROM cc05 a JOIN cc07 b ON a.doc_id = b.doc_id
+           GROUP BY 1, 2),
+    sij AS (SELECT sum(nij * (nij - 1) / 2) AS sPairs, sum(nij) AS n,
+              count(DISTINCT c1) AS k1, count(DISTINCT c2) AS k2
+            FROM ct),
+    sa AS (SELECT sum(a * (a - 1) / 2) AS sa FROM
+             (SELECT sum(nij) AS a FROM ct GROUP BY c1)),
+    sb AS (SELECT sum(b * (b - 1) / 2) AS sb FROM
+             (SELECT sum(nij) AS b FROM ct GROUP BY c2))
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(k1 AS BIGINT) AS n_clusters_t05,
+           CAST(k2 AS BIGINT) AS n_clusters_t07,
+           round((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2
+               + 2 * CAST(sPairs AS DOUBLE) - CAST(sa AS DOUBLE)
+               - CAST(sb AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2), 6)
+             AS rand_index,
+           round((CAST(sPairs AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2))
+             / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2
+               - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) / 2)), 6)
+             AS adjusted_rand
+    FROM sij, sa, sb"""
+
+  val queries: Map[String, Q] = Map(
+    "q145_signal_correlation" -> q145,
+    "q146_threshold_stability" -> q146)
+
+  val oracleSql: Map[String, String] = Map(
+    "q145_signal_correlation" -> q145Sql,
+    "q146_threshold_stability" -> q146Sql)
+}
