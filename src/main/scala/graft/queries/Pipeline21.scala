@@ -186,11 +186,111 @@ object Pipeline21 {
              AS adjusted_rand
     FROM sij, sa, sb"""
 
+  // ------------------------------------------------------------------ q147
+  // Greedy submodular coverage selection (lazy-greedy facility
+  // location, Nemhauser/Wolsey/Fisher 1978 — the (1−1/e) classic behind
+  // data-subset selection): from the top-[[CovPool]] quality candidates,
+  // pick [[CovK]] documents that greedily maximize cumulative DISTINCT
+  // 3-gram coverage — the "most informative shortlist" op an annotation
+  // or eval-set builder runs (top-k by quality alone returns ten
+  // near-copies; coverage-greedy returns what together SPANS the pool).
+  // Scale shape: the pool is a bounded k-heap (TopKByScore over the
+  // quality scan), its gram sets come off the session leak artifact
+  // (zero extra corpus derivations), and only the greedy argmax — set
+  // sizes over ≤ CovPool collected gram arrays — folds on the driver
+  // (the q135 bounded-fold rule). The oracle replays the greedy loop as
+  // a recursive CTE whose marginal is a gram-level anti-join count.
+  private val CovPool = 40
+  private val CovK = 10
+
+  /** The greedy coverage fold over bounded collected gram sets — public
+    * for the hand-fixture spec.
+    */
+  def coverageSelect(cands: Seq[(Long, Set[String])], k: Int)
+      : Seq[(Long, Long, Long, Long)] = {
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val covered = scala.collection.mutable.Set.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    while (out.length < math.min(k, cands.length)) {
+      val best = cands.iterator
+        .filterNot { case (id, _) => picked.contains(id) }
+        .map { case (id, gs) => (id, gs.count(g => !covered.contains(g))) }
+        .reduceLeft((a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
+      picked += best._1
+      covered ++= cands.find(_._1 == best._1).get._2
+      out += ((out.length + 1L, best._1, best._2.toLong, covered.size.toLong))
+    }
+    out.toSeq
+  }
+
+  private val q147: Q = (s, d) => {
+    import s.implicits._
+    import graft.text.Retrieval
+    val scored = documents(s, d).select(col("doc_id"),
+      round(TextOps.qualityScore(col("text")), 6).as("score"))
+    val pool = Retrieval.rankedTopK(scored, CovPool).select(col("doc_id"))
+    val pg = pool.join(
+      GramMemo.leak(s, d).select(col("doc_id"), col("gks")), Seq("doc_id"))
+    // bounded driver fold: ≤ CovPool (doc, gram-set) rows
+    val cands = pg.collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet)).toSeq
+      .sortBy(_._1)
+    coverageSelect(cands, CovK)
+      .toDF("rnk", "doc_id", "n_new_grams", "cum_coverage")
+      .orderBy(col("rnk"))
+  }
+
+  private lazy val q147Sql = {
+    val n = GramMemo.LeakN
+    s"""
+    WITH RECURSIVE
+    raw AS (SELECT doc_id, text, ${OracleSql.qualityScColsSql}
+            FROM documents),
+    sc AS (SELECT doc_id, ${OracleSql.qualitySql} AS score FROM raw),
+    pool AS (SELECT doc_id FROM
+               (SELECT doc_id, row_number() OVER
+                  (ORDER BY score DESC, doc_id) AS r FROM sc)
+             WHERE r <= $CovPool),
+    nd AS (SELECT p.doc_id,
+             string_split(${OracleSql.normSql}, ' ') AS w
+           FROM pool p JOIN documents USING (doc_id)),
+    pg AS (SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(0, greatest(len(w) - $n, 0)),
+               i -> substr(md5(array_to_string(w[i+1:i+$n], ' ')), 1, 16)))
+               AS gr
+           FROM nd),
+    pgx AS (SELECT doc_id, unnest(gr) AS g FROM pg),
+    pn AS (SELECT doc_id, CAST(len(gr) AS BIGINT) AS n_gr FROM pg),
+    pick(k, id, n_new, ids) AS (
+      SELECT 1, nxt.doc_id, nxt.n_gr, [nxt.doc_id]
+      FROM (SELECT doc_id, n_gr FROM pn
+            ORDER BY n_gr DESC, doc_id LIMIT 1) nxt
+      UNION ALL
+      SELECT k + 1, nxt.doc_id, nxt.nn, list_append(ids, nxt.doc_id)
+      FROM pick, LATERAL (
+        SELECT p.doc_id,
+               p.n_gr - (SELECT count(DISTINCT a.g)
+                         FROM pgx a JOIN pgx b ON a.g = b.g
+                         WHERE a.doc_id = p.doc_id
+                           AND list_contains(pick.ids, b.doc_id)) AS nn
+        FROM pn p WHERE NOT list_contains(pick.ids, p.doc_id)
+        ORDER BY nn DESC, p.doc_id LIMIT 1) nxt
+      WHERE pick.k < $CovK)
+    SELECT CAST(k AS BIGINT) AS rnk, id AS doc_id,
+           CAST(n_new AS BIGINT) AS n_new_grams,
+           CAST(sum(n_new) OVER (ORDER BY k) AS BIGINT) AS cum_coverage
+    FROM pick ORDER BY rnk"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q145_signal_correlation" -> q145,
-    "q146_threshold_stability" -> q146)
+    "q146_threshold_stability" -> q146,
+    "q147_coverage_select" -> q147)
 
   val oracleSql: Map[String, String] = Map(
     "q145_signal_correlation" -> q145Sql,
-    "q146_threshold_stability" -> q146Sql)
+    "q146_threshold_stability" -> q146Sql,
+    "q147_coverage_select" -> q147Sql)
 }
