@@ -128,8 +128,11 @@ object Pipeline19 {
   // a |types|-row moment table riding a broadcast back onto it.
   private val BurstZ = 2.0
 
-  private val q141: Q = (s, d) => {
-    val hourly = eventsMicros(s, d)
+  /** q141's core over an explicit (event_type, ts_t) frame — public for
+    * the planted-spike scale spec.
+    */
+  def hourlyBursts(ev: DataFrame): DataFrame = {
+    val hourly = ev
       .groupBy(col("event_type"),
         date_trunc("hour", col("ts_t")).as("hour"))
       .agg(count(lit(1)).as("c"))
@@ -154,6 +157,8 @@ object Pipeline19 {
         when(col("z") >= BurstZ, 1L).otherwise(0L))
       .orderBy(col("event_type"), col("hour"))
   }
+
+  private val q141: Q = (s, d) => hourlyBursts(eventsMicros(s, d))
 
   private lazy val q141Sql = s"""
     WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -594,6 +594,71 @@ class ScaleSpec extends AnyFunSuite {
     assert(lp.filter(col("id") === 9997L).head().getLong(2) == 10000L)
   }
 
+  test("batch-18/19/20 monitors stay bounded at 1M events / 50k docs") {
+    import graft.queries.{Pipeline18, Pipeline19, Pipeline20}
+
+    // q141's claim on 100k (type, hour) cells: a flat planted baseline
+    // (10 types x 10k hours, constant count) plus ONE spiked hour per
+    // type — exactly the 10 planted spikes flag, everything else z<2.
+    // The hourly table is the only corpus-sized pass; moments broadcast.
+    val cells = spark.range(100000)
+      .select(concat(lit("t"), (col("id") % 10)).as("event_type"),
+        // hour-aligned base + INTEGER hour index (a double division
+        // here smears cells across hour boundaries)
+        timestamp_seconds(lit(1699999200L) +
+          expr("id div 10") * 3600L).as("hour_ts"),
+        // 5 events per cell, 50 in each type's first hour
+        when(col("id") < 10, 50).otherwise(5).as("n"))
+    val ev = cells.select(col("event_type"),
+        explode(sequence(lit(1), col("n"))).as("_i"), col("hour_ts"))
+      .select(col("event_type"), col("hour_ts").as("ts_t"))
+    val bursts = Pipeline19.hourlyBursts(ev).localCheckpoint()
+    assert(bursts.count() == 100000L, "one row per (type, hour) cell")
+    val flagged = bursts.filter(col("is_burst") === 1L).collect()
+    assert(flagged.length == 10 &&
+      flagged.forall(_.getAs[java.sql.Timestamp]("hour").getTime ==
+        1699999200L * 1000L),
+      "exactly the 10 planted spike hours flag")
+
+    // q144's claim at ~1M events: 10k users each walking the strict
+    // a->b->c cycle — every transition is deterministic, so every
+    // per-type entropy is EXACTLY +0.0 and modal_frac is 1
+    val cyc = spark.range(1000000).select(
+      expr("id div 100").as("user_id"),
+      timestamp_seconds(lit(1700000000L) + (col("id") % 100)).as("ts_t"),
+      col("id").as("event_id"),
+      element_at(array(lit("a"), lit("b"), lit("c")),
+        ((col("id") % 3) + 1).cast("int")).as("event_type"))
+    val ent = Pipeline20.markovEntropy(cyc).collect()
+    assert(ent.length == 3 && ent.forall(r =>
+      r.getDouble(3) == 0.0 && r.getDouble(5) == 1.0),
+      "deterministic cycles must score exactly zero entropy")
+
+    // q134's claim on 50k docs: the in-row repetition metrics obey
+    // their bounds everywhere (fractions in [0,1], never null, counts
+    // consistent), and a planted degenerate doc (one word x 500) gets
+    // the closed-form extreme
+    import spark.implicits._
+    val words = spark.range(50000).select(col("id").as("doc_id"),
+      when(col("id") === 0L,
+          array_repeat(lit("spam"), 500))
+        .otherwise(transform(sequence(lit(1), lit(20)),
+          i => substring(md5(concat(col("id").cast("string"), i)), 1, 6)))
+        .as("words"))
+    val rep = Pipeline18.repetitionMetrics(words).localCheckpoint()
+    assert(rep.count() == 50000L)
+    assert(rep.filter(col("dup_2gram_frac").isNull ||
+      col("dup_2gram_frac") < 0 || col("dup_2gram_frac") > 1 ||
+      col("top_2gram_frac") < 0 || col("top_2gram_frac") > 1).isEmpty,
+      "repetition fractions are total and bounded on every doc")
+    val spam = rep.filter(col("doc_id") === 0L).head()
+    assert(spam.getAs[Long]("n_2grams") == 499L &&
+      spam.getAs[Double]("dup_2gram_frac") == 0.997996 &&
+      spam.getAs[Double]("top_2gram_frac") == 1.0 &&
+      spam.getAs[Long]("is_repetitive") == 1L,
+      "the degenerate doc hits the closed-form extreme")
+  }
+
   test("batch-16 diagnostics stay bounded on 100k nodes / 50k docs") {
     import java.nio.file.Files
     import graft.queries.Pipeline16
