@@ -284,13 +284,90 @@ object Pipeline21 {
     FROM pick ORDER BY rnk"""
   }
 
+  // ------------------------------------------------------------------ q148
+  // LSH recall audit: the exact prefix-filtered similarity join (q94's
+  // PPJoin — provably COMPLETE at J ≥ 0.5 over the same 3-gram Jaccard)
+  // is the ground truth; the banded-MinHash verified pair set (the
+  // scoredPairs session artifact) is the candidate under audit. Per
+  // 0.05 similarity band: true pairs, found pairs, measured recall, and
+  // the closed-form banding theory 1 − (1 − s²)⁴ at the band midpoint
+  // (r=2 rows/band, b=4 bands — the session LSH shape) — computed with
+  // MULTIPLICATION only (((1−s²)²)², no libm pow), so both engines
+  // agree bit-for-bit. q143 audits the estimator's VALUE error; this
+  // audits the nomination's COVERAGE — together they are the evidence
+  // behind the band/verify configuration. LSH-verified pairs are a
+  // subset of the exact set by construction (same similarity, complete
+  // ground truth), so recall ≤ 1 per band structurally.
+  private val q148: Q = (s, d) => {
+    import graft.dedup.DedupOps
+    val exact = DedupOps.prefixJaccardPairsOfWords(
+      GramMemo.words(s, d), "doc_id", "words", 0.5)
+    val lsh = ClusterMemo.scoredPairs(s, d)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), lit(1L).as("_hit"))
+    val mid = col("bin_lo") + 0.025
+    val miss = lit(1.0) - mid * mid
+    exact.join(lsh, Seq("id_a", "id_b"), "left")
+      .groupBy((floor(col("jaccard") * 20) / 20.0).as("bin_lo"))
+      .agg(count(lit(1)).as("n_true"),
+        count(col("_hit")).as("n_found"))
+      .select(col("bin_lo"), col("n_true"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_true"), 6)
+          .as("recall"),
+        round(lit(1.0) - (miss * miss) * (miss * miss), 6)
+          .as("theory_recall"))
+      .orderBy(col("bin_lo"))
+  }
+
+  private lazy val q148Sql = s"""
+    WITH RECURSIVE ${OracleSql.textClusterCtes(0.5, suffix = "l")},
+    ndx AS (SELECT doc_id,
+              string_split(${OracleSql.normSql}, ' ') AS w
+            FROM documents),
+    gx AS (SELECT doc_id, ${OracleSql.grams3Sql} AS gr FROM ndx),
+    dg AS (SELECT doc_id, md5(gram) AS gk
+           FROM (SELECT doc_id, unnest(gr) AS gram FROM gx)),
+    dfs AS (SELECT gk, count(*) AS df FROM dg GROUP BY gk),
+    ranked AS (SELECT doc_id, array_agg(gk ORDER BY df, gk) AS rare
+               FROM dg JOIN dfs USING (gk) GROUP BY doc_id),
+    pre AS (SELECT doc_id, unnest(rare[1 : CAST(len(rare) -
+              ceil(0.5 * len(rare)) + 1 AS INTEGER)]) AS gk
+            FROM ranked),
+    candx AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM pre a JOIN pre b
+                ON a.gk = b.gk AND a.doc_id < b.doc_id),
+    ex AS (SELECT id_a, id_b, jaccard FROM
+             (SELECT id_a, id_b,
+                round(CAST(len(list_intersect(ga.gr, gb.gr)) AS DOUBLE) /
+                  len(list_distinct(ga.gr || gb.gr)), 6) AS jaccard
+              FROM candx
+                JOIN gx ga ON ga.doc_id = id_a
+                JOIN gx gb ON gb.doc_id = id_b)
+           WHERE jaccard >= 0.5),
+    hit AS (SELECT id_a, id_b, 1 AS h FROM edgesl),
+    br AS (SELECT floor(ex.jaccard * 20) / 20.0 AS bin_lo,
+             CAST(count(*) AS BIGINT) AS n_true,
+             CAST(count(hit.h) AS BIGINT) AS n_found
+           FROM ex LEFT JOIN hit USING (id_a, id_b)
+           GROUP BY 1)
+    SELECT bin_lo, n_true, n_found,
+           round(CAST(n_found AS DOUBLE) / n_true, 6) AS recall,
+           round(1.0 - ((1.0 - (bin_lo + 0.025) * (bin_lo + 0.025))
+                      * (1.0 - (bin_lo + 0.025) * (bin_lo + 0.025)))
+                    * ((1.0 - (bin_lo + 0.025) * (bin_lo + 0.025))
+                      * (1.0 - (bin_lo + 0.025) * (bin_lo + 0.025))), 6)
+             AS theory_recall
+    FROM br ORDER BY bin_lo"""
+
   val queries: Map[String, Q] = Map(
     "q145_signal_correlation" -> q145,
     "q146_threshold_stability" -> q146,
-    "q147_coverage_select" -> q147)
+    "q147_coverage_select" -> q147,
+    "q148_lsh_recall" -> q148)
 
   val oracleSql: Map[String, String] = Map(
     "q145_signal_correlation" -> q145Sql,
     "q146_threshold_stability" -> q146Sql,
-    "q147_coverage_select" -> q147Sql)
+    "q147_coverage_select" -> q147Sql,
+    "q148_lsh_recall" -> q148Sql)
 }
