@@ -43,7 +43,8 @@ object SparkEntry {
       graft.queries.Pipeline18.queries ++
       graft.queries.Pipeline19.queries ++
       graft.queries.Pipeline20.queries ++
-      graft.queries.Pipeline21.queries
+      graft.queries.Pipeline21.queries ++
+      graft.queries.Pipeline22.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -73,5 +74,6 @@ object SparkEntry {
       graft.queries.Pipeline18.oracleSql ++
       graft.queries.Pipeline19.oracleSql ++
       graft.queries.Pipeline20.oracleSql ++
-      graft.queries.Pipeline21.oracleSql
+      graft.queries.Pipeline21.oracleSql ++
+      graft.queries.Pipeline22.oracleSql
 }

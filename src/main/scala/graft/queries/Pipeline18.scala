@@ -252,8 +252,10 @@ object Pipeline18 {
   private val AgreeJaccard = 0.5
   private val AgreeHamming = 2
 
-  private val q136: Q = (s, d) => {
-    import graft.dedup.DedupOps
+  /** Per-doc verdict flags of the three dedup methods — the shared base
+    * of q136's agreement matrix and q149's per-source burden report.
+    */
+  private[queries] def dedupFlags(s: SparkSession, d: String): DataFrame = {
     import graft.text.TextOps
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     val fp = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
@@ -273,15 +275,23 @@ object Pipeline18 {
       .join(flag(eids, "_e"), Seq("doc_id"), "left")
       .join(flag(mids, "_m"), Seq("doc_id"), "left")
       .join(flag(sids, "_s"), Seq("doc_id"), "left")
-      .groupBy(coalesce(col("_e"), lit(0L)).as("is_exact"),
+      .select(col("doc_id"),
+        coalesce(col("_e"), lit(0L)).as("is_exact"),
         coalesce(col("_m"), lit(0L)).as("is_minhash"),
         coalesce(col("_s"), lit(0L)).as("is_simhash"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("is_exact"), col("is_minhash"), col("is_simhash"))
   }
 
-  private lazy val q136Sql = s"""
-    WITH RECURSIVE ${OracleSql.textClusterCtes(AgreeJaccard)},
+  private val q136: Q = (s, d) =>
+    dedupFlags(s, d)
+      .groupBy(col("is_exact"), col("is_minhash"), col("is_simhash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("is_exact"), col("is_minhash"), col("is_simhash"))
+
+  /** The (doc_id, is_exact, is_minhash, is_simhash) flag CTE chain —
+    * shared by the q136 and q149 oracles (ends with CTE `fl`).
+    */
+  private[queries] lazy val dedupFlagsCtes = s"""
+    ${OracleSql.textClusterCtes(AgreeJaccard)},
     fpx AS (SELECT doc_id, md5(n) AS fp FROM nd),
     dupfp AS (SELECT fp FROM fpx GROUP BY fp HAVING count(*) > 1),
     eids AS (SELECT DISTINCT doc_id FROM fpx JOIN dupfp USING (fp)),
@@ -306,7 +316,10 @@ object Pipeline18 {
            FROM documents d
              LEFT JOIN eids e ON e.doc_id = d.doc_id
              LEFT JOIN mids m ON m.doc_id = d.doc_id
-             LEFT JOIN sids s ON s.doc_id = d.doc_id)
+             LEFT JOIN sids s ON s.doc_id = d.doc_id)"""
+
+  private lazy val q136Sql = s"""
+    WITH RECURSIVE $dedupFlagsCtes
     SELECT CAST(is_exact AS BIGINT) AS is_exact,
            CAST(is_minhash AS BIGINT) AS is_minhash,
            CAST(is_simhash AS BIGINT) AS is_simhash,

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+
+/** Batch twenty-two: dedup economics and cross-modality agreement —
+  * q149 per-source dedup burden (how much of each source each dedup
+  * method would remove: the table that prices a source's crawl against
+  * its marginal unique content) and q150 lexical↔semantic agreement
+  * (do the embeddings see the near-duplicates the text sees? — per
+  * text-similarity band, the embedding-cosine distribution of the
+  * nominated pairs; a low-cosine high-Jaccard band means the encoder
+  * is blind to duplication the gram space proves).
+  */
+object Pipeline22 {
+
+  type Q = (SparkSession, String) => DataFrame
+  import Tables._
+
+  // ------------------------------------------------------------------ q149
+  // Per-source burden off the SHARED per-doc verdict flags (q136's
+  // base): one doc-keyed join to the source column, then a
+  // |sources|-bounded aggregate. n_any counts docs ANY method flags —
+  // the source's gross duplication; the per-method fractions price the
+  // cheap methods' coverage per source (a source where SimHash already
+  // finds 95% of MinHash's verdicts can skip the MinHash pass in a
+  // budgeted pipeline).
+  private val q149: Q = (s, d) => {
+    Pipeline18.dedupFlags(s, d)
+      .join(documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_exact")).as("n_exact"),
+        sum(col("is_minhash")).as("n_minhash"),
+        sum(col("is_simhash")).as("n_simhash"),
+        sum(greatest(col("is_exact"), col("is_minhash"),
+          col("is_simhash"))).as("n_any"))
+      .select(col("source"), col("n_docs"), col("n_exact"),
+        col("n_minhash"), col("n_simhash"), col("n_any"),
+        round(col("n_any").cast("double") / col("n_docs"), 6)
+          .as("dup_frac"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q149Sql = s"""
+    WITH RECURSIVE ${Pipeline18.dedupFlagsCtes},
+    j AS (SELECT fl.*, d.source FROM fl
+          JOIN documents d ON d.doc_id = fl.doc_id)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_exact) AS BIGINT) AS n_exact,
+           CAST(sum(is_minhash) AS BIGINT) AS n_minhash,
+           CAST(sum(is_simhash) AS BIGINT) AS n_simhash,
+           CAST(sum(greatest(is_exact, is_minhash, is_simhash))
+             AS BIGINT) AS n_any,
+           round(CAST(sum(greatest(is_exact, is_minhash, is_simhash))
+             AS DOUBLE) / count(*), 6) AS dup_frac
+    FROM j GROUP BY source ORDER BY source"""
+
+  // ------------------------------------------------------------------ q150
+  // Cross-modality agreement over the LSH-nominated pair set (ALL
+  // nominations, including the verify-rejected low-Jaccard ones — the
+  // interesting contrast band): per 0.05 exact-Jaccard band, the
+  // embedding-cosine mean (exact integer micro-units, the q143
+  // rounding rule) and the fraction of pairs the embedding space would
+  // also call close (cos ≥ 0.5). Rides the scoredPairs artifact plus
+  // two doc-keyed embedding joins — pair-bounded work, zero corpus
+  // text derivations.
+  private val q150: Q = (s, d) => {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    ClusterMemo.scoredPairs(s, d)
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("_ea")),
+        Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("_eb")),
+        Seq("id_b"))
+      .select((floor(col("jaccard") * 20) / 20.0).as("bin_lo"),
+        round(Similarity.cosine(col("_ea"), col("_eb")), 6).as("cos"))
+      .groupBy(col("bin_lo"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("cos") * 1e6, 0).cast("long")).as("sm"),
+        sum(when(col("cos") >= 0.5, 1L).otherwise(0L)).as("hi"))
+      .select(col("bin_lo"), col("n_pairs"),
+        (expr("(2 * abs(sm) + n_pairs) div (2 * n_pairs)") *
+          when(col("sm") < 0, -1L).otherwise(1L) / 1e6)
+          .as("mean_cos"),
+        round(col("hi").cast("double") / col("n_pairs"), 6)
+          .as("frac_sem_close"))
+      .orderBy(col("bin_lo"))
+  }
+
+  private lazy val q150Sql = s"""
+    WITH RECURSIVE ${OracleSql.textClusterCtes(0.0)},
+    sj AS (SELECT c.id_a, c.id_b,
+             ${OracleSql.jaccard3Sql("ga.gr", "gb.gr")} AS jac
+           FROM cand c
+             JOIN g ga ON ga.doc_id = c.id_a
+             JOIN g gb ON gb.doc_id = c.id_b),
+    pc AS (SELECT floor(sj.jac * 20) / 20.0 AS bin_lo,
+             ${OracleSql.cosPairSql("a", "b")} AS cos
+           FROM sj
+             JOIN embeddings a ON a.vec_id = sj.id_a
+             JOIN embeddings b ON b.vec_id = sj.id_b),
+    t AS (SELECT bin_lo, CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(CAST(round(cos * 1e6, 0) AS BIGINT)) AS BIGINT) AS sm,
+            CAST(sum(CASE WHEN cos >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+              AS hi
+          FROM pc GROUP BY 1)
+    SELECT bin_lo, n_pairs,
+           (((2 * abs(sm) + n_pairs) // (2 * n_pairs))
+             * (CASE WHEN sm < 0 THEN -1 ELSE 1 END)) / 1e6 AS mean_cos,
+           round(CAST(hi AS DOUBLE) / n_pairs, 6) AS frac_sem_close
+    FROM t ORDER BY bin_lo"""
+
+  val queries: Map[String, Q] = Map(
+    "q149_dedup_burden" -> q149,
+    "q150_modality_agreement" -> q150)
+
+  val oracleSql: Map[String, String] = Map(
+    "q149_dedup_burden" -> q149Sql,
+    "q150_modality_agreement" -> q150Sql)
+}
