@@ -113,11 +113,63 @@ object Pipeline22 {
            round(CAST(hi AS DOUBLE) / n_pairs, 6) AS frac_sem_close
     FROM t ORDER BY bin_lo"""
 
+  // ------------------------------------------------------------------ q151
+  // Near-dup graph degree profile: the degree histogram of the verified
+  // J ≥ 0.5 pair graph, degree 0 included (docs no edge touches). A
+  // heavy tail here is the boilerplate-hub signature — the exact
+  // pattern that makes pair enumeration quasi-quadratic and that the
+  // posting-list/bucket caps exist to catch; this is the audit that
+  // sees it coming while the caps are still comfortable. Scale shape:
+  // edges off the session artifact, degrees by one doc-keyed count,
+  // histogram bounded by the max degree; the degree-0 row derives from
+  // two scalar counts.
+  private val q151: Q = (s, d) => {
+    val pairs = ClusterMemo.scoredPairs(s, d)
+      .filter(col("jaccard") >= 0.5)
+    val deg = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    val nDocs = documents(s, d).select(count(lit(1)).as("n_total"))
+    val zero = nDocs.crossJoin(broadcast(
+        deg.agg(count(lit(1)).as("n_touched"))))
+      .select(lit(0L).as("degree"),
+        (col("n_total") - col("n_touched")).as("n_nodes"))
+      .filter(col("n_nodes") > 0)
+    hist.unionByName(zero)
+      .crossJoin(broadcast(nDocs))
+      .select(col("degree"), col("n_nodes"),
+        round(col("n_nodes").cast("double") / col("n_total"), 6)
+          .as("frac_nodes"))
+      .orderBy(col("degree"))
+  }
+
+  private lazy val q151Sql = s"""
+    WITH RECURSIVE ${OracleSql.textClusterCtes(0.5)},
+    deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM
+              (SELECT id_a AS doc_id FROM edges
+               UNION ALL SELECT id_b FROM edges)
+            GROUP BY doc_id),
+    hist AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+             FROM deg GROUP BY degree),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+    zero AS (SELECT CAST(0 AS BIGINT) AS degree,
+               (SELECT n_total FROM tot)
+                 - (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes),
+    h AS (SELECT * FROM hist
+          UNION ALL SELECT * FROM zero WHERE n_nodes > 0)
+    SELECT degree, n_nodes,
+           round(CAST(n_nodes AS DOUBLE) / (SELECT n_total FROM tot), 6)
+             AS frac_nodes
+    FROM h ORDER BY degree"""
+
   val queries: Map[String, Q] = Map(
     "q149_dedup_burden" -> q149,
-    "q150_modality_agreement" -> q150)
+    "q150_modality_agreement" -> q150,
+    "q151_dup_degree_profile" -> q151)
 
   val oracleSql: Map[String, String] = Map(
     "q149_dedup_burden" -> q149Sql,
-    "q150_modality_agreement" -> q150Sql)
+    "q150_modality_agreement" -> q150Sql,
+    "q151_dup_degree_profile" -> q151Sql)
 }
