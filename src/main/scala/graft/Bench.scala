@@ -74,6 +74,9 @@ object Bench {
         // q43 produces the SimHash pair artifact q136 consumes
         if (name == "q43_simhash_hamming_pairs")
           graft.queries.ClusterMemo.clearSimhash()
+        // q94 produces the exact ground-truth pair artifact q148 audits
+        if (name == "q94_prefix_jaccard_pairs")
+          graft.queries.ClusterMemo.clearExactPairs()
         System.err.println(s"[bench] running $name ($r/$repeats)")
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -174,13 +174,11 @@ object Pipeline10 {
   // posting-list cap; DedupParitySpec pins parity with brute force.
   private val PrefixT = 0.5
 
+  // q94 is the PRODUCER of the exact ground-truth pair artifact q148's
+  // LSH recall audit consumes (ClusterMemo.exactPairs; Bench clears it
+  // before each q94 repeat).
   private val q94: Q = (s, d) =>
-    graft.dedup.DedupOps.prefixJaccardPairsOfWords(
-      // the shared normalized-word artifact (GramMemo — tokenize once,
-      // gram per query)
-      GramMemo.words(s, d),
-      "doc_id", "words", PrefixT)
-      .orderBy(col("id_a"), col("id_b"))
+    ClusterMemo.exactPairs(s, d).orderBy(col("id_a"), col("id_b"))
 
   private lazy val q94Sql = s"""
     WITH nd AS (SELECT doc_id,

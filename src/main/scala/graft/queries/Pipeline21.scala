@@ -299,9 +299,7 @@ object Pipeline21 {
   // subset of the exact set by construction (same similarity, complete
   // ground truth), so recall ≤ 1 per band structurally.
   private val q148: Q = (s, d) => {
-    import graft.dedup.DedupOps
-    val exact = DedupOps.prefixJaccardPairsOfWords(
-      GramMemo.words(s, d), "doc_id", "words", 0.5)
+    val exact = ClusterMemo.exactPairs(s, d)
     val lsh = ClusterMemo.scoredPairs(s, d)
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), lit(1L).as("_hit"))
