@@ -163,13 +163,124 @@ object Pipeline22 {
              AS frac_nodes
     FROM h ORDER BY degree"""
 
+  // ------------------------------------------------------------------ q152
+  // Johnson–Lindenstrauss distortion audit: project the 64-dim
+  // embeddings to 16 dims with a ±1 sign matrix (Achlioptas 2003 —
+  // database-friendly random projections; signs from the same md5
+  // parity rule as the hyperplane sketch, so the matrix is a
+  // deterministic constant both engines share) and measure, per
+  // cosine-similarity band of the verified near-dup pairs, how well
+  // pairwise Euclidean distance survives: ratio = d16/d64 with the
+  // 1/√k scaling. The decision this feeds: whether the cheap projected
+  // index can stand in for full-width distance at the ANN verify step.
+  // Determinism: the sign matrix is folded into generated +/- chains
+  // evaluated LEFT-TO-RIGHT identically in both engines (one generator,
+  // two dialect index forms), distances use only +,-,*,/ and the
+  // IEEE-exact sqrt — no libm transcendentals anywhere. Scale shape:
+  // the projection is scan-local arithmetic; everything pairwise rides
+  // the bounded EmbMemo pair artifact.
+  private val JlK = 16
+
+  private def jlSign(j: Int, i: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j|$i".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) >= 8) 1 else -1
+  }
+
+  /** The j-th projected coordinate as a generated sum over element
+    * references produced by `ref` (dialect-split indexing; the +/-
+    * chain is the SAME string shape in both engines, so association
+    * order — and therefore every IEEE intermediate — is identical).
+    */
+  private def jlProjExpr(j: Int, ref: Int => String): String =
+    "(0.0" + (0 until 64).map { i =>
+      (if (jlSign(j, i) > 0) " + " else " - ") + ref(i)
+    }.mkString + ")"
+
+  private val q152: Q = (s, d) => {
+    val sparkRef = (i: Int) =>
+      s"CAST(element_at(embedding, ${i + 1}) AS DOUBLE)"
+    val proj = embeddings(s, d).select(col("vec_id"),
+      col("embedding"),
+      array((0 until JlK).map(j => expr(jlProjExpr(j, sparkRef))): _*)
+        .as("y"))
+    def d2(a: String, b: String) =
+      aggregate(zip_with(col(a), col(b),
+        (x, yy) => (x.cast("double") - yy.cast("double")) *
+          (x.cast("double") - yy.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    val pairs = EmbMemo.pairs(s, d)
+      .join(proj.select(col("vec_id").as("id_a"),
+        col("embedding").as("_ea"), col("y").as("_ya")), Seq("id_a"))
+      .join(proj.select(col("vec_id").as("id_b"),
+        col("embedding").as("_eb"), col("y").as("_yb")), Seq("id_b"))
+      .select(col("sim"),
+        sqrt(d2("_ea", "_eb")).as("d64"),
+        (sqrt(d2("_ya", "_yb")) / math.sqrt(JlK.toDouble)).as("d16"))
+      .select((floor(col("sim") * 20) / 20.0).as("bin_lo"),
+        when(col("d64") > 0, round(col("d16") / col("d64"), 6))
+          .as("ratio"))
+    pairs.groupBy(col("bin_lo"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("ratio") * 1e6, 0).cast("long")).as("sm"),
+        min(col("ratio")).as("min_ratio"),
+        max(col("ratio")).as("max_ratio"))
+      .select(col("bin_lo"), col("n_pairs"),
+        (expr("(2 * abs(sm) + n_pairs) div (2 * n_pairs)") *
+          when(col("sm") < 0, -1L).otherwise(1L) / 1e6)
+          .as("mean_ratio"),
+        col("min_ratio"), col("max_ratio"))
+      .orderBy(col("bin_lo"))
+  }
+
+  private lazy val q152Sql = {
+    def duckRef(a: String) = (i: Int) =>
+      s"CAST($a.embedding[${i + 1}] AS DOUBLE)"
+    def projList(a: String) = "[" +
+      (0 until JlK).map(j => jlProjExpr(j, duckRef(a))).mkString(", ") + "]"
+    def d264(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, 64),
+           i -> (CAST($a.embedding[i] AS DOUBLE)
+                 - CAST($b.embedding[i] AS DOUBLE))
+              * (CAST($a.embedding[i] AS DOUBLE)
+                 - CAST($b.embedding[i] AS DOUBLE))))"""
+    s"""
+    WITH ${OracleSql.embeddingPairsCtes},
+    vp AS (SELECT pr.sim, ${projList("ea")} AS ya, ${projList("eb")} AS yb,
+             sqrt(${d264("ea", "eb")}) AS d64
+           FROM pairs pr
+             JOIN embeddings ea ON ea.vec_id = pr.id_a
+             JOIN embeddings eb ON eb.vec_id = pr.id_b
+           WHERE pr.sim >= ${graft.queries.EmbMemo.Threshold}),
+    pj AS (SELECT sim, d64,
+             sqrt(list_sum(list_transform(generate_series(1, $JlK),
+               j -> (ya[j] - yb[j]) * (ya[j] - yb[j]))))
+               / sqrt(${JlK}.0) AS d16
+           FROM vp),
+    r AS (SELECT floor(sim * 20) / 20.0 AS bin_lo,
+            CASE WHEN d64 > 0 THEN round(d16 / d64, 6) END AS ratio
+          FROM pj),
+    t AS (SELECT bin_lo, CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(CAST(round(ratio * 1e6, 0) AS BIGINT)) AS BIGINT)
+              AS sm,
+            min(ratio) AS min_ratio, max(ratio) AS max_ratio
+          FROM r GROUP BY 1)
+    SELECT bin_lo, n_pairs,
+           (((2 * abs(sm) + n_pairs) // (2 * n_pairs))
+             * (CASE WHEN sm < 0 THEN -1 ELSE 1 END)) / 1e6 AS mean_ratio,
+           min_ratio, max_ratio
+    FROM t ORDER BY bin_lo"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q149_dedup_burden" -> q149,
     "q150_modality_agreement" -> q150,
-    "q151_dup_degree_profile" -> q151)
+    "q151_dup_degree_profile" -> q151,
+    "q152_jl_distortion" -> q152)
 
   val oracleSql: Map[String, String] = Map(
     "q149_dedup_burden" -> q149Sql,
     "q150_modality_agreement" -> q150Sql,
-    "q151_dup_degree_profile" -> q151Sql)
+    "q151_dup_degree_profile" -> q151Sql,
+    "q152_jl_distortion" -> q152Sql)
 }
