@@ -73,16 +73,26 @@ object ArtifactStore {
       case Some(root) =>
         val base = new File(root, name)
         val path = new File(base, corpusSig(d))
-        if (!new File(path, "_SUCCESS").isFile) {
-          build.write.mode("overwrite").parquet(path.getPath)
-          // prune artifacts of superseded corpus versions (best-effort;
-          // concurrent readers of an old sig just rebuild next session)
-          Option(base.listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isDirectory && f.getName != path.getName)
-            .foreach(deleteTree)
+        // striped in-JVM lock: two sessions in one JVM (parallel test
+        // suites, notebook + job) building the same artifact must not
+        // interleave overwrite writes; cross-JVM the _SUCCESS check
+        // makes a lost race a harmless double write of identical data
+        val lock = writeLocks.getOrElseUpdate(path.getPath, new Object)
+        lock.synchronized {
+          if (!new File(path, "_SUCCESS").isFile) {
+            build.write.mode("overwrite").parquet(path.getPath)
+            // prune artifacts of superseded corpus versions (best-effort;
+            // concurrent readers of an old sig just rebuild next session)
+            Option(base.listFiles()).getOrElse(Array.empty)
+              .filter(f => f.isDirectory && f.getName != path.getName)
+              .foreach(deleteTree)
+          }
         }
         s.read.parquet(path.getPath)
     }
+
+  private val writeLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
 
   /** Best-effort recursive delete (stale-sig pruning; test cleanup). */
   def deleteTree(f: File): Unit = {

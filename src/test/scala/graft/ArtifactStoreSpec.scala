@@ -65,6 +65,46 @@ class ArtifactStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("cold session reuses every pair/score/model artifact family") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.{ClusterMemo, LmMemo, RetrievalMemo}
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-artifacts-all").toFile.getAbsolutePath
+    spark.conf.set(ArtifactStore.DirConf, tmp)
+    try {
+      def families = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "scored_pairs" -> (() => ClusterMemo.scoredPairs(spark, d)),
+        "simhash_pairs" -> (() => ClusterMemo.simhashPairs(spark, d)),
+        "exact_pairs" -> (() => ClusterMemo.exactPairs(spark, d)),
+        "bm25_scores" -> (() => RetrievalMemo.bm25(spark, d)),
+        "trigram_counts" -> (() => LmMemo.trigramCounts(spark, d)))
+      def clearAll(): Unit = {
+        ClusterMemo.clear(); RetrievalMemo.clear(); LmMemo.clear()
+        GramMemo.clear()
+      }
+      clearAll()
+      val warm = families.map { case (n, f) => n -> f().count() }.toMap
+      for ((n, _) <- families)
+        assert(new java.io.File(new java.io.File(tmp, n),
+          ArtifactStore.corpusSig(d)).isDirectory, s"$n stored")
+      clearAll() // cold session: only the store remains
+      for ((n, f) <- families) {
+        val df = f()
+        assert(df.queryExecution.executedPlan.toString.contains(tmp),
+          s"cold $n must read the store")
+        assert(df.count() == warm(n),
+          s"cold $n must be value-identical to the warm build")
+      }
+    } finally {
+      spark.conf.set(ArtifactStore.DirConf, "")
+      graft.queries.ClusterMemo.clear()
+      graft.queries.RetrievalMemo.clear()
+      graft.queries.LmMemo.clear()
+      GramMemo.clear()
+      ArtifactStore.deleteTree(new java.io.File(tmp))
+    }
+  }
+
   test("corpus signature tracks file content changes (staleness check)") {
     val corpus = java.nio.file.Files
       .createTempDirectory("graft-corpus").toFile
