@@ -42,23 +42,36 @@ object ArtifactStore {
     Option(s.conf.get(DirConf, "")).filter(_.nonEmpty)
 
   /** Corpus signature: md5 over (path, size, mtime) of every regular
-    * file under `d` (one directory level deep — the layout of the
-    * testdata sfDirs: `<table>.parquet/part-*.parquet`). Listing a
-    * corpus directory is metadata-only — no data read.
+    * file under `d`, RECURSIVELY — nested layouts (Hive-partitioned
+    * `table/date=.../part.parquet`) must contribute their leaf files,
+    * not just the partition directory entries (a directory's own mtime
+    * does not reliably change when a file inside is rewritten in
+    * place). Listing is metadata-only — no data read.
     */
   def corpusSig(d: String): String = {
-    def filesUnder(f: File): Array[File] =
-      Option(f.listFiles()).getOrElse(Array.empty)
-    val files = filesUnder(new File(d)).sortBy(_.getPath).flatMap { f =>
-      if (f.isDirectory) filesUnder(f).filter(_.isFile).sortBy(_.getPath)
-      else Array(f)
+    def walk(f: File): Array[File] = {
+      val children = Option(f.listFiles()).getOrElse(Array.empty)
+        .sortBy(_.getPath)
+      children.flatMap(c => if (c.isDirectory) walk(c) else Array(c))
     }
-    val sig = files
+    val sig = walk(new File(d))
       .map(f => s"${f.getPath}|${f.length}|${f.lastModified}")
       .mkString("\n")
     java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
+
+  /** Corpus-identity key: artifacts of DIFFERENT corpora sharing one
+    * store must not collide or prune each other — the signature alone
+    * encodes identity AND version, so pruning by sibling sig would
+    * delete a sibling corpus's artifacts (and break any live plan
+    * reading them). Keying the directory by the corpus path keeps
+    * pruning scoped to versions of the SAME corpus.
+    */
+  private def corpusKey(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(new File(d).getAbsolutePath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
 
   /** Load `name` from the store if a fresh copy exists, else run
     * `build`, persist it, and read the persisted copy back (so the
@@ -71,8 +84,8 @@ object ArtifactStore {
     dirOf(s) match {
       case None => build.localCheckpoint()
       case Some(root) =>
-        val base = new File(root, name)
-        val path = new File(base, corpusSig(d))
+        val path = pathFor(root, d, name)
+        val base = path.getParentFile
         // striped in-JVM lock: two sessions in one JVM (parallel test
         // suites, notebook + job) building the same artifact must not
         // interleave overwrite writes; cross-JVM the _SUCCESS check
@@ -90,6 +103,12 @@ object ArtifactStore {
         }
         s.read.parquet(path.getPath)
     }
+
+  /** The store path of artifact `name` for corpus `d`:
+    * `<root>/<name>/<corpus key>/<corpus signature>`.
+    */
+  def pathFor(root: String, d: String, name: String): File =
+    new File(new File(new File(root, name), corpusKey(d)), corpusSig(d))
 
   private val writeLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]

@@ -42,16 +42,16 @@ object EmbMemo {
     * materialized once per (session, sfDir).
     */
   def kmeansCents(s: SparkSession, d: String): DataFrame =
-    kmeansCache.getOrElseUpdate((System.identityHashCode(s), d),
+    kmeansCache.getOrElseUpdate((System.identityHashCode(s), d), {
+      // one builder bound once: the store path persists it, the default
+      // keeps the r7 lazy plan (kmeansCentroidRow pins its own state)
+      def build = Pipeline15.kmeansCentroidRow(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding")
       if (ArtifactStore.dirOf(s).isDefined)
-        ArtifactStore.loadOrBuild(s, d, "kmeans_cents")(
-          Pipeline15.kmeansCentroidRow(
-            Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-            "vec_id", "embedding"))
-      else
-        Pipeline15.kmeansCentroidRow(
-          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding"))
+        ArtifactStore.loadOrBuild(s, d, "kmeans_cents")(build)
+      else build
+    })
 
   /** The un-memoized pair lineage: (id_a, id_b, hamming, sim). */
   def pairsPlan(s: SparkSession, d: String): DataFrame =

@@ -53,14 +53,16 @@ object GramMemo {
     */
   def winnow(s: SparkSession, d: String): DataFrame =
     winnowCache.getOrElseUpdate((System.identityHashCode(s), d),
-      // store configured → persist the selection (the per-doc
-      // fingerprint table a dedup service keeps); unset → keep the
-      // r7 lazy plan: consumers derive from the pinned words table,
-      // and q122's bench number keeps measuring the selection
-      if (ArtifactStore.dirOf(s).isDefined)
-        ArtifactStore.loadOrBuild(s, d, "winnow")(
-          Pipeline16.winnowBase(words(s, d)))
-      else Pipeline16.winnowBase(words(s, d)))
+      {
+        // store configured → persist the selection (the per-doc
+        // fingerprint table a dedup service keeps); unset → keep the
+        // r7 lazy plan: consumers derive from the pinned words table,
+        // and q122's bench number keeps measuring the selection
+        def build = Pipeline16.winnowBase(words(s, d))
+        if (ArtifactStore.dirOf(s).isDefined)
+          ArtifactStore.loadOrBuild(s, d, "winnow")(build)
+        else build
+      })
 
   /** The per-doc fingerprint-sharing stats (doc_id, n_grams, n_fps,
     * n_shared_fps, max_fp_docs) over [[winnow]] — the q122 RESULT,

@@ -153,6 +153,16 @@ object Pipeline18 {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Double, Double)]
     while (out.length < math.min(k, rel.length)) {
+      if (out.isEmpty) {
+        // FIRST pick: argmax over RAW relevance (the oracle's base case
+        // orders by score, not by the rounded λ·score — two 6-dp-
+        // distinct scores can collapse to one rounded mmr, and the
+        // tie-break would then pick a different seed than the oracle)
+        val seed = rel.reduceLeft((a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
+        picked += seed._1
+        out += ((1L, seed._1, seed._2, r6(lambda * seed._2)))
+      } else {
       val best = rel.iterator
         .filterNot { case (id, _) => picked.contains(id) }
         .map { case (id, r) =>
@@ -171,6 +181,7 @@ object Pipeline18 {
           if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a)
       picked += best._1
       out += ((out.length + 1L, best._1, byId(best._1), best._2))
+      }
     }
     out.toSeq
   }
@@ -335,6 +346,15 @@ object Pipeline18 {
   // the q85 decision, now quantified per cluster). Scale shape: rides
   // the memoized cluster labels, two source-keyed aggregates over
   // cluster-sized data, output bounded by cluster count.
+  //
+  // Determinism caveat (shared by q140/q144 and the q113 KL family):
+  // the entropy is a float sum of ln() terms rounded at 6 dp — both the
+  // per-term libm ln (the q24 pow precedent) and the ≤|sources|-term
+  // summation order could in principle move an x.xxxxxx5-boundary sum
+  // by one ulp between engines. Unlike the integer-sum metrics this
+  // cannot be made bit-exact without banning ln; the term count is tiny
+  // and boundary values have measure ~1e-10 per group, which the
+  // long-green q113 precedent bears out.
   private val q137: Q = (s, d) => {
     val cl = ClusterMemo.clusters(s, d, threshold = 0.5)
       .filter(col("n_members") >= 2)

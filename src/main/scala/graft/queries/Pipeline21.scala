@@ -128,19 +128,24 @@ object Pipeline21 {
     def labels(t: Double, out: String) =
       ClusterMemo.clusters(s, d, threshold = t)
         .select(col("doc_id"), col("cluster_id").as(out))
-    def c2(c: Column) = (c * (c - 1)) / 2
+    // INTEGER division (the product is always even): Spark's `/` on
+    // longs returns DOUBLE, which silently loses exactness past 2^53 —
+    // the bit-exactness contract below depends on C(n,2) staying a
+    // BIGINT (bound: the n·(n−1) product wraps at n ≈ 3.0e9 members,
+    // where DuckDB raises and a dedup clustering is degenerate anyway)
+    def c2(name: String) = expr(s"($name * ($name - 1)) div 2")
     def dec(c: Column) = sum(c.cast("decimal(38,0)"))
     val ct = labels(0.5, "c1").join(labels(0.7, "c2"), Seq("doc_id"))
       .groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("nij"))
       .localCheckpoint() // contingency feeds the three pair sums
-    val sij = ct.agg(dec(c2(col("nij"))).as("sPairs"),
+    val sij = ct.agg(dec(c2("nij")).as("sPairs"),
       sum(col("nij")).as("n"),
       countDistinct(col("c1")).as("k1"),
       countDistinct(col("c2")).as("k2"))
     val sa = ct.groupBy(col("c1")).agg(sum(col("nij")).as("a"))
-      .agg(dec(c2(col("a"))).as("sa"))
+      .agg(dec(c2("a")).as("sa"))
     val sb = ct.groupBy(col("c2")).agg(sum(col("nij")).as("b"))
-      .agg(dec(c2(col("b"))).as("sb"))
+      .agg(dec(c2("b")).as("sb"))
     def dbl(c: Column) = c.cast("double")
     sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
       .withColumn("np", dbl(col("n")) * (dbl(col("n")) - 1) / 2)
@@ -162,12 +167,12 @@ object Pipeline21 {
              CAST(count(*) AS BIGINT) AS nij
            FROM cc05 a JOIN cc07 b ON a.doc_id = b.doc_id
            GROUP BY 1, 2),
-    sij AS (SELECT sum(nij * (nij - 1) / 2) AS sPairs, sum(nij) AS n,
+    sij AS (SELECT sum(nij * (nij - 1) // 2) AS sPairs, sum(nij) AS n,
               count(DISTINCT c1) AS k1, count(DISTINCT c2) AS k2
             FROM ct),
-    sa AS (SELECT sum(a * (a - 1) / 2) AS sa FROM
+    sa AS (SELECT sum(a * (a - 1) // 2) AS sa FROM
              (SELECT sum(nij) AS a FROM ct GROUP BY c1)),
-    sb AS (SELECT sum(b * (b - 1) / 2) AS sb FROM
+    sb AS (SELECT sum(b * (b - 1) // 2) AS sb FROM
              (SELECT sum(nij) AS b FROM ct GROUP BY c2))
     SELECT CAST(n AS BIGINT) AS n_docs,
            CAST(k1 AS BIGINT) AS n_clusters_t05,

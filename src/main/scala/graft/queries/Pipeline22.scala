@@ -222,12 +222,18 @@ object Pipeline22 {
           .as("ratio"))
     pairs.groupBy(col("bin_lo"))
       .agg(count(lit(1)).as("n_pairs"),
+        // identical-embedding pairs (d64 = 0) have NULL ratio: they
+        // contribute nothing to sm and must not count in the mean's
+        // denominator either, or the readout deflates exactly where
+        // duplicates cluster
+        count(col("ratio")).as("n_ratio"),
         sum(round(col("ratio") * 1e6, 0).cast("long")).as("sm"),
         min(col("ratio")).as("min_ratio"),
         max(col("ratio")).as("max_ratio"))
       .select(col("bin_lo"), col("n_pairs"),
-        (expr("(2 * abs(sm) + n_pairs) div (2 * n_pairs)") *
-          when(col("sm") < 0, -1L).otherwise(1L) / 1e6)
+        when(col("n_ratio") > 0,
+          expr("(2 * abs(sm) + n_ratio) div (2 * n_ratio)") *
+            when(col("sm") < 0, -1L).otherwise(1L) / 1e6)
           .as("mean_ratio"),
         col("min_ratio"), col("max_ratio"))
       .orderBy(col("bin_lo"))
@@ -261,13 +267,16 @@ object Pipeline22 {
             CASE WHEN d64 > 0 THEN round(d16 / d64, 6) END AS ratio
           FROM pj),
     t AS (SELECT bin_lo, CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(count(ratio) AS BIGINT) AS n_ratio,
             CAST(sum(CAST(round(ratio * 1e6, 0) AS BIGINT)) AS BIGINT)
               AS sm,
             min(ratio) AS min_ratio, max(ratio) AS max_ratio
           FROM r GROUP BY 1)
     SELECT bin_lo, n_pairs,
-           (((2 * abs(sm) + n_pairs) // (2 * n_pairs))
-             * (CASE WHEN sm < 0 THEN -1 ELSE 1 END)) / 1e6 AS mean_ratio,
+           CASE WHEN n_ratio > 0 THEN
+             (((2 * abs(sm) + n_ratio) // (2 * n_ratio))
+               * (CASE WHEN sm < 0 THEN -1 ELSE 1 END)) / 1e6 END
+             AS mean_ratio,
            min_ratio, max_ratio
     FROM t ORDER BY bin_lo"""
   }

@@ -37,10 +37,10 @@ class ArtifactStoreSpec extends AnyFunSuite {
       val warm125 = SparkEntry
         .queries("q125_contamination_attribution")(spark, d)
         .collect().toSeq
-      assert(new File(new File(tmp, "winnow_stats"),
-        ArtifactStore.corpusSig(d)).isDirectory, "winnow artifact stored")
-      assert(new File(new File(tmp, "leak_grams"),
-        ArtifactStore.corpusSig(d)).isDirectory, "leak artifact stored")
+      assert(ArtifactStore.pathFor(tmp, d, "winnow_stats").isDirectory,
+        "winnow artifact stored")
+      assert(ArtifactStore.pathFor(tmp, d, "leak_grams").isDirectory,
+        "leak artifact stored")
 
       // cold session: memo maps emptied; only the store remains
       GramMemo.clear()
@@ -85,8 +85,7 @@ class ArtifactStoreSpec extends AnyFunSuite {
       clearAll()
       val warm = families.map { case (n, f) => n -> f().count() }.toMap
       for ((n, _) <- families)
-        assert(new java.io.File(new java.io.File(tmp, n),
-          ArtifactStore.corpusSig(d)).isDirectory, s"$n stored")
+        assert(ArtifactStore.pathFor(tmp, d, n).isDirectory, s"$n stored")
       clearAll() // cold session: only the store remains
       for ((n, f) <- families) {
         val df = f()
@@ -138,13 +137,28 @@ class ArtifactStoreSpec extends AnyFunSuite {
       val a1 = ArtifactStore.loadOrBuild(spark, corpus.getAbsolutePath, "t")(
         spark.range(3).select(col("id")))
       assert(a1.count() == 3)
-      val sig1 = ArtifactStore.corpusSig(corpus.getAbsolutePath)
+      val p1 = ArtifactStore.pathFor(tmp, corpus.getAbsolutePath, "t")
       java.nio.file.Files.writeString(f.toPath, "v2-longer")
       val a2 = ArtifactStore.loadOrBuild(spark, corpus.getAbsolutePath, "t")(
         spark.range(5).select(col("id")))
       assert(a2.count() == 5, "stale store must rebuild, not serve v1")
-      assert(!new File(new File(tmp, "t"), sig1).exists,
-        "superseded signature dir is pruned")
+      assert(!p1.exists, "superseded signature dir is pruned")
+      // a SECOND corpus sharing the store must not be pruned as a
+      // stale version of the first (identity vs version keying)
+      val corpus2 = java.nio.file.Files
+        .createTempDirectory("graft-corpus3").toFile
+      java.nio.file.Files.writeString(
+        new File(corpus2, "data.txt").toPath, "other corpus")
+      val b1 = ArtifactStore.loadOrBuild(
+        spark, corpus2.getAbsolutePath, "t")(
+        spark.range(7).select(col("id")))
+      assert(b1.count() == 7)
+      val a3 = ArtifactStore.loadOrBuild(
+        spark, corpus.getAbsolutePath, "t")(
+        sys.error("corpus 1 artifact must still be served from disk"))
+      assert(a3.count() == 5,
+        "building corpus 2's artifact must not prune corpus 1's")
+      ArtifactStore.deleteTree(corpus2)
     } finally {
       spark.conf.set(ArtifactStore.DirConf, "")
       ArtifactStore.deleteTree(new File(tmp))
