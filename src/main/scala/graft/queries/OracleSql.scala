@@ -380,6 +380,24 @@ private[queries] object OracleSql {
               * sqrt(list_sum(list_transform($b.embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"""
 
+  /** The trigram-LM scoring CTE chain over `documents` (full-corpus
+    * add-one-smoothed model, per-doc mean log-prob rounded 6) — ends
+    * with `sc(doc_id, n_tri, s)`; WITHOUT the leading `WITH`. Shared by
+    * q87 and q153 so the two oracles cannot drift.
+    */
+  val lmScoreCtes: String = s"""nd AS (SELECT doc_id, $normSql AS n FROM documents),
+    tri AS (SELECT doc_id, unnest(list_transform(range(1, len(n) - 1),
+              i -> substr(n, CAST(i AS INTEGER), 3))) AS tri
+            FROM nd WHERE len(n) >= 3),
+    model AS (SELECT tri, CAST(count(*) AS BIGINT) AS c
+              FROM tri GROUP BY tri),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn,
+                   CAST(count(*) AS BIGINT) AS v FROM model),
+    lp AS (SELECT tri, ln((c + 1.0) / (nn + v)) AS logp FROM model, tot),
+    sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+                  sum(logp) AS s
+           FROM tri JOIN lp USING (tri) GROUP BY doc_id)"""
+
   /** The `sk`/`pairs` CTE bodies mirroring Similarity.nearDupPairs over
     * `embeddings` (md5-parity hyperplane-sign sketch → Hamming ≤ 2
     * candidates → exact rounded cosine), WITHOUT the leading `WITH` so a

@@ -281,15 +281,94 @@ object Pipeline22 {
     FROM t ORDER BY bin_lo"""
   }
 
+  // ------------------------------------------------------------------ q153
+  // Quality-filter agreement contingency: the heuristic quality score
+  // (q38's length/punct features) vs the trigram-LM score (q87's
+  // statistical model) as DECILE × DECILE counts — q145's Pearson r
+  // sees only the linear component; this table shows WHERE the two
+  // filters disagree (a mass in the (high-quality, low-LM) corner is
+  // the templated-but-fluent junk one filter alone admits). Deciles
+  // come from per-signal value histograms with an exact integer rank
+  // formula — d = (10·cum + tot − 1) div tot over the 6-dp value
+  // histograms (the q110/q133 bounded-histogram argument: the global
+  // windows sort value-space rows, never docs), then ride value-keyed
+  // joins back; no ntile, no global doc sort.
+  private val q153: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.{TextOps, TrigramLm}
+    val qs = documents(s, d).select(col("doc_id"),
+      round(TextOps.qualityScore(col("text")), 6).as("qs"))
+    val lm = TrigramLm.scoreInRow(
+        documents(s, d).select(col("doc_id"), col("text")),
+        LmMemo.collectedModel(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("lm_score"))
+    val base = qs.join(lm, Seq("doc_id"))
+      .filter(col("lm_score").isNotNull)
+      .localCheckpoint() // two decile maps + the contingency share it
+    def decileMap(c: String, out: String): DataFrame = {
+      val wc = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      base.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("tot", sum(col("cnt")).over(wt))
+        .select(col("v").as(c),
+          expr("(10 * cum + tot - 1) div tot").as(out))
+    }
+    base
+      .join(decileMap("qs", "q_decile"), Seq("qs"))
+      .join(decileMap("lm_score", "lm_decile"), Seq("lm_score"))
+      .groupBy(col("q_decile"), col("lm_decile"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("frac", round(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)), 6))
+      .orderBy(col("q_decile"), col("lm_decile"))
+  }
+
+  private lazy val q153Sql = s"""
+    WITH ${OracleSql.lmScoreCtes},
+    raw AS (SELECT doc_id, text, ${OracleSql.qualityScColsSql}
+            FROM documents),
+    qsx AS (SELECT doc_id, ${OracleSql.qualitySql} AS qs FROM raw),
+    base AS (SELECT q.doc_id, q.qs, round(sc.s / sc.n_tri, 6) AS lm_score
+             FROM qsx q JOIN sc ON sc.doc_id = q.doc_id
+             WHERE sc.n_tri > 0),
+    qh AS (SELECT v, (10 * cum + tot - 1) // tot AS q_decile FROM
+             (SELECT qs AS v, count(*) AS cnt,
+                sum(count(*)) OVER (ORDER BY qs
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(count(*)) OVER () AS tot
+              FROM base GROUP BY qs)),
+    lh AS (SELECT v, (10 * cum + tot - 1) // tot AS lm_decile FROM
+             (SELECT lm_score AS v, count(*) AS cnt,
+                sum(count(*)) OVER (ORDER BY lm_score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(count(*)) OVER () AS tot
+              FROM base GROUP BY lm_score)),
+    ct AS (SELECT qh.q_decile, lh.lm_decile,
+             CAST(count(*) AS BIGINT) AS n_docs
+           FROM base
+             JOIN qh ON qh.v = base.qs
+             JOIN lh ON lh.v = base.lm_score
+           GROUP BY 1, 2)
+    SELECT CAST(q_decile AS BIGINT) AS q_decile,
+           CAST(lm_decile AS BIGINT) AS lm_decile, n_docs,
+           round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS frac
+    FROM ct ORDER BY q_decile, lm_decile"""
+
   val queries: Map[String, Q] = Map(
     "q149_dedup_burden" -> q149,
     "q150_modality_agreement" -> q150,
     "q151_dup_degree_profile" -> q151,
-    "q152_jl_distortion" -> q152)
+    "q152_jl_distortion" -> q152,
+    "q153_filter_agreement" -> q153)
 
   val oracleSql: Map[String, String] = Map(
     "q149_dedup_burden" -> q149Sql,
     "q150_modality_agreement" -> q150Sql,
     "q151_dup_degree_profile" -> q151Sql,
-    "q152_jl_distortion" -> q152Sql)
+    "q152_jl_distortion" -> q152Sql,
+    "q153_filter_agreement" -> q153Sql)
 }

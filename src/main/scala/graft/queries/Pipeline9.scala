@@ -37,18 +37,7 @@ object Pipeline9 {
       .orderBy(col("doc_id"))
 
   private lazy val q87Sql = s"""
-    WITH nd AS (SELECT doc_id, ${OracleSql.normSql} AS n FROM documents),
-    tri AS (SELECT doc_id, unnest(list_transform(range(1, len(n) - 1),
-              i -> substr(n, CAST(i AS INTEGER), 3))) AS tri
-            FROM nd WHERE len(n) >= 3),
-    model AS (SELECT tri, CAST(count(*) AS BIGINT) AS c
-              FROM tri GROUP BY tri),
-    tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn,
-                   CAST(count(*) AS BIGINT) AS v FROM model),
-    lp AS (SELECT tri, ln((c + 1.0) / (nn + v)) AS logp FROM model, tot),
-    sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
-                  sum(logp) AS s
-           FROM tri JOIN lp USING (tri) GROUP BY doc_id)
+    WITH ${OracleSql.lmScoreCtes}
     SELECT d.doc_id, coalesce(sc.n_tri, CAST(0 AS BIGINT)) AS n_tri,
            round(sc.s / sc.n_tri, 6) AS lm_score
     FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id"""
