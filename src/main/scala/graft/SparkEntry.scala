@@ -44,7 +44,8 @@ object SparkEntry {
       graft.queries.Pipeline19.queries ++
       graft.queries.Pipeline20.queries ++
       graft.queries.Pipeline21.queries ++
-      graft.queries.Pipeline22.queries
+      graft.queries.Pipeline22.queries ++
+      graft.queries.Pipeline23.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -75,5 +76,6 @@ object SparkEntry {
       graft.queries.Pipeline19.oracleSql ++
       graft.queries.Pipeline20.oracleSql ++
       graft.queries.Pipeline21.oracleSql ++
-      graft.queries.Pipeline22.oracleSql
+      graft.queries.Pipeline22.oracleSql ++
+      graft.queries.Pipeline23.oracleSql
 }

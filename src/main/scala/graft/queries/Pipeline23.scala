@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Batch twenty-three: statistical rigor for corpus metrics — q154
+  * puts a CONFIDENCE INTERVAL on the corpus mean quality score via a
+  * deterministic Poisson bootstrap (Chamandy et al. 2012, "Estimating
+  * uncertainty for massive data streams" — the bootstrap that works in
+  * one pass over distributed data: each replica re-weights every row
+  * by an independent Poisson(1) draw instead of resampling globally).
+  * A dashboard number without an interval invites over-reading every
+  * wiggle; this op prices the wiggle.
+  */
+object Pipeline23 {
+
+  type Q = (SparkSession, String) => DataFrame
+  import Tables._
+
+  // ------------------------------------------------------------------ q154
+  // Determinism: the Poisson(1) draw is the inverse CDF evaluated on a
+  // 52-bit md5 uniform (the Kmv.hash52 pattern — bit-identical in both
+  // engines), with the CDF thresholds computed ONCE here in Scala and
+  // baked into BOTH plans as integer literals — libm exp() never runs
+  // inside either engine, so replica weights are engine-exact integers.
+  // Replica means are exact integer ratios (micro-unit quality sums /
+  // weight sums, half-away rounding — the q143 rule), and the CI is
+  // the type-1 2.5%/97.5% quantile over the B sorted replica means.
+  // Scale shape: ONE corpus scan exploded ×B into (replica, w, w·q)
+  // rows that combine map-side onto B keys — the canonical one-pass
+  // bootstrap; the B-row replica table then sorts in a bounded window.
+  private val BootB = 32
+
+  /** Cumulative Poisson(1) thresholds scaled to the 52-bit hash space:
+    * weight(u) = #{k : t_k <= u} for u in [0, 2^52). Computed once on
+    * the driver; both engines receive the same integer literals.
+    */
+  private lazy val poissonThresholds: Seq[Long] = {
+    val lambda = 1.0
+    val pmf = (0 to 6).scanLeft(math.exp(-lambda)) { (p, k) =>
+      p * lambda / (k + 1)
+    }.take(8) // P(X=0..7)
+    val cum = pmf.scanLeft(0.0)(_ + _).drop(1)
+    cum.map(c => math.min((c * Kmv52).toLong, Kmv52.toLong - 1))
+  }
+  private val Kmv52 = 4503599627370496.0 // 2^52
+
+  /** weight CASE chain over a BIGINT u52 column reference — one
+    * generator, two dialects share it verbatim (pure SQL).
+    */
+  private def weightSql(u: String): String =
+    "(CASE " + poissonThresholds.zipWithIndex.map { case (t, k) =>
+      s"WHEN $u < ${t}L THEN $k"
+    }.mkString(" ") + s" ELSE ${poissonThresholds.length} END)"
+
+  private def weightDuckSql(u: String): String =
+    "(CASE " + poissonThresholds.zipWithIndex.map { case (t, k) =>
+      s"WHEN $u < $t THEN $k"
+    }.mkString(" ") + s" ELSE ${poissonThresholds.length} END)"
+
+  private val q154: Q = (s, d) => {
+    val base = documents(s, d).select(col("doc_id"),
+      round(round(TextOps.qualityScore(col("text")), 6) * 1e6, 0)
+        .cast("long").as("qm"))
+    val rep = base
+      .select(col("doc_id"), col("qm"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .withColumn("u", conv(substring(md5(to_binary(
+          concat(col("doc_id").cast("string"), lit("|"), col("b")),
+          lit("utf-8"))), 1, 13), 16, 10).cast("long"))
+      .withColumn("w", expr(weightSql("u")).cast("long"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("qm")).as("swq"))
+      // exact half-away-from-zero integer mean in micro-units
+      .select(col("b"),
+        expr("(2 * swq + sw) div (2 * sw)").as("mean_micro"))
+    val wc = Window.orderBy(col("mean_micro"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = rep
+      .withColumn("r", count(lit(1)).over(wc))
+      .agg(
+        min(when(col("r") >= (BootB * 25 + 999) / 1000, col("mean_micro")))
+          .as("lo_micro"),
+        min(when(col("r") >= (BootB * 975 + 999) / 1000, col("mean_micro")))
+          .as("hi_micro"))
+    val point = base.agg(count(lit(1)).as("n_docs"),
+      expr("(2 * sum(qm) + count(1)) div (2 * count(1))").as("pm"))
+    point.crossJoin(broadcast(stats))
+      .select(col("n_docs"), lit(BootB.toLong).as("n_replicas"),
+        (col("pm") / 1e6).as("mean_quality"),
+        (col("lo_micro") / 1e6).as("ci_lo"),
+        (col("hi_micro") / 1e6).as("ci_hi"))
+  }
+
+  private lazy val q154Sql = {
+    val lo = (BootB * 25 + 999) / 1000
+    val hi = (BootB * 975 + 999) / 1000
+    s"""
+    WITH raw AS (SELECT doc_id, ${OracleSql.qualityScColsSql}
+                 FROM documents),
+    base AS (SELECT doc_id,
+               CAST(round(${OracleSql.qualitySql} * 1e6, 0) AS BIGINT)
+                 AS qm
+             FROM raw),
+    rep AS (SELECT b.b, base.qm,
+              ${weightDuckSql(
+        """CAST(('0x' || substr(md5(CAST(base.doc_id AS VARCHAR)
+           || '|' || CAST(b.b AS VARCHAR)), 1, 13)) AS BIGINT)""")} AS w
+            FROM base, (SELECT unnest(generate_series(0, ${BootB - 1}))
+                        AS b) b),
+    means AS (SELECT b, (2 * sum(w * qm) + sum(w)) // (2 * sum(w))
+                AS mean_micro
+              FROM rep GROUP BY b),
+    ranked AS (SELECT mean_micro, row_number() OVER
+                 (ORDER BY mean_micro) AS r FROM means),
+    ci AS (SELECT
+             min(CASE WHEN r >= $lo THEN mean_micro END) AS lo_micro,
+             min(CASE WHEN r >= $hi THEN mean_micro END) AS hi_micro
+           FROM ranked),
+    pt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             (2 * sum(qm) + count(*)) // (2 * count(*)) AS pm
+           FROM base)
+    SELECT n_docs, CAST($BootB AS BIGINT) AS n_replicas,
+           pm / 1e6 AS mean_quality,
+           lo_micro / 1e6 AS ci_lo, hi_micro / 1e6 AS ci_hi
+    FROM pt, ci"""
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q154_bootstrap_ci" -> q154)
+
+  val oracleSql: Map[String, String] = Map(
+    "q154_bootstrap_ci" -> q154Sql)
+}
