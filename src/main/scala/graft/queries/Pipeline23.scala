@@ -129,9 +129,101 @@ object Pipeline23 {
     FROM pt, ci"""
   }
 
+  // ------------------------------------------------------------------ q155
+  // Per-source bootstrap CI — the actionable form of q154: "source A's
+  // quality is lower than B's" is only a decision if the intervals
+  // separate. Same deterministic Poisson machinery, keyed by (source,
+  // replica); the corpus point mean rides a broadcast back and each
+  // source gets a `differs` flag (corpus mean outside the source CI) —
+  // the line a mixing policy (q88/q64) actually reads. Exchange carries
+  // |sources| × B keys.
+  private val q155: Q = (s, d) => {
+    val base = documents(s, d).select(col("doc_id"), col("source"),
+      round(round(TextOps.qualityScore(col("text")), 6) * 1e6, 0)
+        .cast("long").as("qm"))
+    val rep = base
+      .select(col("doc_id"), col("source"), col("qm"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .withColumn("u", conv(substring(md5(to_binary(
+          concat(col("doc_id").cast("string"), lit("|"), col("b")),
+          lit("utf-8"))), 1, 13), 16, 10).cast("long"))
+      .withColumn("w", expr(weightSql("u")).cast("long"))
+      .groupBy(col("source"), col("b"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("qm")).as("swq"))
+      .select(col("source"), col("b"),
+        expr("(2 * swq + sw) div (2 * sw)").as("mean_micro"))
+    val wc = Window.partitionBy(col("source")).orderBy(col("mean_micro"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ci = rep
+      .withColumn("r", count(lit(1)).over(wc))
+      .groupBy(col("source"))
+      .agg(
+        min(when(col("r") >= (BootB * 25 + 999) / 1000, col("mean_micro")))
+          .as("lo_micro"),
+        min(when(col("r") >= (BootB * 975 + 999) / 1000, col("mean_micro")))
+          .as("hi_micro"))
+    val per = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("(2 * sum(qm) + count(1)) div (2 * count(1))").as("pm"))
+    val corpus = base.agg(
+      expr("(2 * sum(qm) + count(1)) div (2 * count(1))").as("cm"))
+    per.join(ci, Seq("source")).crossJoin(broadcast(corpus))
+      .select(col("source"), col("n_docs"),
+        (col("pm") / 1e6).as("mean_quality"),
+        (col("lo_micro") / 1e6).as("ci_lo"),
+        (col("hi_micro") / 1e6).as("ci_hi"),
+        (col("cm") / 1e6).as("corpus_mean"),
+        when(col("cm") < col("lo_micro") || col("cm") > col("hi_micro"),
+          1L).otherwise(0L).as("differs"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q155Sql = {
+    val lo = (BootB * 25 + 999) / 1000
+    val hi = (BootB * 975 + 999) / 1000
+    s"""
+    WITH raw AS (SELECT doc_id, source, ${OracleSql.qualityScColsSql}
+                 FROM documents),
+    base AS (SELECT doc_id, source,
+               CAST(round(${OracleSql.qualitySql} * 1e6, 0) AS BIGINT)
+                 AS qm
+             FROM raw),
+    rep AS (SELECT base.source, b.b, base.qm,
+              ${weightDuckSql(
+        """CAST(('0x' || substr(md5(CAST(base.doc_id AS VARCHAR)
+           || '|' || CAST(b.b AS VARCHAR)), 1, 13)) AS BIGINT)""")} AS w
+            FROM base, (SELECT unnest(generate_series(0, ${BootB - 1}))
+                        AS b) b),
+    means AS (SELECT source, b,
+                (2 * sum(w * qm) + sum(w)) // (2 * sum(w)) AS mean_micro
+              FROM rep GROUP BY source, b),
+    ranked AS (SELECT source, mean_micro, row_number() OVER
+                 (PARTITION BY source ORDER BY mean_micro) AS r
+               FROM means),
+    ci AS (SELECT source,
+             min(CASE WHEN r >= $lo THEN mean_micro END) AS lo_micro,
+             min(CASE WHEN r >= $hi THEN mean_micro END) AS hi_micro
+           FROM ranked GROUP BY source),
+    per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              (2 * sum(qm) + count(*)) // (2 * count(*)) AS pm
+            FROM base GROUP BY source),
+    corpus AS (SELECT (2 * sum(qm) + count(*)) // (2 * count(*)) AS cm
+               FROM base)
+    SELECT per.source, n_docs,
+           pm / 1e6 AS mean_quality,
+           lo_micro / 1e6 AS ci_lo, hi_micro / 1e6 AS ci_hi,
+           cm / 1e6 AS corpus_mean,
+           CAST(CASE WHEN cm < lo_micro OR cm > hi_micro
+             THEN 1 ELSE 0 END AS BIGINT) AS differs
+    FROM per JOIN ci ON ci.source = per.source, corpus
+    ORDER BY per.source"""
+  }
+
   val queries: Map[String, Q] = Map(
-    "q154_bootstrap_ci" -> q154)
+    "q154_bootstrap_ci" -> q154,
+    "q155_source_ci" -> q155)
 
   val oracleSql: Map[String, String] = Map(
-    "q154_bootstrap_ci" -> q154Sql)
+    "q154_bootstrap_ci" -> q154Sql,
+    "q155_source_ci" -> q155Sql)
 }
