@@ -398,6 +398,35 @@ private[queries] object OracleSql {
                   sum(logp) AS s
            FROM tri JOIN lp USING (tri) GROUP BY doc_id)"""
 
+  /** The exact prefix-filtered (PPJoin) J >= 0.5 pair chain over
+    * `documents` — ends with `ex(id_a, id_b, jaccard)`; WITHOUT the
+    * leading `WITH`. The SQL mirror of ClusterMemo.exactPairs, shared
+    * by q148 and q156 so the ground truth cannot drift.
+    */
+  lazy val exactPairsCtes: String = s"""ndx AS (SELECT doc_id,
+              string_split($normSql, ' ') AS w
+            FROM documents),
+    gx AS (SELECT doc_id, $grams3Sql AS gr FROM ndx),
+    dg AS (SELECT doc_id, md5(gram) AS gk
+           FROM (SELECT doc_id, unnest(gr) AS gram FROM gx)),
+    dfs AS (SELECT gk, count(*) AS df FROM dg GROUP BY gk),
+    rankedx AS (SELECT doc_id, array_agg(gk ORDER BY df, gk) AS rare
+               FROM dg JOIN dfs USING (gk) GROUP BY doc_id),
+    prex AS (SELECT doc_id, unnest(rare[1 : CAST(len(rare) -
+              ceil(0.5 * len(rare)) + 1 AS INTEGER)]) AS gk
+            FROM rankedx),
+    candx AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM prex a JOIN prex b
+                ON a.gk = b.gk AND a.doc_id < b.doc_id),
+    ex AS (SELECT id_a, id_b, jaccard FROM
+             (SELECT id_a, id_b,
+                round(CAST(len(list_intersect(ga.gr, gb.gr)) AS DOUBLE) /
+                  len(list_distinct(ga.gr || gb.gr)), 6) AS jaccard
+              FROM candx
+                JOIN gx ga ON ga.doc_id = id_a
+                JOIN gx gb ON gb.doc_id = id_b)
+           WHERE jaccard >= 0.5)"""
+
   /** The `sk`/`pairs` CTE bodies mirroring Similarity.nearDupPairs over
     * `embeddings` (md5-parity hyperplane-sign sketch → Hamming ≤ 2
     * candidates → exact rounded cosine), WITHOUT the leading `WITH` so a

@@ -324,29 +324,7 @@ object Pipeline21 {
 
   private lazy val q148Sql = s"""
     WITH RECURSIVE ${OracleSql.textClusterCtes(0.5, suffix = "l")},
-    ndx AS (SELECT doc_id,
-              string_split(${OracleSql.normSql}, ' ') AS w
-            FROM documents),
-    gx AS (SELECT doc_id, ${OracleSql.grams3Sql} AS gr FROM ndx),
-    dg AS (SELECT doc_id, md5(gram) AS gk
-           FROM (SELECT doc_id, unnest(gr) AS gram FROM gx)),
-    dfs AS (SELECT gk, count(*) AS df FROM dg GROUP BY gk),
-    ranked AS (SELECT doc_id, array_agg(gk ORDER BY df, gk) AS rare
-               FROM dg JOIN dfs USING (gk) GROUP BY doc_id),
-    pre AS (SELECT doc_id, unnest(rare[1 : CAST(len(rare) -
-              ceil(0.5 * len(rare)) + 1 AS INTEGER)]) AS gk
-            FROM ranked),
-    candx AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM pre a JOIN pre b
-                ON a.gk = b.gk AND a.doc_id < b.doc_id),
-    ex AS (SELECT id_a, id_b, jaccard FROM
-             (SELECT id_a, id_b,
-                round(CAST(len(list_intersect(ga.gr, gb.gr)) AS DOUBLE) /
-                  len(list_distinct(ga.gr || gb.gr)), 6) AS jaccard
-              FROM candx
-                JOIN gx ga ON ga.doc_id = id_a
-                JOIN gx gb ON gb.doc_id = id_b)
-           WHERE jaccard >= 0.5),
+    ${OracleSql.exactPairsCtes},
     hit AS (SELECT id_a, id_b, 1 AS h FROM edgesl),
     br AS (SELECT floor(ex.jaccard * 20) / 20.0 AS bin_lo,
              CAST(count(*) AS BIGINT) AS n_true,

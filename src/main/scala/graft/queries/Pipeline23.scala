@@ -219,11 +219,86 @@ object Pipeline23 {
     ORDER BY per.source"""
   }
 
+  // ------------------------------------------------------------------ q156
+  // MinHash width sweep: the "how many hashes do I actually need"
+  // table. Signatures NEST (the h-hash estimator is the first h
+  // components of the 16-hash signature), so ONE 16-hash signature
+  // pass yields the 4-, 8- and 16-hash Jaccard estimates per pair —
+  // evaluated against the exact PPJoin ground truth (the session
+  // exactPairs artifact), as mean absolute error per similarity band
+  // in exact integer micro-units. Read with q148 (recall of the
+  // banding) this completes the LSH configuration evidence: q148 says
+  // whether the bands FIND the pairs, q156 says how precisely each
+  // width SCORES them. Scale shape: one signature scan; everything
+  // pairwise rides the bounded ground-truth pair table.
+  private val SweepHashes = 16
+  private val SweepK = 5
+
+  private val q156: Q = (s, d) => {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val sig = documents(s, d).select(col("doc_id"),
+      column(graft.dedup.MinHashSig(expression(col("text")),
+        SweepK, SweepHashes)).as("sig"))
+    def estMicro(h: Int, a: String, b: String) = {
+      val agree = (0 until h).map(i =>
+        when(element_at(col(a), i + 1) === element_at(col(b), i + 1), 1)
+          .otherwise(0)).reduce(_ + _)
+      // est_h = agree/h rounded 6, in micro-units — exact integers
+      round(round(agree / lit(h.toDouble), 6) * 1e6, 0).cast("long")
+    }
+    val pairs = ClusterMemo.exactPairs(s, d)
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("_sa")),
+        Seq("id_a"))
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("_sb")),
+        Seq("id_b"))
+      .select((floor(col("jaccard") * 20) / 20.0).as("bin_lo"),
+        round(col("jaccard") * 1e6, 0).cast("long").as("jm"),
+        estMicro(4, "_sa", "_sb").as("e4"),
+        estMicro(8, "_sa", "_sb").as("e8"),
+        estMicro(16, "_sa", "_sb").as("e16"))
+    def mae(e: String) =
+      expr(s"(2 * sum(abs($e - jm)) + count(1)) div (2 * count(1))")
+    pairs.groupBy(col("bin_lo"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (mae("e4") / 1e6).as("mae_4"),
+        (mae("e8") / 1e6).as("mae_8"),
+        (mae("e16") / 1e6).as("mae_16"))
+      .orderBy(col("bin_lo"))
+  }
+
+  private lazy val q156Sql = {
+    def est(h: Int) = {
+      val agree = (0 until h).map(i =>
+        s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"CAST(round(round(($agree) / $h.0, 6) * 1e6, 0) AS BIGINT)"
+    }
+    def mae(e: String) =
+      s"((2 * sum(abs($e - jm)) + count(*)) // (2 * count(*))) / 1e6"
+    s"""
+    WITH ${OracleSql.exactPairsCtes},
+    nd AS (SELECT doc_id, ${OracleSql.normSql} AS n FROM documents),
+    sigx AS (SELECT doc_id,
+               ${OracleSql.minhashSigSelect(SweepHashes, SweepK)}
+             FROM nd),
+    pe AS (SELECT floor(ex.jaccard * 20) / 20.0 AS bin_lo,
+             CAST(round(ex.jaccard * 1e6, 0) AS BIGINT) AS jm,
+             ${est(4)} AS e4, ${est(8)} AS e8, ${est(16)} AS e16
+           FROM ex
+             JOIN sigx sa ON sa.doc_id = ex.id_a
+             JOIN sigx sb ON sb.doc_id = ex.id_b)
+    SELECT bin_lo, CAST(count(*) AS BIGINT) AS n_pairs,
+           ${mae("e4")} AS mae_4, ${mae("e8")} AS mae_8,
+           ${mae("e16")} AS mae_16
+    FROM pe GROUP BY bin_lo ORDER BY bin_lo"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q154_bootstrap_ci" -> q154,
-    "q155_source_ci" -> q155)
+    "q155_source_ci" -> q155,
+    "q156_minhash_width_sweep" -> q156)
 
   val oracleSql: Map[String, String] = Map(
     "q154_bootstrap_ci" -> q154Sql,
-    "q155_source_ci" -> q155Sql)
+    "q155_source_ci" -> q155Sql,
+    "q156_minhash_width_sweep" -> q156Sql)
 }
