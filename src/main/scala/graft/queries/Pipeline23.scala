@@ -292,13 +292,75 @@ object Pipeline23 {
     FROM pe GROUP BY bin_lo ORDER BY bin_lo"""
   }
 
+  // ------------------------------------------------------------------ q157
+  // Winnow window sweep: selection density at w ∈ {4, 8, 16} against
+  // the 2/(w+1) theory (Schleimer/Wilkerson/Aiken 2003 §4 — expected
+  // density of window-min selection over random hashes). The third leg
+  // of the hyperparameter-evidence trilogy: q148 = does the LSH banding
+  // FIND pairs, q156 = how precisely does each MinHash width SCORE
+  // them, q157 = how much fingerprint storage does each winnow window
+  // BUY (density ↓ with w) — with the guarantee bound (every ≥ k+w−1
+  // word run shares a print) trading against it. Scale shape: three
+  // scan-local selection passes over the session words artifact,
+  // aggregated onto 3 keys.
+  private val q157: Q = (s, d) => {
+    val words = GramMemo.words(s, d).select(col("doc_id"), col("words"))
+    val per = Seq(4, 8, 16).map { w =>
+      Pipeline16.winnowBase(words, w = w)
+        .select(lit(w.toLong).as("w"),
+          greatest(col("n_grams") - (w - 1), lit(0L)).as("n_windows"),
+          size(col("fps")).cast("long").as("n_fps"))
+    }.reduce(_ unionByName _)
+    per.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_windows")).as("total_windows"),
+        sum(col("n_fps")).as("total_fps"))
+      .select(col("w"), col("n_docs"), col("total_windows"),
+        col("total_fps"),
+        round(col("total_fps").cast("double") / col("total_windows"), 6)
+          .as("density"),
+        round(lit(2.0) / (col("w") + 1), 6).as("theory_density"))
+      .orderBy(col("w"))
+  }
+
+  private lazy val q157Sql = {
+    val k = 4 // the board-wide winnow gram width (Pipeline16.WinK)
+    def leg(w: Int) = s"""
+      SELECT $w AS w,
+             greatest(greatest(len(ww) - ${k - 1}, 0) - ${w - 1}, 0)
+               AS n_windows,
+             CASE WHEN len(ww) >= ${k + w - 1} THEN
+               len(list_distinct(list_transform(
+                 generate_series(0, len(ww) - ${k + w - 1}),
+                 p -> list_min(list_transform(
+                   generate_series(p, p + ${w - 1}),
+                   i -> substr(md5(array_to_string(ww[i+1:i+$k], ' ')),
+                               1, 16))))))
+             ELSE 0 END AS n_fps
+      FROM base"""
+    s"""
+    WITH nd AS (SELECT doc_id, ${OracleSql.normSql} AS n FROM documents),
+    base AS (SELECT doc_id, string_split(n, ' ') AS ww FROM nd),
+    per AS (${Seq(4, 8, 16).map(leg).mkString("\n      UNION ALL\n")})
+    SELECT CAST(w AS BIGINT) AS w,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_windows) AS BIGINT) AS total_windows,
+           CAST(sum(n_fps) AS BIGINT) AS total_fps,
+           round(CAST(sum(n_fps) AS DOUBLE) / sum(n_windows), 6)
+             AS density,
+           round(2.0 / (w + 1), 6) AS theory_density
+    FROM per GROUP BY w ORDER BY w"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q154_bootstrap_ci" -> q154,
     "q155_source_ci" -> q155,
-    "q156_minhash_width_sweep" -> q156)
+    "q156_minhash_width_sweep" -> q156,
+    "q157_winnow_window_sweep" -> q157)
 
   val oracleSql: Map[String, String] = Map(
     "q154_bootstrap_ci" -> q154Sql,
     "q155_source_ci" -> q155Sql,
-    "q156_minhash_width_sweep" -> q156Sql)
+    "q156_minhash_width_sweep" -> q156Sql,
+    "q157_winnow_window_sweep" -> q157Sql)
 }
