@@ -32,34 +32,12 @@ object Pipeline23 {
   // Scale shape: ONE corpus scan exploded ×B into (replica, w, w·q)
   // rows that combine map-side onto B keys — the canonical one-pass
   // bootstrap; the B-row replica table then sorts in a bounded window.
-  private val BootB = 32
-
-  /** Cumulative Poisson(1) thresholds scaled to the 52-bit hash space:
-    * weight(u) = #{k : t_k <= u} for u in [0, 2^52). Computed once on
-    * the driver; both engines receive the same integer literals.
-    */
-  private lazy val poissonThresholds: Seq[Long] = {
-    val lambda = 1.0
-    val pmf = (0 to 6).scanLeft(math.exp(-lambda)) { (p, k) =>
-      p * lambda / (k + 1)
-    }.take(8) // P(X=0..7)
-    val cum = pmf.scanLeft(0.0)(_ + _).drop(1)
-    cum.map(c => math.min((c * Kmv52).toLong, Kmv52.toLong - 1))
-  }
-  private val Kmv52 = 4503599627370496.0 // 2^52
-
-  /** weight CASE chain over a BIGINT u52 column reference — one
-    * generator, two dialects share it verbatim (pure SQL).
-    */
-  private def weightSql(u: String): String =
-    "(CASE " + poissonThresholds.zipWithIndex.map { case (t, k) =>
-      s"WHEN $u < ${t}L THEN $k"
-    }.mkString(" ") + s" ELSE ${poissonThresholds.length} END)"
-
-  private def weightDuckSql(u: String): String =
-    "(CASE " + poissonThresholds.zipWithIndex.map { case (t, k) =>
-      s"WHEN $u < $t THEN $k"
-    }.mkString(" ") + s" ELSE ${poissonThresholds.length} END)"
+  // the Poisson machinery lives in graft.ops.PoissonBoot (shared with
+  // the streaming CI monitor); one definition of thresholds/weights
+  private val BootB = graft.ops.PoissonBoot.B
+  private def weightSql(u: String) = graft.ops.PoissonBoot.weightSql(u)
+  private def weightDuckSql(u: String) =
+    graft.ops.PoissonBoot.weightDuckSql(u)
 
   private val q154: Q = (s, d) => {
     val base = documents(s, d).select(col("doc_id"),
@@ -352,15 +330,82 @@ object Pipeline23 {
     FROM per GROUP BY w ORDER BY w"""
   }
 
+  // ------------------------------------------------------------------ q158
+  // Per-event-type value CI in the STREAMING-LEGAL single-aggregation
+  // form: the 32 replica sums ride one aggregation as conditional
+  // columns (Structured Streaming forbids chained aggregates) and the
+  // CI reads out scan-local from the sorted in-row means array — the
+  // exact shape [[graft.streaming.EventStreams.windowedValueCi]] runs
+  // live, here as the batch audit (StreamingSpec pins stream == batch
+  // on the same fixture). The oracle computes the identical math in
+  // the relational two-stage form — value-equal because every replica
+  // mean is the same exact integer. Degenerate guard: a replica with
+  // zero total weight (P = e^-n per group) would null its mean; at
+  // monitoring group sizes this probability is ~0 and the fixture
+  // groups are thousands of events.
+  private val q158: Q = (s, d) => {
+    import graft.ops.PoissonBoot
+    val rep = eventsMicros(s, d)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 1e6, 0).cast("long").as("vm"))
+      .withColumn("b", explode(sequence(lit(0), lit(PoissonBoot.B - 1))))
+      .withColumn("u", PoissonBoot.u52(col("event_id"), col("b")))
+      .withColumn("w", expr(PoissonBoot.weightSql("u")).cast("long"))
+    val aggs = PoissonBoot.replicaAggs(col("b"), col("w"), col("vm"))
+    val (lo, hi) = PoissonBoot.ciFromSorted
+    rep.groupBy(col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type"), col("n_events"),
+        (expr("(2 * sm_point + n_events) div (2 * n_events)") / 1e6)
+          .as("mean_value"),
+        (lo / 1e6).as("ci_lo"), (hi / 1e6).as("ci_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  private lazy val q158Sql = {
+    val lo = (BootB * 25 + 999) / 1000
+    val hi = (BootB * 975 + 999) / 1000
+    s"""
+    WITH base AS (SELECT event_type, event_id,
+                    CAST(round(value * 1e6, 0) AS BIGINT) AS vm
+                  FROM events),
+    rep AS (SELECT base.event_type, b.b, base.vm,
+              ${weightDuckSql(
+        """CAST(('0x' || substr(md5(CAST(base.event_id AS VARCHAR)
+           || '|' || CAST(b.b AS VARCHAR)), 1, 13)) AS BIGINT)""")} AS w
+            FROM base, (SELECT unnest(generate_series(0, ${BootB - 1}))
+                        AS b) b),
+    means AS (SELECT event_type, b,
+                (2 * sum(w * vm) + sum(w)) // (2 * sum(w)) AS mean_micro
+              FROM rep GROUP BY event_type, b),
+    ranked AS (SELECT event_type, mean_micro, row_number() OVER
+                 (PARTITION BY event_type ORDER BY mean_micro) AS r
+               FROM means),
+    ci AS (SELECT event_type,
+             min(CASE WHEN r >= $lo THEN mean_micro END) AS lo_micro,
+             min(CASE WHEN r >= $hi THEN mean_micro END) AS hi_micro
+           FROM ranked GROUP BY event_type),
+    pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             (2 * sum(vm) + count(*)) // (2 * count(*)) AS pm
+           FROM base GROUP BY event_type)
+    SELECT pt.event_type, n_events,
+           pm / 1e6 AS mean_value,
+           lo_micro / 1e6 AS ci_lo, hi_micro / 1e6 AS ci_hi
+    FROM pt JOIN ci ON ci.event_type = pt.event_type
+    ORDER BY pt.event_type"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q154_bootstrap_ci" -> q154,
     "q155_source_ci" -> q155,
     "q156_minhash_width_sweep" -> q156,
-    "q157_winnow_window_sweep" -> q157)
+    "q157_winnow_window_sweep" -> q157,
+    "q158_value_ci" -> q158)
 
   val oracleSql: Map[String, String] = Map(
     "q154_bootstrap_ci" -> q154Sql,
     "q155_source_ci" -> q155Sql,
     "q156_minhash_width_sweep" -> q156Sql,
-    "q157_winnow_window_sweep" -> q157Sql)
+    "q157_winnow_window_sweep" -> q157Sql,
+    "q158_value_ci" -> q158Sql)
 }

@@ -722,6 +722,38 @@ object EventStreams {
         col("p50_sketch"), col("p90_sketch"), col("p99_sketch"))
   }
 
+  /** Streaming per-(window, type) value mean WITH a bootstrap
+    * confidence interval — the uncertainty-aware twin of the plain
+    * windowed mean (a monitor without an interval invites over-reading
+    * every wiggle). Structured Streaming forbids chained aggregations,
+    * so the 32 deterministic Poisson replica sums ride ONE aggregation
+    * as conditional columns ([[graft.ops.PoissonBoot.replicaAggs]] —
+    * constant 2·B+2 longs of state per open group) and the CI reads
+    * out scan-local from the sorted in-row replica means. Every weight
+    * and mean is engine/replay-exact integer arithmetic, so emitted
+    * rows equal the batch q158 form on the same slice (StreamingSpec
+    * pins it).
+    */
+  def windowedValueCi(events: DataFrame): DataFrame = {
+    import graft.ops.PoissonBoot
+    val rep = events
+      .select(col("ts_t"), col("event_type"), col("event_id"),
+        round(col("value") * 1e6, 0).cast("long").as("vm"))
+      .withColumn("b", explode(sequence(lit(0), lit(PoissonBoot.B - 1))))
+      .withColumn("u", PoissonBoot.u52(col("event_id"), col("b")))
+      .withColumn("w", expr(PoissonBoot.weightSql("u")).cast("long"))
+    val aggs = PoissonBoot.replicaAggs(col("b"), col("w"), col("vm"))
+    val (lo, hi) = PoissonBoot.ciFromSorted
+    rep.withWatermark("ts_t", "10 minutes")
+      .groupBy(window(col("ts_t"), "5 minutes"), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"),
+        (expr("(2 * sm_point + n_events) div (2 * n_events)") / 1e6)
+          .as("mean_value"),
+        (lo / 1e6).as("ci_lo"), (hi / 1e6).as("ci_hi"))
+  }
+
   /** The COMPOSED admission + monitoring deliverable: ONE readStream
     * through the [[admissionPipeline]] cascade, then the
     * [[windowedValueQuantiles]] DDSketch monitor run over the verdict

@@ -493,6 +493,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed bootstrap value CI: streaming == batch, CI brackets mean") {
+    val dir = stageDir()
+    val q = EventStreams.windowedValueCi(
+        EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ci_windows").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ci_windows")
+      val want = EventStreams.windowedValueCi(
+        batchEvents(s"$dir/part-0.parquet").withColumn("ts_t", col("ts")))
+      assert(got.count() > 0 && got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        "streamed replica sums must equal the batch bootstrap exactly")
+      assert(got.filter(col("ci_lo") > col("mean_value") ||
+        col("ci_hi") < col("mean_value")).count() == 0,
+        "every window's CI must bracket its point mean")
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join matches the batch bucketed interval join") {
     val dir = stageDir()
     def side(tpe: String) = EventStreams.readEvents(spark, dir)
