@@ -754,6 +754,52 @@ object EventStreams {
         (lo / 1e6).as("ci_lo"), (hi / 1e6).as("ci_hi"))
   }
 
+  /** The ONE-PASS monitoring dashboard: count + HLL distinct users +
+    * DDSketch value quantiles + bootstrap mean CI for every (5-minute
+    * window, type) from a SINGLE streaming aggregation — the capstone
+    * of the mergeable-sketch design: because every monitor is a
+    * commutative bounded-state aggregate, they compose into one
+    * groupBy instead of four subscriptions to the source. The
+    * bootstrap's ×B row explode happens scan-local BEFORE the
+    * aggregation; the non-bootstrap aggregates read only the b=0 slice
+    * (their inputs are null elsewhere, and every aggregate here skips
+    * nulls), so each sees exactly the unexploded stream. State per
+    * open group stays constant: 1 count + 256 HLL bytes + ≤8+8·60
+    * sketch buckets + 2·B+2 bootstrap longs. StreamingSpec pins every
+    * column equal to the three standalone monitors on the same slice.
+    */
+  def monitoringDashboard(events: DataFrame): DataFrame = {
+    import graft.dedup.{Dd, Hll}
+    import graft.ops.PoissonBoot
+    val rep = events
+      .select(col("ts_t"), col("event_type"), col("event_id"),
+        col("user_id"), col("value"),
+        round(col("value") * 1e6, 0).cast("long").as("vm"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("b", explode(sequence(lit(0), lit(PoissonBoot.B - 1))))
+      .withColumn("u", PoissonBoot.u52(col("event_id"), col("b")))
+      .withColumn("w", expr(PoissonBoot.weightSql("u")).cast("long"))
+    val slice0 = col("b") === 0
+    val bootAggs = PoissonBoot.replicaAggs(col("b"), col("w"), col("vm"))
+    val aggs = Seq(
+      round(Hll.hllDistinct(when(slice0, Hll.md5Hex(col("user_id")))), 4)
+        .as("est_users"),
+      Dd.ddQuantile(when(slice0, col("cents")), 0.50).as("p50_cents"),
+      Dd.ddQuantile(when(slice0, col("cents")), 0.90).as("p90_cents"),
+      Dd.ddQuantile(when(slice0, col("cents")), 0.99).as("p99_cents")) ++
+      bootAggs
+    val (lo, hi) = PoissonBoot.ciFromSorted
+    rep.withWatermark("ts_t", "10 minutes")
+      .groupBy(window(col("ts_t"), "5 minutes"), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"), col("est_users"),
+        col("p50_cents"), col("p90_cents"), col("p99_cents"),
+        (expr("(2 * sm_point + n_events) div (2 * n_events)") / 1e6)
+          .as("mean_value"),
+        (lo / 1e6).as("ci_lo"), (hi / 1e6).as("ci_hi"))
+  }
+
   /** The COMPOSED admission + monitoring deliverable: ONE readStream
     * through the [[admissionPipeline]] cascade, then the
     * [[windowedValueQuantiles]] DDSketch monitor run over the verdict

@@ -514,6 +514,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("one-pass monitoring dashboard == the three standalone monitors") {
+    val dir = stageDir()
+    val q = EventStreams.monitoringDashboard(
+        EventStreams.readEvents(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dashboard").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dashboard")
+      val ev = batchEvents(s"$dir/part-0.parquet")
+        .withColumn("ts_t", col("ts"))
+      // the composition contract: every dashboard column equals the
+      // standalone monitor that owns it, joined on (window, type)
+      val want = EventStreams.windowedDistinctUsersHll(ev)
+        .join(EventStreams.windowedValueQuantiles(ev)
+          .withColumnRenamed("p50_sketch", "p50_cents")
+          .withColumnRenamed("p90_sketch", "p90_cents")
+          .withColumnRenamed("p99_sketch", "p99_cents"),
+          Seq("ws", "event_type"))
+        .join(EventStreams.windowedValueCi(ev), Seq("ws", "event_type"))
+        .select("ws", "event_type", "n_events", "est_users",
+          "p50_cents", "p90_cents", "p99_cents",
+          "mean_value", "ci_lo", "ci_hi")
+      assert(got.count() > 0 && got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        "the one-pass dashboard must equal the standalone monitors")
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join matches the batch bucketed interval join") {
     val dir = stageDir()
     def side(tpe: String) = EventStreams.readEvents(spark, dir)
