@@ -40,30 +40,39 @@ object Pipeline23 {
     graft.ops.PoissonBoot.weightDuckSql(u)
 
   private val q154: Q = (s, d) => {
+    // checkpointed: the replica explode AND the point estimate read the
+    // same quality scan (the regex pass is the dominant cost)
     val base = documents(s, d).select(col("doc_id"),
       round(round(TextOps.qualityScore(col("text")), 6) * 1e6, 0)
         .cast("long").as("qm"))
+      .localCheckpoint()
     val rep = base
       .select(col("doc_id"), col("qm"),
         explode(sequence(lit(0), lit(BootB - 1))).as("b"))
-      .withColumn("u", conv(substring(md5(to_binary(
-          concat(col("doc_id").cast("string"), lit("|"), col("b")),
-          lit("utf-8"))), 1, 13), 16, 10).cast("long"))
+      .withColumn("u", graft.ops.PoissonBoot.u52(col("doc_id"), col("b")))
       .withColumn("w", expr(weightSql("u")).cast("long"))
       .groupBy(col("b"))
       .agg(sum(col("w")).as("sw"), sum(col("w") * col("qm")).as("swq"))
-      // exact half-away-from-zero integer mean in micro-units
+      // exact half-away-from-zero integer mean in micro-units; a
+      // zero-weight replica (P = e^-n) has no mean and is dropped from
+      // the ranked set in BOTH engines (the ciFromSorted rule — an
+      // unguarded div would null in Spark but RAISE in DuckDB)
       .select(col("b"),
-        expr("(2 * swq + sw) div (2 * sw)").as("mean_micro"))
+        expr("CASE WHEN sw > 0 THEN (2 * swq + sw) div (2 * sw) END")
+          .as("mean_micro"))
+      .filter(col("mean_micro").isNotNull)
     val wc = Window.orderBy(col("mean_micro"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     val stats = rep
       .withColumn("r", count(lit(1)).over(wc))
+      .withColumn("nz", count(lit(1)).over(wt))
       .agg(
-        min(when(col("r") >= (BootB * 25 + 999) / 1000, col("mean_micro")))
-          .as("lo_micro"),
-        min(when(col("r") >= (BootB * 975 + 999) / 1000, col("mean_micro")))
-          .as("hi_micro"))
+        min(when(col("r") >= expr("(nz * 25 + 999) div 1000"),
+          col("mean_micro"))).as("lo_micro"),
+        min(when(col("r") >= expr("(nz * 975 + 999) div 1000"),
+          col("mean_micro"))).as("hi_micro"))
     val point = base.agg(count(lit(1)).as("n_docs"),
       expr("(2 * sum(qm) + count(1)) div (2 * count(1))").as("pm"))
     point.crossJoin(broadcast(stats))
@@ -91,12 +100,15 @@ object Pipeline23 {
                         AS b) b),
     means AS (SELECT b, (2 * sum(w * qm) + sum(w)) // (2 * sum(w))
                 AS mean_micro
-              FROM rep GROUP BY b),
+              FROM rep GROUP BY b HAVING sum(w) > 0),
     ranked AS (SELECT mean_micro, row_number() OVER
-                 (ORDER BY mean_micro) AS r FROM means),
+                 (ORDER BY mean_micro) AS r,
+                 count(*) OVER () AS nz FROM means),
     ci AS (SELECT
-             min(CASE WHEN r >= $lo THEN mean_micro END) AS lo_micro,
-             min(CASE WHEN r >= $hi THEN mean_micro END) AS hi_micro
+             min(CASE WHEN r >= (nz * 25 + 999) // 1000
+               THEN mean_micro END) AS lo_micro,
+             min(CASE WHEN r >= (nz * 975 + 999) // 1000
+               THEN mean_micro END) AS hi_micro
            FROM ranked),
     pt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
              (2 * sum(qm) + count(*)) // (2 * count(*)) AS pm
@@ -116,30 +128,36 @@ object Pipeline23 {
   // the line a mixing policy (q88/q64) actually reads. Exchange carries
   // |sources| × B keys.
   private val q155: Q = (s, d) => {
+    // checkpointed: replica explode, per-source means AND corpus mean
+    // all read the one quality scan (the regex pass dominates)
     val base = documents(s, d).select(col("doc_id"), col("source"),
       round(round(TextOps.qualityScore(col("text")), 6) * 1e6, 0)
         .cast("long").as("qm"))
+      .localCheckpoint()
     val rep = base
       .select(col("doc_id"), col("source"), col("qm"),
         explode(sequence(lit(0), lit(BootB - 1))).as("b"))
-      .withColumn("u", conv(substring(md5(to_binary(
-          concat(col("doc_id").cast("string"), lit("|"), col("b")),
-          lit("utf-8"))), 1, 13), 16, 10).cast("long"))
+      .withColumn("u", graft.ops.PoissonBoot.u52(col("doc_id"), col("b")))
       .withColumn("w", expr(weightSql("u")).cast("long"))
       .groupBy(col("source"), col("b"))
       .agg(sum(col("w")).as("sw"), sum(col("w") * col("qm")).as("swq"))
+      // zero-weight replicas drop from the ranked set (q154 rule)
       .select(col("source"), col("b"),
-        expr("(2 * swq + sw) div (2 * sw)").as("mean_micro"))
+        expr("CASE WHEN sw > 0 THEN (2 * swq + sw) div (2 * sw) END")
+          .as("mean_micro"))
+      .filter(col("mean_micro").isNotNull)
     val wc = Window.partitionBy(col("source")).orderBy(col("mean_micro"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("source"))
     val ci = rep
       .withColumn("r", count(lit(1)).over(wc))
+      .withColumn("nz", count(lit(1)).over(wt))
       .groupBy(col("source"))
       .agg(
-        min(when(col("r") >= (BootB * 25 + 999) / 1000, col("mean_micro")))
-          .as("lo_micro"),
-        min(when(col("r") >= (BootB * 975 + 999) / 1000, col("mean_micro")))
-          .as("hi_micro"))
+        min(when(col("r") >= expr("(nz * 25 + 999) div 1000"),
+          col("mean_micro"))).as("lo_micro"),
+        min(when(col("r") >= expr("(nz * 975 + 999) div 1000"),
+          col("mean_micro"))).as("hi_micro"))
     val per = base.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         expr("(2 * sum(qm) + count(1)) div (2 * count(1))").as("pm"))
@@ -174,13 +192,16 @@ object Pipeline23 {
                         AS b) b),
     means AS (SELECT source, b,
                 (2 * sum(w * qm) + sum(w)) // (2 * sum(w)) AS mean_micro
-              FROM rep GROUP BY source, b),
+              FROM rep GROUP BY source, b HAVING sum(w) > 0),
     ranked AS (SELECT source, mean_micro, row_number() OVER
-                 (PARTITION BY source ORDER BY mean_micro) AS r
+                 (PARTITION BY source ORDER BY mean_micro) AS r,
+                 count(*) OVER (PARTITION BY source) AS nz
                FROM means),
     ci AS (SELECT source,
-             min(CASE WHEN r >= $lo THEN mean_micro END) AS lo_micro,
-             min(CASE WHEN r >= $hi THEN mean_micro END) AS hi_micro
+             min(CASE WHEN r >= (nz * 25 + 999) // 1000
+               THEN mean_micro END) AS lo_micro,
+             min(CASE WHEN r >= (nz * 975 + 999) // 1000
+               THEN mean_micro END) AS hi_micro
            FROM ranked GROUP BY source),
     per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
               (2 * sum(qm) + count(*)) // (2 * count(*)) AS pm
@@ -214,9 +235,18 @@ object Pipeline23 {
 
   private val q156: Q = (s, d) => {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val sig = documents(s, d).select(col("doc_id"),
-      column(graft.dedup.MinHashSig(expression(col("text")),
-        SweepK, SweepHashes)).as("sig"))
+    // signatures computed ONLY for docs the ground-truth pairs touch
+    // (bounded), and pinned so the two join branches share one pass
+    val pairIds = ClusterMemo.exactPairs(s, d)
+      .select(col("id_a").as("doc_id"))
+      .unionByName(ClusterMemo.exactPairs(s, d)
+        .select(col("id_b").as("doc_id"))).distinct()
+    val sig = documents(s, d)
+      .join(pairIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        column(graft.dedup.MinHashSig(expression(col("text")),
+          SweepK, SweepHashes)).as("sig"))
+      .localCheckpoint()
     def estMicro(h: Int, a: String, b: String) = {
       val agree = (0 until h).map(i =>
         when(element_at(col(a), i + 1) === element_at(col(b), i + 1), 1)
@@ -282,12 +312,28 @@ object Pipeline23 {
   // scan-local selection passes over the session words artifact,
   // aggregated onto 3 keys.
   private val q157: Q = (s, d) => {
-    val words = GramMemo.words(s, d).select(col("doc_id"), col("words"))
+    // hash every gram ONCE (k is fixed across the sweep — only the
+    // window min differs), pin the hash arrays, then run the three
+    // scan-local window-min selections over the same artifact
+    val k = 4 // Pipeline16.WinK, the board-wide winnow gram width
+    val wc0 = col("words")
+    val ha = GramMemo.words(s, d).select(col("doc_id"),
+        greatest(size(wc0) - (k - 1), lit(0)).cast("long").as("n_grams"),
+        when(size(wc0) >= k, transform(
+          sequence(lit(0), size(wc0) - k),
+          i => substring(md5(to_binary(
+            array_join(slice(wc0, i + 1, lit(k)), " "),
+            lit("utf-8"))), 1, 16)))
+          .otherwise(array().cast("array<string>")).as("_ha"))
+      .localCheckpoint()
     val per = Seq(4, 8, 16).map { w =>
-      Pipeline16.winnowBase(words, w = w)
-        .select(lit(w.toLong).as("w"),
-          greatest(col("n_grams") - (w - 1), lit(0L)).as("n_windows"),
-          size(col("fps")).cast("long").as("n_fps"))
+      ha.select(lit(w.toLong).as("w"),
+        greatest(col("n_grams") - (w - 1), lit(0L)).as("n_windows"),
+        when(size(col("_ha")) >= w,
+          size(array_distinct(transform(
+            sequence(lit(0), size(col("_ha")) - w),
+            p => array_min(slice(col("_ha"), p + 1, lit(w)))))))
+          .otherwise(0).cast("long").as("n_fps"))
     }.reduce(_ unionByName _)
     per.groupBy(col("w"))
       .agg(count(lit(1)).as("n_docs"),
