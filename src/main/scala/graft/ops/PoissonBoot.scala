@@ -46,12 +46,28 @@ object PoissonBoot {
     }.mkString(" ") + s" ELSE ${thresholds.length} END)"
 
   /** The 52-bit uniform for (id, replica) as a Column (the Kmv.hash52
-    * pattern; both engines agree bit-for-bit).
+    * pattern; both engines agree bit-for-bit). One md5 digest carries
+    * 128 bits = two independent 13-hex-char uniforms, so replicas 2k
+    * and 2k+1 share the digest md5(id|k) and read disjoint slices —
+    * HALF the md5 calls of one-digest-per-replica, which is the
+    * dominant cost of the ×B explode.
     */
   def u52(id: Column, b: Column): Column =
+    // b >> 1 / b & 1: INTEGER halving in both engines (a `/ 2` would be
+    // double division — Spark casts truncate but DuckDB casts ROUND)
     conv(substring(md5(to_binary(
-      concat(id.cast("string"), lit("|"), b.cast("string")),
-      lit("utf-8"))), 1, 13), 16, 10).cast("long")
+      concat(id.cast("string"), lit("|"),
+        shiftright(b.cast("int"), 1).cast("string")),
+      lit("utf-8"))), (pmod(b, lit(2)) * 13 + 1).cast("int"), lit(13)),
+      16, 10).cast("long")
+
+  /** The identical uniform in the DuckDB dialect — one generator for
+    * every bootstrap oracle, in lockstep with [[u52]] by construction.
+    */
+  def u52DuckSql(id: String, b: String): String =
+    s"""CAST(('0x' || substr(md5(CAST($id AS VARCHAR) || '|' ||
+          CAST(($b >> 1) AS VARCHAR)),
+          CAST(($b % 2) * 13 + 1 AS INTEGER), 13)) AS BIGINT)"""
 
   /** Per-replica conditional sums over an exploded (b, w, m) row set —
     * 2·B aggregate columns `sw_b`/`swq_b`, ONE aggregation (the

@@ -94,8 +94,7 @@ object Pipeline23 {
              FROM raw),
     rep AS (SELECT b.b, base.qm,
               ${weightDuckSql(
-        """CAST(('0x' || substr(md5(CAST(base.doc_id AS VARCHAR)
-           || '|' || CAST(b.b AS VARCHAR)), 1, 13)) AS BIGINT)""")} AS w
+        graft.ops.PoissonBoot.u52DuckSql("base.doc_id", "b.b"))} AS w
             FROM base, (SELECT unnest(generate_series(0, ${BootB - 1}))
                         AS b) b),
     means AS (SELECT b, (2 * sum(w * qm) + sum(w)) // (2 * sum(w))
@@ -186,8 +185,7 @@ object Pipeline23 {
              FROM raw),
     rep AS (SELECT base.source, b.b, base.qm,
               ${weightDuckSql(
-        """CAST(('0x' || substr(md5(CAST(base.doc_id AS VARCHAR)
-           || '|' || CAST(b.b AS VARCHAR)), 1, 13)) AS BIGINT)""")} AS w
+        graft.ops.PoissonBoot.u52DuckSql("base.doc_id", "b.b"))} AS w
             FROM base, (SELECT unnest(generate_series(0, ${BootB - 1}))
                         AS b) b),
     means AS (SELECT source, b,
@@ -377,34 +375,60 @@ object Pipeline23 {
   }
 
   // ------------------------------------------------------------------ q158
-  // Per-event-type value CI in the STREAMING-LEGAL single-aggregation
-  // form: the 32 replica sums ride one aggregation as conditional
-  // columns (Structured Streaming forbids chained aggregates) and the
-  // CI reads out scan-local from the sorted in-row means array — the
-  // exact shape [[graft.streaming.EventStreams.windowedValueCi]] runs
-  // live, here as the batch audit (StreamingSpec pins stream == batch
-  // on the same fixture). The oracle computes the identical math in
-  // the relational two-stage form — value-equal because every replica
-  // mean is the same exact integer. Degenerate guard: a replica with
-  // zero total weight (P = e^-n per group) would null its mean; at
-  // monitoring group sizes this probability is ~0 and the fixture
-  // groups are thousands of events.
+  // Per-event-type value CI — the batch audit of the SAME exact
+  // integer math the streaming monitor emits live
+  // ([[graft.streaming.EventStreams.windowedValueCi]]). The batch form
+  // uses the fast two-stage shape (combine onto (type, replica) keys,
+  // then rank the B-row-per-type means — each replica mean is the same
+  // exact integer either way); the streaming side keeps the
+  // single-aggregation conditional-column form Structured Streaming
+  // requires, and StreamingSpec pins the two shapes equal on one
+  // fixture. Measured: the 2·B-conditional-column aggregate reads
+  // every exploded row through 66 aggregate updates — ~6x the
+  // two-stage batch shape — which is the price ONLY the streaming
+  // engine needs to pay. Zero-weight replicas (P = e^-n per group)
+  // drop from the ranked set in both engines (the q154 rule).
   private val q158: Q = (s, d) => {
     import graft.ops.PoissonBoot
-    val rep = eventsMicros(s, d)
+    // NOT checkpointed: the two consumers re-read a 3-column pruned
+    // parquet scan, which is cheaper than materializing a checkpoint
+    // (measured; the corpus-sized artifacts earn their pins, a narrow
+    // event scan does not)
+    val base = eventsMicros(s, d)
       .select(col("event_type"), col("event_id"),
         round(col("value") * 1e6, 0).cast("long").as("vm"))
-      .withColumn("b", explode(sequence(lit(0), lit(PoissonBoot.B - 1))))
+    val rep = base
+      .select(col("event_type"), col("event_id"), col("vm"),
+        explode(sequence(lit(0), lit(PoissonBoot.B - 1))).as("b"))
       .withColumn("u", PoissonBoot.u52(col("event_id"), col("b")))
       .withColumn("w", expr(PoissonBoot.weightSql("u")).cast("long"))
-    val aggs = PoissonBoot.replicaAggs(col("b"), col("w"), col("vm"))
-    val (lo, hi) = PoissonBoot.ciFromSorted
-    rep.groupBy(col("event_type"))
-      .agg(aggs.head, aggs.tail: _*)
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("vm")).as("swq"))
+      .select(col("event_type"),
+        expr("CASE WHEN sw > 0 THEN (2 * swq + sw) div (2 * sw) END")
+          .as("mean_micro"))
+      .filter(col("mean_micro").isNotNull)
+    val wc = Window.partitionBy(col("event_type"))
+      .orderBy(col("mean_micro"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("event_type"))
+    val ci = rep
+      .withColumn("r", count(lit(1)).over(wc))
+      .withColumn("nz", count(lit(1)).over(wt))
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("r") >= expr("(nz * 25 + 999) div 1000"),
+          col("mean_micro"))).as("lo_micro"),
+        min(when(col("r") >= expr("(nz * 975 + 999) div 1000"),
+          col("mean_micro"))).as("hi_micro"))
+    base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("(2 * sum(vm) + count(1)) div (2 * count(1))").as("pm"))
+      .join(ci, Seq("event_type"))
       .select(col("event_type"), col("n_events"),
-        (expr("(2 * sm_point + n_events) div (2 * n_events)") / 1e6)
-          .as("mean_value"),
-        (lo / 1e6).as("ci_lo"), (hi / 1e6).as("ci_hi"))
+        (col("pm") / 1e6).as("mean_value"),
+        (col("lo_micro") / 1e6).as("ci_lo"),
+        (col("hi_micro") / 1e6).as("ci_hi"))
       .orderBy(col("event_type"))
   }
 
@@ -417,19 +441,21 @@ object Pipeline23 {
                   FROM events),
     rep AS (SELECT base.event_type, b.b, base.vm,
               ${weightDuckSql(
-        """CAST(('0x' || substr(md5(CAST(base.event_id AS VARCHAR)
-           || '|' || CAST(b.b AS VARCHAR)), 1, 13)) AS BIGINT)""")} AS w
+        graft.ops.PoissonBoot.u52DuckSql("base.event_id", "b.b"))} AS w
             FROM base, (SELECT unnest(generate_series(0, ${BootB - 1}))
                         AS b) b),
     means AS (SELECT event_type, b,
                 (2 * sum(w * vm) + sum(w)) // (2 * sum(w)) AS mean_micro
-              FROM rep GROUP BY event_type, b),
+              FROM rep GROUP BY event_type, b HAVING sum(w) > 0),
     ranked AS (SELECT event_type, mean_micro, row_number() OVER
-                 (PARTITION BY event_type ORDER BY mean_micro) AS r
+                 (PARTITION BY event_type ORDER BY mean_micro) AS r,
+                 count(*) OVER (PARTITION BY event_type) AS nz
                FROM means),
     ci AS (SELECT event_type,
-             min(CASE WHEN r >= $lo THEN mean_micro END) AS lo_micro,
-             min(CASE WHEN r >= $hi THEN mean_micro END) AS hi_micro
+             min(CASE WHEN r >= (nz * 25 + 999) // 1000
+               THEN mean_micro END) AS lo_micro,
+             min(CASE WHEN r >= (nz * 975 + 999) // 1000
+               THEN mean_micro END) AS hi_micro
            FROM ranked GROUP BY event_type),
     pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
              (2 * sum(vm) + count(*)) // (2 * count(*)) AS pm
