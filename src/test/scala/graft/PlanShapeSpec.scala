@@ -157,6 +157,28 @@ class PlanShapeSpec extends AnyFunSuite {
       "q141's moment table must broadcast")
   }
 
+  test("batch-23 bootstrap/sweep queries keep their single-scan shapes") {
+    // q154: every branch rides the checkpointed quality scan — the
+    // regex pass must appear in NO branch of the final plan
+    val p154 = planString("q154_bootstrap_ci")
+    assert(!p154.contains("documents.parquet"),
+      "q154 must ride its checkpointed quality scan")
+    // q156: signatures only for ground-truth docs — the corpus text
+    // reaches MinHashSig through one semi-join-restricted scan
+    // (the semi-join that restricts the signature scan executes at
+    // build time behind the checkpoint, so the final plan shows the
+    // pinned artifact, not the join — the scan bound is the gate)
+    val p156 = planString("q156_minhash_width_sweep")
+    assert("Scan parquet".r.findAllIn(p156).size <= 1,
+      "q156 computes signatures in one restricted pass")
+    // q158: two pruned event scans (replica leg + point leg), no
+    // cartesian anywhere
+    val p158 = planString("q158_value_ci")
+    assert("Scan parquet".r.findAllIn(p158).size <= 2,
+      "q158 is the two-leg bootstrap")
+    assert(!p158.contains("CartesianProduct"))
+  }
+
   test("decontamination probes eval grams via broadcast, never a shuffle join") {
     // q80 serves the memoized contamStats artifact, whose plan is an
     // ExistingRDD — the probe SHAPE gate targets the un-memoized
