@@ -22,6 +22,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Verify.silenceIntendedGlobalWindowWarn()
 
+    // the per-repeat producer clears below only empty the in-JVM memo
+    // maps — with an artifact store configured, loadOrBuild would
+    // re-serve the persisted parquet and q93/q43/q94 would silently
+    // measure a store READ instead of the production computation. An
+    // inherited session conf must not be able to corrupt board
+    // semantics: store benchmarking is a separate, labeled protocol
+    // (graft.tools.BenchStore).
+    require(graft.queries.ArtifactStore.dirOf(spark).isEmpty,
+      s"Bench measures production computation; ${graft.queries.ArtifactStore.DirConf} " +
+        "must be unset (use graft.tools.BenchStore for store-mode numbers)")
+
     // absorb JVM/codegen/session warmup so per-query numbers reflect
     // steady-state execution rather than first-query startup. The
     // clustering lineage (MinHash → LSH → verify → components) generates

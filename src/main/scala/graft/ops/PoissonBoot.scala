@@ -90,12 +90,17 @@ object PoissonBoot {
     * for SMALL streaming windows, negligible for batch groups) has no
     * mean; the quantile indices are taken over the NON-NULL replica
     * set, and a group with zero live replicas reports null bounds.
-    * Returns (ci_lo_micro, ci_hi_micro) Columns.
+    * The mean uses the abs-and-sign form (the q143 pattern): a bare
+    * `(2s + n) div 2n` is half-away only for s >= 0 — integer division
+    * truncates toward zero in both engines, so a NEGATIVE metric sum
+    * (signed event values) would silently round half-TOWARD-zero and
+    * break the stated contract. Returns (ci_lo_micro, ci_hi_micro).
     */
   def ciFromSorted: (Column, Column) = {
     val means = array((0 until B).map(i =>
       expr(s"CASE WHEN sw_$i > 0 " +
-        s"THEN (2 * swq_$i + sw_$i) div (2 * sw_$i) END")): _*)
+        s"THEN (CASE WHEN swq_$i < 0 THEN -1 ELSE 1 END) * " +
+        s"((2 * abs(swq_$i) + sw_$i) div (2 * sw_$i)) END")): _*)
     val sorted = array_sort(filter(means, m => m.isNotNull))
     val nz = size(sorted).cast("long")
     def pick(p: Int) = when(nz > 0,

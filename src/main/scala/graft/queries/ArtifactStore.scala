@@ -1,6 +1,7 @@
 package graft.queries
 
-import java.io.File
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -31,6 +32,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     structural, not TTL-based. Stale signature dirs of the same
   *     artifact are deleted best-effort on the next write.
   *
+  * All filesystem access (corpus listing, freshness probe, commit,
+  * pruning) goes through the Hadoop [[FileSystem]] API resolved from
+  * the path's own scheme, so the store works unchanged when the corpus
+  * and/or the store live on `hdfs://`/`s3a://` — the actual 100 TB
+  * setting — not only on the local disk a `java.io.File` walk could
+  * see. A corpus path that resolves to zero regular files fails fast
+  * (an empty signature would freeze the staleness check and serve a
+  * stale artifact forever).
+  *
   * Unset (the default), behavior is byte-identical to r7: the build
   * plan is localCheckpointed and session-scoped.
   */
@@ -41,22 +51,44 @@ object ArtifactStore {
   def dirOf(s: SparkSession): Option[String] =
     Option(s.conf.get(DirConf, "")).filter(_.nonEmpty)
 
+  /** The Hadoop configuration that resolves filesystem schemes: the
+    * active session's (so `spark.hadoop.*` / cluster core-site settings
+    * apply — s3a credentials, hdfs nameservices), or a vanilla
+    * [[Configuration]] when no session is up (spec-level signature
+    * calls).
+    */
+  private def hconf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   /** Corpus signature: md5 over (path, size, mtime) of every regular
     * file under `d`, RECURSIVELY — nested layouts (Hive-partitioned
     * `table/date=.../part.parquet`) must contribute their leaf files,
     * not just the partition directory entries (a directory's own mtime
     * does not reliably change when a file inside is rewritten in
-    * place). Listing is metadata-only — no data read.
+    * place). Listing is metadata-only — no data read — and runs
+    * through `FileSystem.listFiles(recursive = true)`, one round-trip
+    * batch listing on object stores. A corpus with NO regular files is
+    * an error, not an empty signature: md5("") is a constant, so an
+    * unreadable/mistyped corpus path would otherwise pin the first
+    * artifact ever written as permanently fresh.
     */
   def corpusSig(d: String): String = {
-    def walk(f: File): Array[File] = {
-      val children = Option(f.listFiles()).getOrElse(Array.empty)
-        .sortBy(_.getPath)
-      children.flatMap(c => if (c.isDirectory) walk(c) else Array(c))
+    val p = new Path(d)
+    val fs = p.getFileSystem(hconf)
+    val it = fs.listFiles(p, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile)
+        entries += s"${st.getPath.toUri.getPath}|${st.getLen}|${st.getModificationTime}"
     }
-    val sig = walk(new File(d))
-      .map(f => s"${f.getPath}|${f.length}|${f.lastModified}")
-      .mkString("\n")
+    require(entries.nonEmpty,
+      s"artifact store: corpus '$d' lists no regular files — refusing " +
+        "to sign an empty corpus (the signature would be a constant and " +
+        "the staleness check inert)")
+    val sig = entries.sorted.mkString("\n")
     java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
@@ -65,19 +97,29 @@ object ArtifactStore {
     * store must not collide or prune each other — the signature alone
     * encodes identity AND version, so pruning by sibling sig would
     * delete a sibling corpus's artifacts (and break any live plan
-    * reading them). Keying the directory by the corpus path keeps
-    * pruning scoped to versions of the SAME corpus.
+    * reading them). Keying the directory by the fully-qualified corpus
+    * URI keeps pruning scoped to versions of the SAME corpus (and keeps
+    * `hdfs://ns/x` distinct from `s3a://bucket/x`).
     */
-  private def corpusKey(d: String): String =
+  private def corpusKey(d: String): String = {
+    val p = new Path(d)
+    val qualified = p.getFileSystem(hconf).makeQualified(p).toString
     java.security.MessageDigest.getInstance("MD5")
-      .digest(new File(d).getAbsolutePath.getBytes("UTF-8"))
+      .digest(qualified.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
+  }
 
   /** Load `name` from the store if a fresh copy exists, else run
     * `build`, persist it, and read the persisted copy back (so the
     * returned frame's lineage IS the store — consumers replay from
     * parquet, never from the producer plan). With no store configured,
     * pin with localCheckpoint exactly as the r7 memos did.
+    *
+    * Commit is write-to-temp + atomic rename: two JVMs racing on the
+    * same signature dir cannot interleave an `overwrite` delete/commit
+    * (which could leave one writer's partial part-files beside the
+    * other's `_SUCCESS`). The loser of the rename race discards its
+    * temp dir and reads the winner's identical data.
     */
   def loadOrBuild(s: SparkSession, d: String, name: String)
                  (build: => DataFrame): DataFrame =
@@ -85,36 +127,52 @@ object ArtifactStore {
       case None => build.localCheckpoint()
       case Some(root) =>
         val path = pathFor(root, d, name)
-        val base = path.getParentFile
+        val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+        val base = path.getParent
         // striped in-JVM lock: two sessions in one JVM (parallel test
         // suites, notebook + job) building the same artifact must not
-        // interleave overwrite writes; cross-JVM the _SUCCESS check
-        // makes a lost race a harmless double write of identical data
-        val lock = writeLocks.getOrElseUpdate(path.getPath, new Object)
+        // both pay the build; cross-JVM the rename race below decides
+        val lock = writeLocks.getOrElseUpdate(
+          fs.makeQualified(path).toString, new Object)
         lock.synchronized {
-          if (!new File(path, "_SUCCESS").isFile) {
-            build.write.mode("overwrite").parquet(path.getPath)
+          if (!fs.exists(new Path(path, "_SUCCESS"))) {
+            // unique temp sibling: hidden (leading dot) so a concurrent
+            // reader's partition discovery and the prune below skip it
+            val tmp = new Path(base,
+              s".inprogress-${path.getName}-${ProcessHandle.current.pid}-${System.nanoTime}")
+            build.write.mode("overwrite").parquet(tmp.toString)
+            val committed = !fs.exists(path) && fs.rename(tmp, path)
+            if (!committed) fs.delete(tmp, true) // lost the race; winner's data is identical
             // prune artifacts of superseded corpus versions (best-effort;
             // concurrent readers of an old sig just rebuild next session)
-            Option(base.listFiles()).getOrElse(Array.empty)
-              .filter(f => f.isDirectory && f.getName != path.getName)
-              .foreach(deleteTree)
+            fs.listStatus(base)
+              .filter(st => st.isDirectory && st.getPath.getName != path.getName
+                && !st.getPath.getName.startsWith("."))
+              .foreach(st => fs.delete(st.getPath, true))
           }
         }
-        s.read.parquet(path.getPath)
+        s.read.parquet(path.toString)
     }
 
   /** The store path of artifact `name` for corpus `d`:
     * `<root>/<name>/<corpus key>/<corpus signature>`.
     */
-  def pathFor(root: String, d: String, name: String): File =
-    new File(new File(new File(root, name), corpusKey(d)), corpusSig(d))
+  def pathFor(root: String, d: String, name: String): Path =
+    new Path(new Path(new Path(root, name), corpusKey(d)), corpusSig(d))
+
+  /** True iff a committed (`_SUCCESS`-bearing) copy of `name` for
+    * corpus `d` exists in the store rooted at `root`.
+    */
+  def isStored(root: String, d: String, name: String): Boolean = {
+    val p = pathFor(root, d, name)
+    p.getFileSystem(hconf).exists(new Path(p, "_SUCCESS"))
+  }
 
   private val writeLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
-  /** Best-effort recursive delete (stale-sig pruning; test cleanup). */
-  def deleteTree(f: File): Unit = {
+  /** Best-effort recursive delete (test cleanup). */
+  def deleteTree(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
     f.delete()
     ()

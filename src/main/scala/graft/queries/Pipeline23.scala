@@ -58,7 +58,8 @@ object Pipeline23 {
       // the ranked set in BOTH engines (the ciFromSorted rule — an
       // unguarded div would null in Spark but RAISE in DuckDB)
       .select(col("b"),
-        expr("CASE WHEN sw > 0 THEN (2 * swq + sw) div (2 * sw) END")
+        expr("CASE WHEN sw > 0 THEN (CASE WHEN swq < 0 THEN -1 ELSE 1 END) * " +
+          "((2 * abs(swq) + sw) div (2 * sw)) END")
           .as("mean_micro"))
       .filter(col("mean_micro").isNotNull)
     val wc = Window.orderBy(col("mean_micro"))
@@ -74,7 +75,8 @@ object Pipeline23 {
         min(when(col("r") >= expr("(nz * 975 + 999) div 1000"),
           col("mean_micro"))).as("hi_micro"))
     val point = base.agg(count(lit(1)).as("n_docs"),
-      expr("(2 * sum(qm) + count(1)) div (2 * count(1))").as("pm"))
+      expr("(CASE WHEN sum(qm) < 0 THEN -1 ELSE 1 END) * " +
+        "((2 * abs(sum(qm)) + count(1)) div (2 * count(1)))").as("pm"))
     point.crossJoin(broadcast(stats))
       .select(col("n_docs"), lit(BootB.toLong).as("n_replicas"),
         (col("pm") / 1e6).as("mean_quality"),
@@ -83,8 +85,6 @@ object Pipeline23 {
   }
 
   private lazy val q154Sql = {
-    val lo = (BootB * 25 + 999) / 1000
-    val hi = (BootB * 975 + 999) / 1000
     s"""
     WITH raw AS (SELECT doc_id, ${OracleSql.qualityScColsSql}
                  FROM documents),
@@ -97,7 +97,8 @@ object Pipeline23 {
         graft.ops.PoissonBoot.u52DuckSql("base.doc_id", "b.b"))} AS w
             FROM base, (SELECT unnest(generate_series(0, ${BootB - 1}))
                         AS b) b),
-    means AS (SELECT b, (2 * sum(w * qm) + sum(w)) // (2 * sum(w))
+    means AS (SELECT b, (CASE WHEN sum(w * qm) < 0 THEN -1 ELSE 1 END) *
+                ((2 * abs(sum(w * qm)) + sum(w)) // (2 * sum(w)))
                 AS mean_micro
               FROM rep GROUP BY b HAVING sum(w) > 0),
     ranked AS (SELECT mean_micro, row_number() OVER
@@ -110,7 +111,8 @@ object Pipeline23 {
                THEN mean_micro END) AS hi_micro
            FROM ranked),
     pt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             (2 * sum(qm) + count(*)) // (2 * count(*)) AS pm
+             (CASE WHEN sum(qm) < 0 THEN -1 ELSE 1 END) *
+             ((2 * abs(sum(qm)) + count(*)) // (2 * count(*))) AS pm
            FROM base)
     SELECT n_docs, CAST($BootB AS BIGINT) AS n_replicas,
            pm / 1e6 AS mean_quality,
@@ -142,7 +144,8 @@ object Pipeline23 {
       .agg(sum(col("w")).as("sw"), sum(col("w") * col("qm")).as("swq"))
       // zero-weight replicas drop from the ranked set (q154 rule)
       .select(col("source"), col("b"),
-        expr("CASE WHEN sw > 0 THEN (2 * swq + sw) div (2 * sw) END")
+        expr("CASE WHEN sw > 0 THEN (CASE WHEN swq < 0 THEN -1 ELSE 1 END) * " +
+          "((2 * abs(swq) + sw) div (2 * sw)) END")
           .as("mean_micro"))
       .filter(col("mean_micro").isNotNull)
     val wc = Window.partitionBy(col("source")).orderBy(col("mean_micro"))
@@ -159,9 +162,11 @@ object Pipeline23 {
           col("mean_micro"))).as("hi_micro"))
     val per = base.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        expr("(2 * sum(qm) + count(1)) div (2 * count(1))").as("pm"))
+        expr("(CASE WHEN sum(qm) < 0 THEN -1 ELSE 1 END) * " +
+        "((2 * abs(sum(qm)) + count(1)) div (2 * count(1)))").as("pm"))
     val corpus = base.agg(
-      expr("(2 * sum(qm) + count(1)) div (2 * count(1))").as("cm"))
+      expr("(CASE WHEN sum(qm) < 0 THEN -1 ELSE 1 END) * " +
+        "((2 * abs(sum(qm)) + count(1)) div (2 * count(1)))").as("cm"))
     per.join(ci, Seq("source")).crossJoin(broadcast(corpus))
       .select(col("source"), col("n_docs"),
         (col("pm") / 1e6).as("mean_quality"),
@@ -174,8 +179,6 @@ object Pipeline23 {
   }
 
   private lazy val q155Sql = {
-    val lo = (BootB * 25 + 999) / 1000
-    val hi = (BootB * 975 + 999) / 1000
     s"""
     WITH raw AS (SELECT doc_id, source, ${OracleSql.qualityScColsSql}
                  FROM documents),
@@ -189,7 +192,8 @@ object Pipeline23 {
             FROM base, (SELECT unnest(generate_series(0, ${BootB - 1}))
                         AS b) b),
     means AS (SELECT source, b,
-                (2 * sum(w * qm) + sum(w)) // (2 * sum(w)) AS mean_micro
+                (CASE WHEN sum(w * qm) < 0 THEN -1 ELSE 1 END) *
+                ((2 * abs(sum(w * qm)) + sum(w)) // (2 * sum(w))) AS mean_micro
               FROM rep GROUP BY source, b HAVING sum(w) > 0),
     ranked AS (SELECT source, mean_micro, row_number() OVER
                  (PARTITION BY source ORDER BY mean_micro) AS r,
@@ -202,9 +206,11 @@ object Pipeline23 {
                THEN mean_micro END) AS hi_micro
            FROM ranked GROUP BY source),
     per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-              (2 * sum(qm) + count(*)) // (2 * count(*)) AS pm
+              (CASE WHEN sum(qm) < 0 THEN -1 ELSE 1 END) *
+             ((2 * abs(sum(qm)) + count(*)) // (2 * count(*))) AS pm
             FROM base GROUP BY source),
-    corpus AS (SELECT (2 * sum(qm) + count(*)) // (2 * count(*)) AS cm
+    corpus AS (SELECT (CASE WHEN sum(qm) < 0 THEN -1 ELSE 1 END) *
+             ((2 * abs(sum(qm)) + count(*)) // (2 * count(*))) AS cm
                FROM base)
     SELECT per.source, n_docs,
            pm / 1e6 AS mean_quality,
@@ -405,7 +411,8 @@ object Pipeline23 {
       .groupBy(col("event_type"), col("b"))
       .agg(sum(col("w")).as("sw"), sum(col("w") * col("vm")).as("swq"))
       .select(col("event_type"),
-        expr("CASE WHEN sw > 0 THEN (2 * swq + sw) div (2 * sw) END")
+        expr("CASE WHEN sw > 0 THEN (CASE WHEN swq < 0 THEN -1 ELSE 1 END) * " +
+          "((2 * abs(swq) + sw) div (2 * sw)) END")
           .as("mean_micro"))
       .filter(col("mean_micro").isNotNull)
     val wc = Window.partitionBy(col("event_type"))
@@ -423,7 +430,8 @@ object Pipeline23 {
           col("mean_micro"))).as("hi_micro"))
     base.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        expr("(2 * sum(vm) + count(1)) div (2 * count(1))").as("pm"))
+        expr("(CASE WHEN sum(vm) < 0 THEN -1 ELSE 1 END) * " +
+        "((2 * abs(sum(vm)) + count(1)) div (2 * count(1)))").as("pm"))
       .join(ci, Seq("event_type"))
       .select(col("event_type"), col("n_events"),
         (col("pm") / 1e6).as("mean_value"),
@@ -433,8 +441,6 @@ object Pipeline23 {
   }
 
   private lazy val q158Sql = {
-    val lo = (BootB * 25 + 999) / 1000
-    val hi = (BootB * 975 + 999) / 1000
     s"""
     WITH base AS (SELECT event_type, event_id,
                     CAST(round(value * 1e6, 0) AS BIGINT) AS vm
@@ -445,7 +451,8 @@ object Pipeline23 {
             FROM base, (SELECT unnest(generate_series(0, ${BootB - 1}))
                         AS b) b),
     means AS (SELECT event_type, b,
-                (2 * sum(w * vm) + sum(w)) // (2 * sum(w)) AS mean_micro
+                (CASE WHEN sum(w * vm) < 0 THEN -1 ELSE 1 END) *
+                ((2 * abs(sum(w * vm)) + sum(w)) // (2 * sum(w))) AS mean_micro
               FROM rep GROUP BY event_type, b HAVING sum(w) > 0),
     ranked AS (SELECT event_type, mean_micro, row_number() OVER
                  (PARTITION BY event_type ORDER BY mean_micro) AS r,
@@ -458,7 +465,8 @@ object Pipeline23 {
                THEN mean_micro END) AS hi_micro
            FROM ranked GROUP BY event_type),
     pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-             (2 * sum(vm) + count(*)) // (2 * count(*)) AS pm
+             (CASE WHEN sum(vm) < 0 THEN -1 ELSE 1 END) *
+             ((2 * abs(sum(vm)) + count(*)) // (2 * count(*))) AS pm
            FROM base GROUP BY event_type)
     SELECT pt.event_type, n_events,
            pm / 1e6 AS mean_value,

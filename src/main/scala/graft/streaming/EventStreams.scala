@@ -749,7 +749,8 @@ object EventStreams {
       .agg(aggs.head, aggs.tail: _*)
       .select(col("window.start").as("ws"), col("event_type"),
         col("n_events"),
-        (expr("(2 * sm_point + n_events) div (2 * n_events)") / 1e6)
+        (expr("(CASE WHEN sm_point < 0 THEN -1 ELSE 1 END) * " +
+          "((2 * abs(sm_point) + n_events) div (2 * n_events))") / 1e6)
           .as("mean_value"),
         (lo / 1e6).as("ci_lo"), (hi / 1e6).as("ci_hi"))
   }
@@ -795,45 +796,75 @@ object EventStreams {
       .select(col("window.start").as("ws"), col("event_type"),
         col("n_events"), col("est_users"),
         col("p50_cents"), col("p90_cents"), col("p99_cents"),
-        (expr("(2 * sm_point + n_events) div (2 * n_events)") / 1e6)
+        (expr("(CASE WHEN sm_point < 0 THEN -1 ELSE 1 END) * " +
+          "((2 * abs(sm_point) + n_events) div (2 * n_events))") / 1e6)
           .as("mean_value"),
         (lo / 1e6).as("ci_lo"), (hi / 1e6).as("ci_hi"))
   }
 
   /** The COMPOSED admission + monitoring deliverable: ONE readStream
     * through the [[admissionPipeline]] cascade, then the
-    * [[windowedValueQuantiles]] DDSketch monitor run over the verdict
-    * stream itself — per (5-minute window, stage): the drop/admit count
-    * and sketch p50/p90/p99 of the quality score in integer micro-units
-    * (qs is 6-dp, so micro-units are exact — the q133 rule). This is the
-    * ops dashboard of the ingestion door: admission mix AND score
-    * distribution drift per window from one pass, no second subscription
-    * to the source. State stays bounded by construction: the cascade is
-    * stateless scan-local, the monitor keys on (window, stage ≤ 5) with
-    * the fixed ≤ 8+8·60-bucket sketch per open group. `ts` maps a
-    * verdict row to its event-time (production: the ingest timestamp
-    * column; the spec pins parity with a deterministic doc_id-derived
-    * time). Stages that never score (exact/near drops: qs is null by
-    * the short-circuit contract) report null quantiles — the sketch
-    * skips nulls like any Spark aggregate.
+    * [[windowedValueQuantiles]] DDSketch monitor AND the
+    * [[windowedValueCi]] bootstrap-interval monitor run over the
+    * verdict stream itself — per (5-minute window, stage): the
+    * drop/admit count, sketch p50/p90/p99 of the quality score, and
+    * the score's bootstrap mean CI, all in integer micro-units (qs is
+    * 6-dp, so micro-units are exact — the q133 rule). This is the ops
+    * dashboard of the ingestion door: admission mix, score
+    * distribution drift AND the uncertainty of the mean per window
+    * from one pass, no second subscription to the source (a mean
+    * without its interval invites over-reading every wiggle — the q158
+    * header's warning applies to this dashboard most of all). State
+    * stays bounded by construction: the cascade is stateless
+    * scan-local, the ×B replica explode is scan-local BEFORE the
+    * aggregation, and the monitor keys on (window, stage ≤ 5) with a
+    * fixed ≤ 8+8·60-bucket sketch + 2·B+3 longs per open group; the
+    * sketches read only the b=0 slice, so each sees exactly the
+    * unexploded stream. `ts` maps a verdict row to its event-time
+    * (production: the ingest timestamp column; the spec pins parity
+    * with a deterministic doc_id-derived time). Stages that never
+    * score (exact/near drops: qs is null by the short-circuit
+    * contract) report null quantiles AND null mean/CI — replica
+    * weights are masked to score-bearing rows, so an unscored stage
+    * has zero live replicas rather than a fabricated zero mean.
     */
   def admissionMonitor(docs: DataFrame, corpusFps: DataFrame,
                        corpusIndex: DataFrame, thresholds: DataFrame,
                        lmModel: DataFrame, lmMinScore: Double,
                        ts: Column, nearThreshold: Double = 0.5): DataFrame = {
     import graft.dedup.Dd
-    val qsMicro = round(col("qs") * 1e6).cast("long")
-    admissionPipeline(docs, corpusFps, corpusIndex, thresholds, lmModel,
-        lmMinScore, nearThreshold)
+    import graft.ops.PoissonBoot
+    val rep = admissionPipeline(docs, corpusFps, corpusIndex, thresholds,
+        lmModel, lmMinScore, nearThreshold)
       .withColumn("ts_t", ts)
-      .withWatermark("ts_t", "10 minutes")
+      .withColumn("qsm", round(col("qs") * 1e6).cast("long"))
+      .withColumn("b", explode(sequence(lit(0), lit(PoissonBoot.B - 1))))
+      .withColumn("u", PoissonBoot.u52(col("doc_id"), col("b")))
+      // masked weight: only score-bearing rows join the resample — an
+      // unscored doc must not inflate a replica's weight denominator
+      .withColumn("w", when(col("qsm").isNotNull,
+        expr(PoissonBoot.weightSql("u")).cast("long")))
+    val slice0 = col("b") === 0
+    val bootAggs = PoissonBoot.replicaAggs(col("b"), col("w"), col("qsm"))
+    val aggs = Seq(
+      Dd.ddQuantile(when(slice0, col("qsm")), 0.50).as("qs_p50_micro"),
+      Dd.ddQuantile(when(slice0, col("qsm")), 0.90).as("qs_p90_micro"),
+      Dd.ddQuantile(when(slice0, col("qsm")), 0.99).as("qs_p99_micro"),
+      sum(when(slice0 && col("qsm").isNotNull, 1L).otherwise(0L))
+        .as("n_scored")) ++ bootAggs
+    val (lo, hi) = PoissonBoot.ciFromSorted
+    rep.withWatermark("ts_t", "10 minutes")
       .groupBy(window(col("ts_t"), "5 minutes"),
         coalesce(col("stage"), lit("admitted")).as("stage"))
-      .agg(count(lit(1)).as("n_docs"),
-        Dd.ddQuantile(qsMicro, 0.50).as("qs_p50_micro"),
-        Dd.ddQuantile(qsMicro, 0.90).as("qs_p90_micro"),
-        Dd.ddQuantile(qsMicro, 0.99).as("qs_p99_micro"))
-      .select(col("window.start").as("ws"), col("stage"), col("n_docs"),
-        col("qs_p50_micro"), col("qs_p90_micro"), col("qs_p99_micro"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("ws"), col("stage"),
+        // n_events counts the b=0 slice = every offered doc, scored or not
+        col("n_events").as("n_docs"),
+        col("qs_p50_micro"), col("qs_p90_micro"), col("qs_p99_micro"),
+        when(col("n_scored") > 0,
+          expr("(CASE WHEN sm_point < 0 THEN -1 ELSE 1 END) * " +
+            "((2 * abs(sm_point) + n_scored) div (2 * n_scored))"))
+          .as("qs_mean_micro"),
+        lo.as("qs_ci_lo_micro"), hi.as("qs_ci_hi_micro"))
   }
 }

@@ -1,0 +1,145 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, Verify}
+
+/** One measured 10× scale point for the heavy tail (judge directive
+  * r9-#5): ScaleSpec plants adversarial STRUCTURES, but no board query
+  * had ever run above sf0.1 — this main builds a deterministic ×10
+  * inflation of `documents` and `events` under `target/scale10/` and
+  * times the heaviest board queries at sf0.1 and at ×10, emitting the
+  * per-query scaling exponent log10(t10/t1) (1.0 = linear) to
+  * `SCALE10.json`.
+  *
+  * Inflation shape — copies must be DISJOINT corpora, not duplicates:
+  * ten verbatim copies would multiply every gram's document frequency
+  * by 10, EMPTYING the rare-gram families (df ∈ [2,5] finds nothing)
+  * and exploding every LSH bucket with 10-way mutual near-dups — an
+  * adversarial skew test, not a scale test. Instead copy k > 0 suffixes
+  * every whitespace token with `x{k}` (alphanumeric, so the house
+  * normalizer keeps it attached), making copy k's gram/signature space
+  * disjoint from copy j's: per-copy df distributions, bucket sizes and
+  * near-dup structure match the original exactly, so the ×10 corpus
+  * behaves like ten shards of fresh data — which is what 100 TB IS.
+  * Events keep their timestamp distribution (10× denser windows — real
+  * scale) with re-keyed event/user ids so bootstrap hash draws and
+  * per-user groups stay well-formed. All other tables are symlinked
+  * unchanged.
+  */
+object Scale10 {
+
+  val Copies = 10
+  val Queries: Seq[String] = Seq(
+    "q158_value_ci", "q50_neardup_clusters", "q86_containment_pairs",
+    "q92_nb_lang_confusion", "q81_editdist_neardup",
+    "q67_bloom_decontaminate", "q112_dup_spans", "q79_passage_dedup",
+    "q96_dsir_weights", "q125_contamination_attribution")
+
+  def inflate(spark: SparkSession, src: String, dst: String): Unit = {
+    val dstDir = Paths.get(dst)
+    if (Files.exists(dstDir.resolve("_SCALE10_OK"))) return
+    Files.createDirectories(dstDir)
+
+    val copies = spark.range(0, Copies).select(col("id").cast("int").as("k"))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docMax = 10000000L
+    docs.crossJoin(broadcast(copies))
+      .select(
+        (col("doc_id") + col("k").cast("long") * docMax).as("doc_id"),
+        when(col("k") === 0, col("text")).otherwise(
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(w, concat(lit("x"), col("k")))))).as("text"),
+        col("lang"), col("source"),
+        length(when(col("k") === 0, col("text")).otherwise(
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(w, concat(lit("x"), col("k"))))))).cast("long")
+          .as("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val events = spark.read.parquet(s"$src/events.parquet")
+    val evMax = 1000000000L
+    events.crossJoin(broadcast(copies))
+      .select(
+        (col("event_id") + col("k").cast("long") * evMax).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("k").cast("long") * evMax).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "embeddings")) {
+      val link = dstDir.resolve(s"$t.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, Paths.get(s"$src/$t.parquet"))
+    }
+    Files.writeString(dstDir.resolve("_SCALE10_OK"), "ok\n")
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = "target/scale10/data"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Verify.silenceIntendedGlobalWindowWarn()
+
+    inflate(spark, src, dst)
+
+    // every query pays its FULL lineage at both scales (memos cleared
+    // per run): the exponent compares computation, not cache luck
+    def runOnce(name: String, dir: String): Double = {
+      BenchStore.clearMemos()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.gc()
+      dt
+    }
+
+    // warmup (codegen/JIT) on the small side
+    Queries.foreach(q => try runOnce(q, src) catch { case _: Throwable => })
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    val rows = Queries.map { q =>
+      val t1 = (1 to repeats).map { r =>
+        System.err.println(s"[scale10] $q @1x ($r/$repeats)")
+        runOnce(q, src)
+      }.min
+      val t10 = (1 to repeats).map { r =>
+        System.err.println(s"[scale10] $q @10x ($r/$repeats)")
+        runOnce(q, dst)
+      }.min
+      val exp = math.log(t10 / t1) / math.log(Copies.toDouble)
+      System.err.println(s"[scale10] $q t1=${num(t1)} t10=${num(t10)} exp=${num(exp)}")
+      s""""$q":{"t1_sec":${num(t1)},"t10_sec":${num(t10)},"exponent":${num(exp)}}"""
+    }
+    val line =
+      s"""{"metric":"scale10","unit":"sec","copies":$Copies,"sf":"$src","repeats":$repeats,"queries":${rows.mkString("{", ",", "}")}}"""
+    println(line)
+    System.out.flush()
+    try Files.writeString(Paths.get("SCALE10.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[scale10] could not write SCALE10.json: $e")
+    }
+    spark.stop()
+  }
+}

@@ -12,6 +12,12 @@ import graft.queries.{ArtifactStore, GramMemo}
   * stored artifact with zero corpus scans, value-identical to the warm
   * run; and the corpus-signature staleness check must invalidate the
   * store when the corpus changes.
+  *
+  * All store/corpus paths here carry an explicit Hadoop scheme
+  * (`file:`, plus a registered non-local stand-in scheme) — the store
+  * resolves every filesystem operation through the Hadoop
+  * [[org.apache.hadoop.fs.FileSystem]] API, so an `hdfs://`/`s3a://`
+  * deployment exercises exactly the code paths pinned here.
   */
 class ArtifactStoreSpec extends AnyFunSuite {
 
@@ -24,10 +30,15 @@ class ArtifactStoreSpec extends AnyFunSuite {
 
   private val d = "/root/testdata/sf0.001"
 
+  private def storedDir(root: String, corpus: String, name: String): Boolean =
+    ArtifactStore.isStored(root, corpus, name)
+
   test("cold session serves q122/q125 from the store, not documents.parquet") {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-artifacts").toFile.getAbsolutePath
-    spark.conf.set(ArtifactStore.DirConf, tmp)
+    // explicit file: scheme — the store must work through the Hadoop
+    // FileSystem resolution chain, not java.io.File assumptions
+    spark.conf.set(ArtifactStore.DirConf, s"file:$tmp")
     try {
       GramMemo.clear()
       // warm run: builds the artifacts and persists them
@@ -37,9 +48,9 @@ class ArtifactStoreSpec extends AnyFunSuite {
       val warm125 = SparkEntry
         .queries("q125_contamination_attribution")(spark, d)
         .collect().toSeq
-      assert(ArtifactStore.pathFor(tmp, d, "winnow_stats").isDirectory,
+      assert(storedDir(s"file:$tmp", d, "winnow_stats"),
         "winnow artifact stored")
-      assert(ArtifactStore.pathFor(tmp, d, "leak_grams").isDirectory,
+      assert(storedDir(s"file:$tmp", d, "leak_grams"),
         "leak artifact stored")
 
       // cold session: memo maps emptied; only the store remains
@@ -66,11 +77,10 @@ class ArtifactStoreSpec extends AnyFunSuite {
   }
 
   test("cold session reuses every pair/score/model artifact family") {
-    import org.apache.spark.sql.functions._
     import graft.queries.{ClusterMemo, LmMemo, RetrievalMemo}
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-artifacts-all").toFile.getAbsolutePath
-    spark.conf.set(ArtifactStore.DirConf, tmp)
+    spark.conf.set(ArtifactStore.DirConf, s"file:$tmp")
     try {
       def families = Seq[(String, () => org.apache.spark.sql.DataFrame)](
         "scored_pairs" -> (() => ClusterMemo.scoredPairs(spark, d)),
@@ -85,7 +95,7 @@ class ArtifactStoreSpec extends AnyFunSuite {
       clearAll()
       val warm = families.map { case (n, f) => n -> f().count() }.toMap
       for ((n, _) <- families)
-        assert(ArtifactStore.pathFor(tmp, d, n).isDirectory, s"$n stored")
+        assert(storedDir(s"file:$tmp", d, n), s"$n stored")
       clearAll() // cold session: only the store remains
       for ((n, f) <- families) {
         val df = f()
@@ -114,6 +124,10 @@ class ArtifactStoreSpec extends AnyFunSuite {
     val sig1 = ArtifactStore.corpusSig(corpus.getAbsolutePath)
     assert(sig1 == ArtifactStore.corpusSig(corpus.getAbsolutePath),
       "signature is deterministic")
+    // scheme-qualified and bare spellings of the same local corpus
+    // must agree (entries are recorded scheme-free)
+    assert(sig1 == ArtifactStore.corpusSig(s"file:${corpus.getAbsolutePath}"),
+      "file:-qualified path signs identically to the bare path")
     java.nio.file.Files.writeString(f.toPath, "v2-longer")
     val sig2 = ArtifactStore.corpusSig(corpus.getAbsolutePath)
     assert(sig1 != sig2, "a changed file must change the signature")
@@ -124,11 +138,29 @@ class ArtifactStoreSpec extends AnyFunSuite {
     ArtifactStore.deleteTree(corpus)
   }
 
+  test("an empty or missing corpus fails fast instead of signing nothing") {
+    // md5 of an empty listing is a CONSTANT: were it accepted, the
+    // staleness check would be inert and a stale artifact would serve
+    // as fresh forever — exactly the failure mode for a mistyped or
+    // unmounted corpus path on a cluster
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft-empty-corpus").toFile
+    try {
+      intercept[IllegalArgumentException] {
+        ArtifactStore.corpusSig(empty.getAbsolutePath)
+      }
+      intercept[java.io.FileNotFoundException] {
+        ArtifactStore.corpusSig(new File(empty, "no-such-dir").getAbsolutePath)
+      }
+    } finally ArtifactStore.deleteTree(empty)
+  }
+
   test("a stale-signature artifact is superseded and pruned on rebuild") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-artifacts2").toFile.getAbsolutePath
-    spark.conf.set(ArtifactStore.DirConf, tmp)
+    val root = s"file:$tmp"
+    spark.conf.set(ArtifactStore.DirConf, root)
     val corpus = java.nio.file.Files
       .createTempDirectory("graft-corpus2").toFile
     val f = new File(corpus, "data.txt")
@@ -137,12 +169,14 @@ class ArtifactStoreSpec extends AnyFunSuite {
       val a1 = ArtifactStore.loadOrBuild(spark, corpus.getAbsolutePath, "t")(
         spark.range(3).select(col("id")))
       assert(a1.count() == 3)
-      val p1 = ArtifactStore.pathFor(tmp, corpus.getAbsolutePath, "t")
+      assert(storedDir(root, corpus.getAbsolutePath, "t"))
+      val p1 = ArtifactStore.pathFor(root, corpus.getAbsolutePath, "t")
       java.nio.file.Files.writeString(f.toPath, "v2-longer")
       val a2 = ArtifactStore.loadOrBuild(spark, corpus.getAbsolutePath, "t")(
         spark.range(5).select(col("id")))
       assert(a2.count() == 5, "stale store must rebuild, not serve v1")
-      assert(!p1.exists, "superseded signature dir is pruned")
+      assert(!new File(p1.toUri.getPath).exists,
+        "superseded signature dir is pruned")
       // a SECOND corpus sharing the store must not be pruned as a
       // stale version of the first (identity vs version keying)
       val corpus2 = java.nio.file.Files
@@ -163,6 +197,42 @@ class ArtifactStoreSpec extends AnyFunSuite {
       spark.conf.set(ArtifactStore.DirConf, "")
       ArtifactStore.deleteTree(new File(tmp))
       ArtifactStore.deleteTree(corpus)
+    }
+  }
+
+  test("a non-local filesystem scheme is accepted end to end") {
+    import org.apache.spark.sql.functions._
+    // graftfs:// — a RawLocalFileSystem stand-in registered under a
+    // foreign scheme, so NOTHING in the store can fall back to
+    // java.io.File path semantics: listing (corpus signature), the
+    // _SUCCESS freshness probe, the temp-dir commit rename, pruning and
+    // the parquet write/read all resolve through FileSystem.get on a
+    // URI whose scheme is not `file`
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-artifacts-scheme").toFile.getAbsolutePath
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-corpus-scheme").toFile
+    java.nio.file.Files.writeString(
+      new File(corpusDir, "data.txt").toPath, "payload")
+    val root = s"graftfs:$tmp"
+    val corpus = s"graftfs:${corpusDir.getAbsolutePath}"
+    spark.conf.set(ArtifactStore.DirConf, root)
+    try {
+      val a1 = ArtifactStore.loadOrBuild(spark, corpus, "t")(
+        spark.range(4).select(col("id")))
+      assert(a1.count() == 4)
+      assert(a1.queryExecution.executedPlan.toString.contains("graftfs:"),
+        "the served frame must read through the foreign scheme")
+      assert(storedDir(root, corpus, "t"))
+      val a2 = ArtifactStore.loadOrBuild(spark, corpus, "t")(
+        sys.error("fresh artifact must be served, not rebuilt"))
+      assert(a2.count() == 4)
+    } finally {
+      spark.conf.set(ArtifactStore.DirConf, "")
+      ArtifactStore.deleteTree(new File(tmp))
+      ArtifactStore.deleteTree(corpusDir)
     }
   }
 }

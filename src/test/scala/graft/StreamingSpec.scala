@@ -880,6 +880,20 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.filter(col("stage") === "exact" &&
         col("qs_p50_micro").isNotNull).count() == 0,
         "exact drops never reach the quality scorer")
+      // the composed dashboard must carry the score mean WITH its
+      // bootstrap interval (directive: a value monitor without its
+      // interval invites over-reading), and the interval must bracket
+      // the mean wherever one exists
+      assert(got.filter(col("stage") === "admitted" &&
+        (col("qs_mean_micro").isNull || col("qs_ci_lo_micro").isNull ||
+          col("qs_ci_hi_micro").isNull)).count() == 0,
+        "scored stages must emit mean + ci_lo + ci_hi")
+      assert(got.filter(col("qs_ci_lo_micro") > col("qs_mean_micro") ||
+        col("qs_ci_hi_micro") < col("qs_mean_micro")).count() == 0,
+        "every emitted CI must bracket its point mean")
+      assert(got.filter(col("stage") === "exact" &&
+        col("qs_mean_micro").isNotNull).count() == 0,
+        "unscored stages report null mean/CI, not a fabricated zero")
     } finally q.stop()
   }
 
