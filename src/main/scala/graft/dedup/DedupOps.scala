@@ -350,10 +350,22 @@ object DedupOps {
       idCol, dfMin, dfMax)
   }
 
-  private def containmentFromGrams(g: DataFrame, idCol: String,
+  private def containmentFromGrams(g0: DataFrame, idCol: String,
                                    dfMin: Int, dfMax: Int): DataFrame = {
-    val dg = g.select(col(idCol), explode(col("_g")).as("_gram"))
-      .select(col(idCol), md5(to_binary(col("_gram"), lit("utf-8"))).as("gk"))
+    // hash the grams ONCE and pin the (id, hashed-gram array) table:
+    // the df count, the candidate join and BOTH verify probes read it.
+    // The r8 form regenerated the 8-word TEXT gram arrays in all three
+    // branches — per-branch transient arrays ~5x the hashed form, which
+    // the r9 adjudication traced to q86's recurring GC-spike samples.
+    // 16-hex md5 prefixes are the house gram identity (q79/q94/winnow
+    // width); element-wise transform preserves NGramArray's per-doc
+    // distinct set, so df, n_a/n_b and the array_intersect counts are
+    // unchanged (modulo the accepted md5-prefix identity).
+    val g = g0.select(col(idCol),
+        transform(col("_g"), x =>
+          substring(md5(to_binary(x, lit("utf-8"))), 1, 16)).as("_gk"))
+      .localCheckpoint()
+    val dg = g.select(col(idCol), explode(col("_gk")).as("gk"))
     val rare = dg.groupBy(col("gk")).agg(count(lit(1)).as("_df"))
       .filter(col("_df").between(dfMin, dfMax)).select(col("gk"))
     val pairs = dg.join(rare, Seq("gk"))
@@ -363,8 +375,8 @@ object DedupOps {
       .filter(col("id_a") < col("id_b"))
       .distinct()
     pairs
-      .join(g.select(col(idCol).as("id_a"), col("_g").as("_ga")), Seq("id_a"))
-      .join(g.select(col(idCol).as("id_b"), col("_g").as("_gb")), Seq("id_b"))
+      .join(g.select(col(idCol).as("id_a"), col("_gk").as("_ga")), Seq("id_a"))
+      .join(g.select(col(idCol).as("id_b"), col("_gk").as("_gb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         size(col("_ga")).cast("long").as("n_a"),
         size(col("_gb")).cast("long").as("n_b"),
