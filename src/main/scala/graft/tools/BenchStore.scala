@@ -86,10 +86,14 @@ object BenchStore {
         mode match {
           case "default" =>
             // official Bench semantics: memos persist across queries;
-            // the producer of the exact-pair artifact is cleared per
-            // repeat so it measures computation (Bench's q94 rule)
+            // PRODUCERS are cleared per repeat so they measure
+            // computation (exactly Bench's clear rules — without them
+            // min-of-3 picks a memo-hit repeat and "default" reads as
+            // a cache probe instead of the board number)
             if (q == "q94_prefix_jaccard_pairs")
               graft.queries.ClusterMemo.clearExactPairs()
+            if (q == "q122_winnow_fingerprints")
+              graft.queries.GramMemo.clearWinnow()
           case "store_cold" =>
             clearMemos()
             ArtifactStore.deleteTree(new java.io.File(store))
