@@ -42,9 +42,12 @@ object Pipeline23 {
   private val q154: Q = (s, d) => {
     // checkpointed: the replica explode AND the point estimate read the
     // same quality scan (the regex pass is the dominant cost)
-    val base = documents(s, d).select(col("doc_id"),
-      round(round(TextOps.qualityScore(col("text")), 6) * 1e6, 0)
-        .cast("long").as("qm"))
+    val base = spread(s, documents(s, d).select(col("doc_id"), col("text")))
+      // spread RAW rows first (the GramMemo.words rule): the quality
+      // regex would otherwise run inside the scan's single task
+      .select(col("doc_id"),
+        round(round(TextOps.qualityScore(col("text")), 6) * 1e6, 0)
+          .cast("long").as("qm"))
       .localCheckpoint()
     val rep = base
       .select(col("doc_id"), col("qm"),
@@ -131,9 +134,12 @@ object Pipeline23 {
   private val q155: Q = (s, d) => {
     // checkpointed: replica explode, per-source means AND corpus mean
     // all read the one quality scan (the regex pass dominates)
-    val base = documents(s, d).select(col("doc_id"), col("source"),
-      round(round(TextOps.qualityScore(col("text")), 6) * 1e6, 0)
-        .cast("long").as("qm"))
+    val base = spread(s, documents(s, d)
+        .select(col("doc_id"), col("source"), col("text")))
+      // spread RAW rows first (the GramMemo.words rule)
+      .select(col("doc_id"), col("source"),
+        round(round(TextOps.qualityScore(col("text")), 6) * 1e6, 0)
+          .cast("long").as("qm"))
       .localCheckpoint()
     val rep = base
       .select(col("doc_id"), col("source"), col("qm"),
@@ -400,9 +406,13 @@ object Pipeline23 {
     // parquet scan, which is cheaper than materializing a checkpoint
     // (measured; the corpus-sized artifacts earn their pins, a narrow
     // event scan does not)
-    val base = eventsMicros(s, d)
+    // spread the narrow pre-explode rows: the x32 replica explode and
+    // its md5s inherit the scan's partitioning, and the single-row-group
+    // driver file yields ONE task — an n-row exchange unlocks 32n work
+    // (Tables.spread ratio argument)
+    val base = spread(s, eventsMicros(s, d)
       .select(col("event_type"), col("event_id"),
-        round(col("value") * 1e6, 0).cast("long").as("vm"))
+        round(col("value") * 1e6, 0).cast("long").as("vm")))
     val rep = base
       .select(col("event_type"), col("event_id"), col("vm"),
         explode(sequence(lit(0), lit(PoissonBoot.B - 1))).as("b"))

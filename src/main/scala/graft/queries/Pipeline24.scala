@@ -68,8 +68,13 @@ object Pipeline24 {
   private val FprEvalMod = 10
 
   private val q159: Q = (s, d) => {
-    val docs = documents(s, d).select(col("doc_id"),
-      column(NGramArray(expression(col("text")), FprN)).as("_g"))
+    val docs = spread(s, documents(s, d)
+        .select(col("doc_id"), col("text")))
+      // spread RAW rows first (the GramMemo.words rule): the ~600x
+      // gram explode inherits the scan's partitioning, and the
+      // single-row-group driver file scans as ONE task
+      .select(col("doc_id"),
+        column(NGramArray(expression(col("text")), FprN)).as("_g"))
     // pinned: the bitset build (plan-time collect), the exact-hit join
     // and the eval count all read the eval gram set
     val evalG = docs.filter(col("doc_id") % FprEvalMod === 0)
@@ -294,10 +299,11 @@ object Pipeline24 {
   // no matter how the thresholds are tuned). Scale: two value-space
   // histograms + one single-row aggregate.
   private val q162: Q = (s, d) => {
-    val qs = documents(s, d).select(col("doc_id"),
+    val docsSpread = spread(s, documents(s, d)
+      .select(col("doc_id"), col("text")))
+    val qs = docsSpread.select(col("doc_id"),
       round(TextOps.qualityScore(col("text")), 6).as("qs"))
-    val lm = TrigramLm.scoreInRow(
-        documents(s, d).select(col("doc_id"), col("text")),
+    val lm = TrigramLm.scoreInRow(docsSpread,
         LmMemo.collectedModel(s, d), "doc_id", "text")
       .select(col("doc_id"), col("lm_score"))
     val base = qs.join(lm, Seq("doc_id"))

@@ -31,7 +31,9 @@ object Pipeline9 {
   // checks that equivalence.
   private val q87: Q = (s, d) =>
     graft.text.TrigramLm.scoreInRow(
-      documents(s, d).select(col("doc_id"), col("text")),
+      // spread RAW rows first (the GramMemo.words rule): the in-row
+      // trigram probe otherwise runs inside the scan's single task
+      spread(s, documents(s, d).select(col("doc_id"), col("text"))),
       LmMemo.collectedModel(s, d),
       "doc_id", "text")
       .orderBy(col("doc_id"))

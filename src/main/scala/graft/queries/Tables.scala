@@ -68,5 +68,22 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+
+  /** Round-robin spread of a source frame across the session's cores —
+    * for COMPUTE-AMPLIFYING passes (regex scoring, in-row LM probing,
+    * gram explodes, the x32 bootstrap replica explode) whose input scan
+    * may be parallelism-starved: the driver testdata ships one parquet
+    * file with ONE row group per table, so a raw scan is a single task
+    * no matter how `maxPartitionBytes` is sized, and everything up to
+    * the first exchange runs on one core (measured: the GramMemo.words
+    * normalize at 5.5 s single-task vs 0.6 s spread). The exchange
+    * ships n narrow rows to unlock k*n downstream work (k = 32
+    * replicas, ~600 grams/doc, or a whole-text regex pass per row) —
+    * the words-memo ratio argument; at production file/row-group
+    * counts the scan is already parallel and the same exchange is a
+    * bounded constant cost, not a bottleneck.
+    */
+  def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

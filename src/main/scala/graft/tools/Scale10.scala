@@ -2,7 +2,7 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{SparkEntry, Verify}
@@ -19,16 +19,23 @@ import graft.{SparkEntry, Verify}
   * ten verbatim copies would multiply every gram's document frequency
   * by 10, EMPTYING the rare-gram families (df ∈ [2,5] finds nothing)
   * and exploding every LSH bucket with 10-way mutual near-dups — an
-  * adversarial skew test, not a scale test. Instead copy k > 0 suffixes
-  * every whitespace token with `x{k}` (alphanumeric, so the house
-  * normalizer keeps it attached), making copy k's gram/signature space
-  * disjoint from copy j's: per-copy df distributions, bucket sizes and
-  * near-dup structure match the original exactly, so the ×10 corpus
+  * adversarial skew test, not a scale test. Copy k > 0 applies a
+  * per-copy Caesar rotation to the LETTERS of every doc (translate()
+  * over a-z/A-Z rotated by k): the mapping is injective, so every
+  * per-copy structure — token lengths, word frequencies, gram dfs,
+  * shingle sets, near-dup pairs, exact-dup groups — matches the
+  * original EXACTLY, while every character 5-shingle containing a
+  * letter differs across copies, so MinHash signatures, LSH bands,
+  * gram keys and fingerprints are all copy-disjoint and the ×10 corpus
   * behaves like ten shards of fresh data — which is what 100 TB IS.
-  * Events keep their timestamp distribution (10× denser windows — real
-  * scale) with re-keyed event/user ids so bootstrap hash draws and
-  * per-user groups stay well-formed. All other tables are symlinked
-  * unchanged.
+  * (The first cut suffixed each TOKEN with a copy marker; that leaves
+  * most intra-word character shingles shared, cross-copy MinHash
+  * signatures collide, every LSH bucket holds all ten copies of its
+  * members, and pair generation explodes ~100× — an inflation-scheme
+  * artifact this run exists to avoid measuring.) Events keep their
+  * timestamp distribution (10× denser windows — real scale) with
+  * re-keyed event/user ids so bootstrap hash draws and per-user groups
+  * stay well-formed. All other tables are symlinked unchanged.
   */
 object Scale10 {
 
@@ -48,17 +55,24 @@ object Scale10 {
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docMax = 10000000L
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def rot(k: Int): Column = {
+      val lo = lower.drop(k % 26) + lower.take(k % 26)
+      val up = upper.drop(k % 26) + upper.take(k % 26)
+      translate(col("text"), lower + upper, lo + up)
+    }
+    val textOut = (1 until Copies).foldLeft(
+      when(col("k") === 0, col("text"))) { (acc, k) =>
+      acc.when(col("k") === k, rot(k))
+    }
     docs.crossJoin(broadcast(copies))
       .select(
         (col("doc_id") + col("k").cast("long") * docMax).as("doc_id"),
-        when(col("k") === 0, col("text")).otherwise(
-          concat_ws(" ", transform(split(col("text"), " "),
-            w => concat(w, concat(lit("x"), col("k")))))).as("text"),
+        textOut.as("text"),
         col("lang"), col("source"),
-        length(when(col("k") === 0, col("text")).otherwise(
-          concat_ws(" ", transform(split(col("text"), " "),
-            w => concat(w, concat(lit("x"), col("k"))))))).cast("long")
-          .as("n_chars"))
+        // letter rotation preserves length exactly
+        col("n_chars"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 

@@ -788,4 +788,48 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p133.contains("SortMergeJoin"),
       "q133 must not shuffle docs against thresholds")
   }
+
+  test("batch 24/25: bounded sides broadcast, no shuffled doc-vs-scalar joins") {
+    // q159: the bitset probe is scan-local (a literal array); the only
+    // joins are the broadcast exact-hit probe and the two 1-row stat
+    // frames — nothing may sort-merge corpus-sized gram streams
+    val p159 = planString("q159_bloom_fpr_audit")
+    assert(!p159.contains("SortMergeJoin"),
+      "q159 joins are broadcast-only (eval set + 1-row stats)")
+    // q160: |labels| centroids broadcast against the corpus; the
+    // deliberate cross join is against the bounded centroid frame
+    val p160 = planString("q160_label_silhouette")
+    assert(!p160.contains("CartesianProduct"),
+      "q160 centroids ride a broadcast, never a cartesian")
+    assert(!p160.contains("SortMergeJoin"),
+      "q160 must not shuffle vectors against centroids")
+    // q161: the |types|-row clip bounds ride a broadcast back over the
+    // event scan — a shuffle join would exchange the event stream twice
+    val p161 = planString("q161_winsorized_values")
+    assert(!p161.contains("SortMergeJoin") &&
+      !p161.contains("ShuffledHashJoin"),
+      "q161 clip bounds must broadcast")
+    // q162: two 1-row medians ride broadcasts into one pass over the
+    // checkpointed score table
+    val p162 = planString("q162_filter_kappa")
+    assert(!p162.contains("SortMergeJoin"),
+      "q162 medians must broadcast")
+    // q163: top-k is a bounded TakeOrdered, never a global doc sort
+    val p163 = planString("q163_vocab_drift")
+    assert(p163.contains("TakeOrderedAndProject"),
+      "q163 top-k must be a bounded TakeOrdered")
+    // q164: one user-keyed aggregate, anchor rides a 1-row broadcast,
+    // top-100 is bounded
+    val p164 = planString("q164_decayed_engagement")
+    assert(p164.contains("TakeOrderedAndProject"),
+      "q164 top-100 must be a bounded TakeOrdered")
+    assert(!p164.contains("SortMergeJoin"),
+      "q164 anchor must broadcast")
+    // q166: one pass over the bounded pair artifact; four bounded
+    // config rows — no join at all beyond the artifact read
+    val p166 = planString("q166_lsh_tuning_curve")
+    assert(!p166.contains("SortMergeJoin") &&
+      !p166.contains("Scan parquet"),
+      "q166 rides the memoized pair artifact in one pass")
+  }
 }
