@@ -173,6 +173,19 @@ object Pipeline7 {
   // id, two shuffles of (id, text) rows.
   private val EditRelThreshold = 0.4
   private val EditEstGate = 0.5 // = the q50 clustering threshold
+  // exact-gram-Jaccard floor on the DP's input: the 8-component MinHash
+  // estimator admits CHANCE 4-of-8 agreements between unrelated docs,
+  // and their count grows ~quadratically with the corpus (measured on
+  // the Scale10 x10 inflation: est>=0.5 pairs 20.8k -> 3.7M while true
+  // J>=0.75 pairs grew exactly 10x), so est-only gating hands the
+  // O(len^2) DP an n^2-growing junk stream. The exact gram Jaccard is
+  // ALREADY verified for every candidate (scoredPairs' SortedArrays
+  // merge-count) — flooring on it costs nothing and pins the DP's
+  // input to the linearly-growing genuinely-similar population. The
+  // floor sits far below the near-dup decision (rel_dist <= 0.2
+  // implies word-3-gram overlap way above 0.2), so no pair the DP
+  // would certify near is ever dropped.
+  private val EditExactFloor = 0.2
 
   /** q81's un-checkpointed DP lineage — public so PlanShapeSpec can
     * gate the REPARTITION_BY_NUM parallelism pin that the final query's
@@ -186,7 +199,8 @@ object Pipeline7 {
     // user-specified partition counts are exempt from AQE coalescing.
     val par = s.conf.get("spark.sql.shuffle.partitions").toInt
     val cand = ClusterMemo.scoredPairs(s, d)
-      .filter(col("est_jaccard") >= EditEstGate)
+      .filter(col("est_jaccard") >= EditEstGate &&
+        col("jaccard") >= EditExactFloor)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
       .repartition(par, col("id_a"), col("id_b"))
     // normalized text reconstructed from the memoized words artifact
@@ -241,6 +255,9 @@ object Pipeline7 {
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.doc_id < b.doc_id),
+    wt AS (SELECT doc_id, string_split(${OracleSql.normSql}, ' ') AS w
+           FROM documents),
+    gx AS (SELECT doc_id, ${OracleSql.grams3Sql} AS gr FROM wt),
     gated AS (
       SELECT c.id_a, c.id_b,
              round((${OracleSql.sigAgreeSql(ClusterMemo.NumHashes)})
@@ -248,8 +265,11 @@ object Pipeline7 {
       FROM cand c
         JOIN sig a ON a.doc_id = c.id_a
         JOIN sig b ON b.doc_id = c.id_b
+        JOIN gx ga ON ga.doc_id = c.id_a
+        JOIN gx gb ON gb.doc_id = c.id_b
       WHERE round((${OracleSql.sigAgreeSql(ClusterMemo.NumHashes)})
-        / ${ClusterMemo.NumHashes}.0, 6) >= $EditEstGate)
+        / ${ClusterMemo.NumHashes}.0, 6) >= $EditEstGate
+        AND ${OracleSql.jaccard3Sql("ga.gr", "gb.gr")} >= $EditExactFloor)
     SELECT g.id_a, g.id_b, g.est_jaccard,
            CAST(levenshtein(na.n, nb.n) AS BIGINT) AS edit_dist,
            CASE WHEN greatest(length(na.n), length(nb.n)) = 0 THEN 0.0
