@@ -47,7 +47,8 @@ object SparkEntry {
       graft.queries.Pipeline22.queries ++
       graft.queries.Pipeline23.queries ++
       graft.queries.Pipeline24.queries ++
-      graft.queries.Pipeline25.queries
+      graft.queries.Pipeline25.queries ++
+      graft.queries.Pipeline26.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -81,5 +82,6 @@ object SparkEntry {
       graft.queries.Pipeline22.oracleSql ++
       graft.queries.Pipeline23.oracleSql ++
       graft.queries.Pipeline24.oracleSql ++
-      graft.queries.Pipeline25.oracleSql
+      graft.queries.Pipeline25.oracleSql ++
+      graft.queries.Pipeline26.oracleSql
 }

@@ -31,9 +31,12 @@ object Pipeline9 {
   // checks that equivalence.
   private val q87: Q = (s, d) =>
     graft.text.TrigramLm.scoreInRow(
-      // spread RAW rows first (the GramMemo.words rule): the in-row
-      // trigram probe otherwise runs inside the scan's single task
-      spread(s, documents(s, d).select(col("doc_id"), col("text"))),
+      // deliberately NOT spread: unlike the x32/x600 amplifying passes,
+      // the probe is ~1x row-for-row and the board measured the spread
+      // exchange costing more than the starved-scan parallelism saved
+      // (0.40 -> 0.63 s, round-9 board); at production file counts the
+      // scan parallelizes by itself
+      documents(s, d).select(col("doc_id"), col("text")),
       LmMemo.collectedModel(s, d),
       "doc_id", "text")
       .orderBy(col("doc_id"))
