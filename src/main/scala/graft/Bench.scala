@@ -82,6 +82,10 @@ object Bench {
         // q93 produces the session BM25 score table q109/q111/q129
         // consume
         if (name == "q93_bm25_topk") graft.queries.RetrievalMemo.clear()
+        // q38 produces the per-doc curation-feature table
+        // (quality/lang-id/token counts/fingerprint) the feature
+        // consumers ride
+        if (name == "q38_text_quality") graft.queries.FeatureMemo.clear()
         // q43 produces the SimHash pair artifact q136 consumes
         if (name == "q43_simhash_hamming_pairs")
           graft.queries.ClusterMemo.clearSimhash()

@@ -48,7 +48,8 @@ object SparkEntry {
       graft.queries.Pipeline23.queries ++
       graft.queries.Pipeline24.queries ++
       graft.queries.Pipeline25.queries ++
-      graft.queries.Pipeline26.queries
+      graft.queries.Pipeline26.queries ++
+      graft.queries.Pipeline27.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -83,5 +84,6 @@ object SparkEntry {
       graft.queries.Pipeline23.oracleSql ++
       graft.queries.Pipeline24.oracleSql ++
       graft.queries.Pipeline25.oracleSql ++
-      graft.queries.Pipeline26.oracleSql
+      graft.queries.Pipeline26.oracleSql ++
+      graft.queries.Pipeline27.oracleSql
 }

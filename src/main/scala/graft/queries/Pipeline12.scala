@@ -258,13 +258,7 @@ object Pipeline12 {
   // dimension rows (ops.SnapshotDiff.scd2; no four-branch union
   // re-reading the join).
   private val q106: Q = (s, d) => {
-    val docs = documents(s, d).select(col("doc_id"), col("text"))
-    val old = docs.filter(col("doc_id") % 7 =!= 0)
-      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
-    val nw = docs.filter(col("doc_id") % 5 =!= 0)
-      .select(col("doc_id"), TextOps.fingerprint(
-        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" updated")))
-          .otherwise(col("text"))).as("fp"))
+    val (old, nw) = Pipeline9.snapshotFps(s, d)
     graft.ops.SnapshotDiff.scd2(old, nw, "doc_id", "fp", 1, 2)
       .orderBy(col("doc_id"), col("valid_from"))
   }

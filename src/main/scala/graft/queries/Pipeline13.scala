@@ -136,8 +136,8 @@ object Pipeline13 {
   // would re-scan the corpus). At 100 TB the same shape holds:
   // histogram agg → per-source windows over ≤10^6 distinct values.
   private val q110: Q = (s, d) => {
-    val sc = documents(s, d).select(col("source"),
-      round(TextOps.qualityScore(col("text")), 6).as("qs"))
+    val sc = FeatureMemo.features(s, d).select(col("source"),
+      round(col("quality"), 6).as("qs"))
     val hist = sc.groupBy(col("source"), col("qs")).agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy(col("source")).orderBy(col("qs"))
     val wTot = Window.partitionBy(col("source"))

@@ -264,9 +264,9 @@ object Pipeline17 {
   }
 
   private val q133: Q = (s, d) =>
-    curriculumPhases(documents(s, d).select(
-      round(TextOps.qualityScore(col("text")), 6).as("qs"),
-      TextOps.tokenCountWs(col("text")).cast("long").as("n_tok")))
+    curriculumPhases(FeatureMemo.features(s, d).select(
+      round(col("quality"), 6).as("qs"),
+      col("n_tokens_ws").cast("long").as("n_tok")))
 
   private lazy val q133Sql = s"""
     WITH raw AS (SELECT ${OracleSql.qualityScColsSql},

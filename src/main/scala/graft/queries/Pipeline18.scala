@@ -267,9 +267,8 @@ object Pipeline18 {
     * of q136's agreement matrix and q149's per-source burden report.
     */
   private[queries] def dedupFlags(s: SparkSession, d: String): DataFrame = {
-    import graft.text.TextOps
-    val docs = documents(s, d).select(col("doc_id"), col("text"))
-    val fp = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    // exact-dup verdicts ride the stored feature table's fingerprint
+    val fp = FeatureMemo.features(s, d).select(col("doc_id"), col("fp"))
     val dupFp = fp.groupBy(col("fp")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select(col("fp"))
     val eids = fp.join(dupFp, Seq("fp")).select(col("doc_id")).distinct()
@@ -282,7 +281,7 @@ object Pipeline18 {
       .unionByName(sp.select(col("id_b").as("doc_id"))).distinct()
     def flag(ids: DataFrame, name: String): DataFrame =
       ids.withColumn(name, lit(1L))
-    docs.select(col("doc_id"))
+    fp.select(col("doc_id"))
       .join(flag(eids, "_e"), Seq("doc_id"), "left")
       .join(flag(mids, "_m"), Seq("doc_id"), "left")
       .join(flag(sids, "_s"), Seq("doc_id"), "left")

@@ -149,11 +149,9 @@ object Pipeline2 {
   // (a groupBy + join-back form re-ran it on both sides — measured 2x).
   private val q48: Q = (s, d) => {
     import graft.text.TextOps
-    val feats = documents(s, d).select(col("doc_id"),
-      TextOps.langId(col("text")).as("lang_pred"),
-      TextOps.qualityScore(col("text")).as("quality"),
-      TextOps.tokenCountWs(col("text")).as("n_tokens"),
-      TextOps.fingerprint(col("text")).as("fp"))
+    val feats = FeatureMemo.features(s, d).select(col("doc_id"),
+      col("lang_pred"), col("quality"),
+      col("n_tokens_ws").as("n_tokens"), col("fp"))
     val filtered = feats.filter(col("lang_pred") === "en" &&
       col("quality") >= 0.91 && col("n_tokens") >= 20)
     filtered.groupBy(col("fp"))

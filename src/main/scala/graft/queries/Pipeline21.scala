@@ -38,16 +38,16 @@ object Pipeline21 {
   }
 
   private val q145: Q = (s, d) => {
-    // staged projections: w and g2 are NAMED columns so the normalize/
-    // split and the gram build each run once per row — inlining them
-    // repeats the regex subtree per consumer when subexpression
-    // elimination doesn't fire across the wider expressions
-    val sc = documents(s, d)
-      .select(col("source"),
-        length(col("text")).cast("long").as("x"),
-        round(round(TextOps.qualityScore(col("text")), 6) * 1e6, 0)
-          .cast("long").as("y"),
-        split(TextOps.normalize(col("text")), " ").as("w"))
+    // rides the two stored artifacts instead of re-running the corpus
+    // regexes: x (char length) and y (quality micro) come from the
+    // feature table, w from the words table — one doc-keyed join of
+    // checkpointed inputs, the bigram build scan-local over w
+    val sc = FeatureMemo.features(s, d)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").as("x"),
+        round(round(col("quality"), 6) * 1e6, 0).cast("long").as("y"))
+      .join(GramMemo.words(s, d).select(col("doc_id"),
+        col("words").as("w")), Seq("doc_id"))
       .withColumn("g2",
         transform(sequence(lit(0), greatest(size(col("w")) - 2, lit(0))),
           i => array_join(slice(col("w"), i + 1, lit(2)), " ")))
@@ -232,8 +232,8 @@ object Pipeline21 {
   private val q147: Q = (s, d) => {
     import s.implicits._
     import graft.text.Retrieval
-    val scored = documents(s, d).select(col("doc_id"),
-      round(TextOps.qualityScore(col("text")), 6).as("score"))
+    val scored = FeatureMemo.features(s, d).select(col("doc_id"),
+      round(col("quality"), 6).as("score"))
     val pool = Retrieval.rankedTopK(scored, CovPool).select(col("doc_id"))
     val pg = pool.join(
       GramMemo.leak(s, d).select(col("doc_id"), col("gks")), Seq("doc_id"))

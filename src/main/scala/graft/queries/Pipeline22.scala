@@ -296,11 +296,10 @@ object Pipeline22 {
   private val q153: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     import graft.text.{TextOps, TrigramLm}
-    val docsSpread = spread(s, documents(s, d)
-      .select(col("doc_id"), col("text")))
-    val qs = docsSpread.select(col("doc_id"),
-      round(TextOps.qualityScore(col("text")), 6).as("qs"))
-    val lm = TrigramLm.scoreInRow(docsSpread,
+    val qs = FeatureMemo.features(s, d).select(col("doc_id"),
+      round(col("quality"), 6).as("qs"))
+    val lm = TrigramLm.scoreInRow(
+        spread(s, documents(s, d).select(col("doc_id"), col("text"))),
         LmMemo.collectedModel(s, d), "doc_id", "text")
       .select(col("doc_id"), col("lm_score"))
     val base = qs.join(lm, Seq("doc_id"))

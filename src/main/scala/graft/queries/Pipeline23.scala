@@ -42,13 +42,13 @@ object Pipeline23 {
   private val q154: Q = (s, d) => {
     // checkpointed: the replica explode AND the point estimate read the
     // same quality scan (the regex pass is the dominant cost)
-    val base = spread(s, documents(s, d).select(col("doc_id"), col("text")))
-      // spread RAW rows first (the GramMemo.words rule): the quality
-      // regex would otherwise run inside the scan's single task
+    // the quality scan is the stored feature table (FeatureMemo, the
+    // pinned artifact) — the replica explode and the point estimate
+    // both read it; the micro conversion is row-wise on its output
+    val base = FeatureMemo.features(s, d)
       .select(col("doc_id"),
-        round(round(TextOps.qualityScore(col("text")), 6) * 1e6, 0)
+        round(round(col("quality"), 6) * 1e6, 0)
           .cast("long").as("qm"))
-      .localCheckpoint()
     val rep = base
       .select(col("doc_id"), col("qm"),
         explode(sequence(lit(0), lit(BootB - 1))).as("b"))
@@ -134,13 +134,10 @@ object Pipeline23 {
   private val q155: Q = (s, d) => {
     // checkpointed: replica explode, per-source means AND corpus mean
     // all read the one quality scan (the regex pass dominates)
-    val base = spread(s, documents(s, d)
-        .select(col("doc_id"), col("source"), col("text")))
-      // spread RAW rows first (the GramMemo.words rule)
+    val base = FeatureMemo.features(s, d)
       .select(col("doc_id"), col("source"),
-        round(round(TextOps.qualityScore(col("text")), 6) * 1e6, 0)
+        round(round(col("quality"), 6) * 1e6, 0)
           .cast("long").as("qm"))
-      .localCheckpoint()
     val rep = base
       .select(col("doc_id"), col("source"), col("qm"),
         explode(sequence(lit(0), lit(BootB - 1))).as("b"))

@@ -299,11 +299,10 @@ object Pipeline24 {
   // no matter how the thresholds are tuned). Scale: two value-space
   // histograms + one single-row aggregate.
   private val q162: Q = (s, d) => {
-    val docsSpread = spread(s, documents(s, d)
-      .select(col("doc_id"), col("text")))
-    val qs = docsSpread.select(col("doc_id"),
-      round(TextOps.qualityScore(col("text")), 6).as("qs"))
-    val lm = TrigramLm.scoreInRow(docsSpread,
+    val qs = FeatureMemo.features(s, d).select(col("doc_id"),
+      round(col("quality"), 6).as("qs"))
+    val lm = TrigramLm.scoreInRow(
+        spread(s, documents(s, d).select(col("doc_id"), col("text"))),
         LmMemo.collectedModel(s, d), "doc_id", "text")
       .select(col("doc_id"), col("lm_score"))
     val base = qs.join(lm, Seq("doc_id"))

@@ -34,9 +34,8 @@ object Pipeline26 {
   private val GiniShards = 16
 
   private val q167: Q = (s, d) => {
-    val m = Shard.manifest(documents(s, d), "doc_id",
-        TextOps.tokenCountWs(col("text")),
-        TextOps.fingerprint(col("text")), GiniShards)
+    val m = Shard.manifest(FeatureMemo.features(s, d), "doc_id",
+        col("n_tokens_ws"), col("fp"), GiniShards)
       .select(col("shard_id"), col("total_tokens"))
       .localCheckpoint() // the totals feed a self-join + two aggregates
     val pairs = m.select(col("total_tokens").as("xa")).crossJoin(

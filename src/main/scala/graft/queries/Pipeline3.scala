@@ -42,8 +42,8 @@ object Pipeline3 {
   private val PackBudget = 512L
 
   private val q52: Q = (s, d) => {
-    val toks = documents(s, d).select(col("doc_id"), col("lang"),
-      TextOps.tokenCountWs(col("text")).as("toks"))
+    val toks = FeatureMemo.features(s, d).select(col("doc_id"), col("lang"),
+      col("n_tokens_ws").as("toks"))
     Pack.packSequences(toks, "lang", "doc_id", "toks", PackBudget)
       .groupBy(col("lang"), col("chunk_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -148,8 +148,8 @@ object Pipeline3 {
   private val q55: Q = (s, d) => {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     import graft.sim.TopKByScore
-    val feats = documents(s, d).select(col("source"), col("doc_id"),
-      TextOps.qualityScore(col("text")).as("quality"))
+    val feats = FeatureMemo.features(s, d)
+      .select(col("source"), col("doc_id"), col("quality"))
     val agg = column(TopKByScore(expression(col("quality")),
       expression(col("doc_id")), QuotaN).toAggregateExpression())
     feats.groupBy(col("source")).agg(agg.as("_top"))

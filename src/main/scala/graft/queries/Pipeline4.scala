@@ -219,8 +219,8 @@ object Pipeline4 {
   private val ProfilePs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
 
   private val q62: Q = (s, d) => {
-    val toks = documents(s, d).select(col("source"),
-      TextOps.tokenCountWs(col("text")).as("n_tokens"))
+    val toks = FeatureMemo.features(s, d).select(col("source"),
+      col("n_tokens_ws").as("n_tokens"))
     val quant = Percentiles.exactByHistogram(toks, "source", "n_tokens",
       ProfilePs)
     val sums = toks.groupBy(col("source")).agg(

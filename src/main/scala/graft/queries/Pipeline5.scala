@@ -33,8 +33,8 @@ object Pipeline5 {
     when(substring(source, 4, 10).cast("long") % 3 === 0, 2L).otherwise(1L)
 
   private val q64: Q = (s, d) => {
-    val rows = documents(s, d).select(col("doc_id"), col("source"),
-      TextOps.tokenCountWs(col("text")).as("_t"))
+    val rows = FeatureMemo.features(s, d).select(col("doc_id"),
+      col("source"), col("n_tokens_ws").as("_t"))
     Mix.tokenBudgetMix(rows, "doc_id", "source", col("_t"),
         srcWeight(col("source")), MixNum, MixDen)
       .select(col("source"), col("doc_id"), col("n_tokens"), col("rnk"),
@@ -63,9 +63,10 @@ object Pipeline5 {
   private val NShards = 16
 
   private val q65: Q = (s, d) =>
-    Shard.manifest(documents(s, d), "doc_id",
-        TextOps.tokenCountWs(col("text")),
-        TextOps.fingerprint(col("text")), NShards)
+    // rides the stored feature table: the manifest writer consumes the
+    // ingestion-time token counts and fingerprints, not a fresh scan
+    Shard.manifest(FeatureMemo.features(s, d), "doc_id",
+        col("n_tokens_ws"), col("fp"), NShards)
       .orderBy(col("shard_id"))
 
   private lazy val q65Sql = {

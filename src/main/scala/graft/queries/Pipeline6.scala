@@ -113,11 +113,9 @@ object Pipeline6 {
   private val FunnelTokMax = 90L
 
   private val q75: Q = (s, d) => {
-    val feats = documents(s, d).select(col("doc_id"),
-      TextOps.fingerprint(col("text")).as("fp"),
-      TextOps.langId(col("text")).as("lang_pred"),
-      TextOps.qualityScore(col("text")).as("quality"),
-      TextOps.tokenCountWs(col("text")).as("n_tokens"))
+    val feats = FeatureMemo.features(s, d).select(col("doc_id"),
+      col("fp"), col("lang_pred"), col("quality"),
+      col("n_tokens_ws").as("n_tokens"))
     // survivor of exact dedup: deterministic keep-min-doc_id per fp
     val kept = feats.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"))

@@ -28,8 +28,8 @@ object Pipeline8 {
   // lowest id", and the aggregate carries one 24-byte struct per cluster
   // per partition at any corpus size.
   private val q83: Q = (s, d) => {
-    val qual = documents(s, d).select(col("doc_id"),
-      TextOps.qualityScore(col("text")).as("quality"))
+    val qual = FeatureMemo.features(s, d)
+      .select(col("doc_id"), col("quality"))
     ClusterMemo.clusters(s, d, threshold = 0.5)
       .select(col("doc_id"), col("cluster_id"))
       .join(qual, Seq("doc_id"))

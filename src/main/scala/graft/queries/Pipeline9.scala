@@ -140,16 +140,28 @@ object Pipeline9 {
   // ids ≡ 0 (mod 7), the new drops ids ≡ 0 (mod 5) and rewrites the
   // text of ids ≡ 0 (mod 11) — every status class is exercised.
   private val q90: Q = (s, d) => {
-    import graft.text.TextOps
-    val docs = documents(s, d).select(col("doc_id"), col("text"))
-    val old = docs.filter(col("doc_id") % 7 =!= 0)
-      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
-    val nw = docs.filter(col("doc_id") % 5 =!= 0)
-      .select(col("doc_id"), TextOps.fingerprint(
-        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" updated")))
-          .otherwise(col("text"))).as("fp"))
+    val (old, nw) = snapshotFps(s, d)
     graft.ops.SnapshotDiff.diff(old, nw, "doc_id", "fp")
       .orderBy(col("doc_id"))
+  }
+
+  /** The two deterministic snapshot sides shared by q90 (diff) and
+    * q106 (SCD2). Fingerprints ride the stored feature table; only the
+    * 1-in-11 REWRITTEN docs of the new snapshot re-hash — the exact
+    * economics of a production snapshot store, where unchanged rows
+    * keep their ingestion-time digest.
+    */
+  private[queries] def snapshotFps(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import graft.text.TextOps
+    val feats = FeatureMemo.features(s, d).select(col("doc_id"), col("fp"))
+    val old = feats.filter(col("doc_id") % 7 =!= 0)
+    val nw = feats.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 11 =!= 0)
+      .unionByName(documents(s, d)
+        .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 11 === 0)
+        .select(col("doc_id"),
+          TextOps.fingerprint(concat(col("text"), lit(" updated"))).as("fp")))
+    (old, nw)
   }
 
   private lazy val q90Sql = s"""

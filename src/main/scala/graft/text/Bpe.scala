@@ -52,6 +52,20 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(s))))
 
+  /** Apply a LEARNED merge sequence to one word — the out-of-vocabulary
+    * path of the tokenizer: the merges fold left-to-right in rank order
+    * over the word's initial symbols, exactly the training-time rewrite,
+    * so a word the training corpus contained encodes to its trained
+    * vocab segmentation (BpeSpec pins that equality corpus-wide). The
+    * expression is statically unrolled (|merges| nested folds), which is
+    * fine for the bounded merge lists the engine trains; the IN-vocab
+    * fast path — look the word up in the trained vocab instead — is the
+    * shape the corpus-wide apply (q169) uses, because a 100 TB corpus
+    * has orders of magnitude more word instances than distinct words.
+    */
+  def encodeWord(w: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(initSymbols(w)) { case (s, (a, b)) => mergePair(s, a, b) }
+
   /** Learn up to `k` merges over the corpus' word vocabulary; returns
     * (merge sequence, final vocab as (w, cnt, syms)). Stops early when
     * no adjacent pair repeats (max count < 2 — merging a count-1 pair
@@ -59,9 +73,18 @@ object Bpe {
     * r+1 reads r's arrays, not a k-deep lineage.
     */
   def learn(docs: DataFrame, textCol: String,
-            k: Int): (Seq[(String, String)], DataFrame) = {
-    var vocab = docs
-      .select(explode(split(TextOps.normalize(col(textCol)), " ")).as("w"))
+            k: Int): (Seq[(String, String)], DataFrame) =
+    learnFromWords(docs.select(
+      split(TextOps.normalize(col(textCol)), " ").as("_w")), "_w", k)
+
+  /** [[learn]] over an already-tokenized word-array column (the
+    * [[graft.queries.GramMemo]] words artifact — same normalize, stored
+    * once), so training rides the pinned corpus pass.
+    */
+  def learnFromWords(words: DataFrame, wordsCol: String,
+                     k: Int): (Seq[(String, String)], DataFrame) = {
+    var vocab = words
+      .select(explode(col(wordsCol)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("w"), col("cnt"), initSymbols(col("w")).as("syms"))
       .localCheckpoint()

@@ -48,6 +48,8 @@ object BenchStore {
     graft.queries.RetrievalMemo.clear()
     graft.queries.EmbMemo.clear()
     graft.queries.LmMemo.clear()
+    graft.queries.FeatureMemo.clear()
+    graft.queries.BpeMemo.clear()
   }
 
   def main(args: Array[String]): Unit = {

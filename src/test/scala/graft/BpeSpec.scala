@@ -53,4 +53,28 @@ class BpeSpec extends AnyFunSuite {
     val (merges, _) = Bpe.learn(d, "text", 10)
     assert(merges.isEmpty, "all pairs have count 1 -> nothing to learn")
   }
+
+  test("encodeWord applies merges in rank order — true-OOV golden") {
+    // 'lowest' is NOT in the training corpus; the fold must still
+    // produce the trained subwords: l o w e s t </w> → (e,s) → (es,t)
+    // → (est,</w>) yields l o w est</w>
+    val merges = Seq(("e", "s"), ("es", "t"), ("est", "</w>"))
+    val enc = Seq(Tuple1("lowest")).toDF("w")
+      .select(Bpe.encodeWord(col("w"), merges).as("e"))
+      .head().getSeq[String](0)
+    assert(enc == Seq("l", "o", "w", "est</w>"))
+  }
+
+  test("corpus-wide: the OOV fold equals the trained vocab segmentation") {
+    // the q169 contract: for every word the training saw, the unrolled
+    // merge fold (the out-of-vocab path) and the trained vocab lookup
+    // (the in-vocab fast path) are the same tokenizer
+    val (merges, vocab) = Bpe.learnFromWords(
+      graft.queries.GramMemo.words(spark, "/root/testdata/sf0.001"),
+      "words", graft.queries.BpeMemo.K)
+    val bad = vocab
+      .select(col("syms"), Bpe.encodeWord(col("w"), merges).as("e"))
+      .filter(not(col("syms") === col("e"))).count()
+    assert(bad == 0, s"$bad vocab words disagree with the merge fold")
+  }
 }

@@ -239,6 +239,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe apply broadcasts the trained vocab onto the words artifact") {
+    // q169 must never fold merges over word instances: the corpus side
+    // is the pinned words artifact, the trained vocab broadcasts, and
+    // the only hash exchange is the per-doc aggregate
+    val p = planString("q169_bpe_tokenize")
+    assert(!p.contains("Scan parquet"),
+      "q169 rides the words + trained-vocab artifacts, no corpus scan")
+    assert(p.contains("BroadcastHashJoin"),
+      "the trained vocab must broadcast onto the exploded words")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "q169 must not shuffle-join the corpus against the vocab")
+  }
+
   test("filter pushdown reaches the parquet scan") {
     val p = planString("q02_filter_project")
     assert(p.contains("PushedFilters") &&
@@ -328,10 +341,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "q64 is one window partition + the totals aggregate at most")
   }
 
-  test("shard manifest is one scan and one shuffle") {
+  test("shard manifest rides the feature artifact: no corpus scan, one shuffle") {
+    // the manifest writer consumes the stored ingestion-time features
+    // (FeatureMemo) — a parquet scan here would re-run the token/
+    // fingerprint passes the artifact exists to store
     val p = planString("q65_shard_manifest")
     assert(!p.contains("Join"), "q65 must not join")
-    assert("Scan parquet".r.findAllIn(p).size == 1, "q65 must scan once")
+    assert(!p.contains("Scan parquet"),
+      "q65 must read the pinned feature artifact, not re-scan the corpus")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       "q65 shuffles exactly once (the shard groupBy)")
   }
@@ -474,10 +491,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "both scan sides must carry their sampling predicate")
   }
 
-  test("curation pipeline is one scan, one shuffle, no join") {
+  test("curation pipeline rides the feature artifact, one shuffle, no join") {
     val p = planString("q48_curation_pipeline")
-    assert("Scan parquet".r.findAllIn(p).size == 1,
-      "q48 must compute the feature stage once (min_by carries features)")
+    assert(!p.contains("Scan parquet"),
+      "q48 must read the pinned feature artifact, not re-scan the corpus")
     assert(!p.contains("Join"), "q48 must not join back")
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
       "q48 must shuffle once (the dedup groupBy)")
@@ -596,12 +613,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // fingerprinted in the scan stage and pruned before any exchange
     val p = planString("q90_snapshot_diff")
     assert(p.contains("FullOuter"), "q90 must be a full outer join")
-    // every id-keyed exchange must sit ABOVE the md5 projection (text is
-    // consumed by the scan-stage fingerprint, so the exchange rows carry
-    // (id, fp) only — text feeding md5 below the exchange is the point)
+    // both sides ride the stored feature fingerprints; the ONLY corpus
+    // scan left is the 1-in-11 rewritten-doc branch, whose text is
+    // consumed by the scan-stage md5 — no exchange may be keyed on text
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "q90 re-reads text only for the rewritten snapshot rows")
     for (st <- subtrees(p, "Exchange hashpartitioning")) {
-      assert(st.contains("md5("),
-        "q90 exchanges must shuffle fingerprinted projections")
       val exchangeLine = st.linesIterator.next()
       assert(!exchangeLine.contains("text#"),
         "q90 must not key an exchange on document text")
@@ -746,16 +763,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "the query vector must ride a broadcast")
   }
 
-  test("quality gate is one scan, no join, histogram-width windows") {
+  test("quality gate rides the feature artifact, no join, histogram windows") {
     // the quantile pass must run over the per-(source, score) histogram
-    // — ONE corpus scan feeding windows partitioned on source, with no
-    // self-join back against the corpus (a join means a second scan)
+    // — the stored feature table feeding windows partitioned on source,
+    // with no self-join back against the corpus and no corpus re-scan
     val p = planString("q110_quality_gate")
-    assert("Scan parquet".r.findAllIn(p).size == 1,
-      "q110 must scan the corpus exactly once")
+    assert(!p.contains("Scan parquet"),
+      "q110 must read the pinned feature artifact, not re-scan the corpus")
     assert(!p.contains("Join"), "q110 must not join")
-    assert(p.contains("struct<text:string,source:string>"),
-      "q110 must prune the scan to text+source")
   }
 
   test("batch 17: one checkpointed pass each; small sides broadcast; " +
