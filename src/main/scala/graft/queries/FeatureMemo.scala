@@ -47,5 +47,14 @@ object FeatureMemo {
             TextOps.tokenCountWs(col("text")).as("n_tokens_ws"),
             TextOps.tokenCountBpe(col("text")).as("n_tokens_bpe"),
             TextOps.fingerprint(col("text")).as("fp"))
+          // size the STORED table by its own bytes, not the corpus
+          // scan's parallelism: the features are ~1% of the corpus
+          // (no text), and pinning them at the build's spread width
+          // made every consumer stage pay 32 task launches to read a
+          // few thousand narrow rows (measured 2x on q62 at sf0.1).
+          // A keyless-N repartition by doc_id is AQE-coalescible, so
+          // the partition count follows the artifact's size here AND
+          // at 100 TB; the exchange itself moves only feature rows.
+          .repartition(col("doc_id"))
       })
 }
