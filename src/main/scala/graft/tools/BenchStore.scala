@@ -38,7 +38,11 @@ object BenchStore {
     "q79_passage_dedup", "q86_containment_pairs",
     "q94_prefix_jaccard_pairs", "q122_winnow_fingerprints",
     "q125_contamination_attribution", "q148_lsh_recall",
-    "q156_minhash_width_sweep")
+    "q156_minhash_width_sweep",
+    // round-9 artifact families: the per-doc feature table (producer +
+    // two consumers) and the trained BPE vocabulary
+    "q38_text_quality", "q48_curation_pipeline", "q110_quality_gate",
+    "q169_bpe_tokenize")
 
   def clearMemos(): Unit = {
     graft.queries.GramMemo.clear()
@@ -96,6 +100,8 @@ object BenchStore {
               graft.queries.ClusterMemo.clearExactPairs()
             if (q == "q122_winnow_fingerprints")
               graft.queries.GramMemo.clearWinnow()
+            if (q == "q38_text_quality")
+              graft.queries.FeatureMemo.clear()
           case "store_cold" =>
             clearMemos()
             ArtifactStore.deleteTree(new java.io.File(store))
