@@ -44,7 +44,13 @@ object Scale10 {
     "q158_value_ci", "q50_neardup_clusters", "q86_containment_pairs",
     "q92_nb_lang_confusion", "q81_editdist_neardup",
     "q67_bloom_decontaminate", "q112_dup_spans", "q79_passage_dedup",
-    "q96_dsir_weights", "q125_contamination_attribution")
+    "q96_dsir_weights", "q125_contamination_attribution",
+    // round-9 heavy additions over the inflated `documents` corpus
+    // (embeddings/lineitem-riding queries are excluded — those tables
+    // are symlinked unchanged, so a 10x point would measure nothing)
+    "q159_bloom_fpr_audit", "q153_filter_agreement", "q162_filter_kappa",
+    "q43_simhash_hamming_pairs", "q122_winnow_fingerprints",
+    "q127_winnow_families", "q111_rm3_expansion", "q169_bpe_tokenize")
 
   def inflate(spark: SparkSession, src: String, dst: String): Unit = {
     val dstDir = Paths.get(dst)
