@@ -99,9 +99,19 @@ object DedupOps {
     * the HOF twin below is kept as a semantic cross-check.
     */
   def withSimhash16(df: DataFrame, textCol: String,
-                    outCol: String): DataFrame = {
+                    outCol: String): DataFrame =
+    withSimhash(df, textCol, outCol, width = 16)
+
+  /** Width-parameterized SimHash (1..32 bits; see [[SimHashSig]]).
+    * Width is the corpus-size lever: the Hamming-ball candidate layer's
+    * background-collision term is n²/2^width, so a corpus that saturates
+    * the 16-bit space (measured at 10x sf0.1 — `tools/ProbeQ43Scale`)
+    * moves to 32 bits and runs the identical plan.
+    */
+  def withSimhash(df: DataFrame, textCol: String, outCol: String,
+                  width: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    df.withColumn(outCol, column(SimHashSig(expression(col(textCol)))))
+    df.withColumn(outCol, column(SimHashSig(expression(col(textCol)), width)))
   }
 
   /** Composed-expression form of [[withSimhash16]] (16 HOF filter passes
@@ -124,27 +134,37 @@ object DedupOps {
     prep.withColumn(outCol, bits.reduce(_ + _).cast("int")).drop(tmpWs, tmpHs)
   }
 
-  /** All doc pairs whose 16-bit SimHash signatures lie within Hamming
-    * distance `maxDist` (<= 2), with NO all-pairs join and NO banding:
-    * Hamming-ball enumeration over the signature space.
+  /** All doc pairs whose `width`-bit SimHash signatures lie within
+    * Hamming distance `maxDist` (<= 2), with NO all-pairs join and NO
+    * banding: Hamming-ball enumeration over the signature space.
     *
     * Why not LSH banding here: a 16-bit signature has at most 2^5..2^6
     * distinct values per band, so band buckets grow with the corpus and a
     * band equi-join degrades to ~O(n^2/64). Instead the DISTINCT present
-    * signatures (<= 65536 rows regardless of corpus size) are exploded by
-    * the C(16,0)+C(16,1)+C(16,2)=137 XOR masks of weight <= 2, semi-joined
-    * against the present set to give the exact (s1, s2) signature pairs
-    * within distance 2, and docs join that small pair table by exact
-    * signature — three linear scans + equi-joins, O(65536*137) candidate
-    * work at ANY corpus size. Each unordered doc pair emerges exactly once
-    * ((s1,s2) and (s2,s1) are both present; id_a < id_b keeps one), so no
+    * signatures (<= 2^width rows regardless of corpus size) are exploded
+    * by the C(w,0)+C(w,1)+C(w,2) XOR masks of weight <= 2 (137 at width
+    * 16, 529 at width 32), semi-joined against the present set to give
+    * the exact (s1, s2) signature pairs within distance 2, and docs join
+    * that small pair table by exact signature — three linear scans +
+    * equi-joins. Each unordered doc pair emerges exactly once ((s1,s2)
+    * and (s2,s1) are both present; id_a < id_b keeps one), so no
     * distinct pass is needed.
+    *
+    * `width` must match the signature column's width. The emitted pair
+    * set carries an intrinsic n²/2^width background-collision term as
+    * signature buckets densify — at 10x sf0.1 the 16-bit space holds 50k
+    * docs in 7.7k distinct signatures and the pair table is 10.4x the 1x
+    * one (`tools/ProbeQ43Scale`); the 100 TB setting of the SAME plan is
+    * width 32 (distinct-signature table <= 4.3e9 rows only in the
+    * adversarial limit; in practice ~n until n approaches 2^32, and the
+    * mask explode stays 529 rows per distinct signature).
     */
   def simhashHammingPairs(sig: DataFrame, idCol: String, shCol: String,
-                          maxDist: Int = 2): DataFrame = {
+                          maxDist: Int = 2, width: Int = 16): DataFrame = {
     require(maxDist >= 0 && maxDist <= 2, s"maxDist $maxDist not in [0,2]")
-    val singles = (0 until 16).map(1 << _)
-    val doubles = for { i <- 0 until 16; j <- (i + 1) until 16 }
+    require(width >= 1 && width <= 32, s"width $width not in [1,32]")
+    val singles = (0 until width).map(1 << _)
+    val doubles = for { i <- 0 until width; j <- (i + 1) until width }
       yield (1 << i) | (1 << j)
     val masks: Seq[Int] = (Seq(0) ++
       (if (maxDist >= 1) singles else Nil) ++

@@ -22,16 +22,21 @@ object ProbeQ43Scale {
     for (d <- Seq("/root/testdata/sf0.1", "target/scale10/data")) {
       BenchStore.clearMemos()
       val docs = graft.queries.Tables.documents(spark, d).count()
-      val sig = graft.dedup.DedupOps.withSimhash16(
-        graft.queries.Tables.documents(spark, d)
-          .select(col("doc_id"), col("text")),
-        "text", "simhash").drop("text")
-      val nSig = sig.select("simhash").distinct().count()
-      val pairs = graft.queries.ClusterMemo.simhashPairs(spark, d).count()
-      val maxBucket = sig.groupBy("simhash").count()
-        .agg(max("count")).collect()(0).getLong(0)
-      println(s"[probe] $d docs=$docs distinctSigs=$nSig (of 65536) " +
-        s"maxBucket=$maxBucket pairs=$pairs")
+      for (w <- Seq(16, 32)) {
+        val sig = graft.dedup.DedupOps.withSimhash(
+          graft.queries.Tables.documents(spark, d)
+            .select(col("doc_id"), col("text")),
+          "text", "simhash", w).drop("text").localCheckpoint()
+        val nSig = sig.select("simhash").distinct().count()
+        val t0 = System.nanoTime()
+        val pairs = graft.dedup.DedupOps.simhashHammingPairs(
+          sig, "doc_id", "simhash", maxDist = 2, width = w).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val maxBucket = sig.groupBy("simhash").count()
+          .agg(max("count")).collect()(0).getLong(0)
+        println(f"[probe] $d docs=$docs width=$w distinctSigs=$nSig " +
+          f"maxBucket=$maxBucket pairs=$pairs ballSec=$sec%.2f")
+      }
     }
     spark.stop()
   }

@@ -295,6 +295,35 @@ class DedupParitySpec extends AnyFunSuite {
       .filter(col("count") > 1).isEmpty)
   }
 
+  test("32-bit SimHash: ball == brute force; widening refines the 16-bit form") {
+    val sig16 = DedupOps.withSimhash16(docs, "text", "sh16").drop("text")
+    val sig32 = DedupOps.withSimhash(docs, "text", "sh32", 32).drop("text")
+
+    // widening refines, never reshuffles: bit j depends only on md5
+    // nibble j, so the low 16 bits of the 32-bit signature ARE the
+    // 16-bit signature
+    assert(sig16.join(sig32, "doc_id")
+      .filter(col("sh32").bitwiseAND(lit(0xFFFF)) =!= col("sh16")).isEmpty)
+
+    val a = sig32.select(col("doc_id").as("id_a"), col("sh32").as("sh_a"))
+    val b = sig32.select(col("doc_id").as("id_b"), col("sh32").as("sh_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 2)
+      .select("id_a", "id_b", "hamming")
+    val ball = DedupOps.simhashHammingPairs(
+      sig32, "doc_id", "sh32", maxDist = 2, width = 32)
+    assert(brute.exceptAll(ball).isEmpty && ball.exceptAll(brute).isEmpty)
+
+    // a 32-bit Hamming <= 2 match differs in <= 2 of its low 16 bits, so
+    // the wide pair set is a SUBSET of the 16-bit one — widening is the
+    // scale lever that drops background collisions without losing any
+    // pair the narrow signature would have verified
+    val ball16 = DedupOps.simhashHammingPairs(sig16, "doc_id", "sh16", 2)
+    assert(ball.select("id_a", "id_b")
+      .exceptAll(ball16.select("id_a", "id_b")).isEmpty)
+  }
+
   test("prefix-filtered Jaccard join is COMPLETE vs brute force") {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     // the property that distinguishes it from LSH: EVERY pair with
