@@ -8,6 +8,44 @@ import org.apache.spark.sql.SparkSession
   * (including projections a count() would prune) is executed.
   */
 object Bench {
+
+  /** Producer-clear discipline shared by Bench and `tools.Adjudicate`:
+    * artifact PRODUCERS measure the production computation on every
+    * repeat (their session memo is cleared), consumers keep the memo
+    * and measure the marginal post-producer cost — the economics the
+    * memo exists to provide.
+    */
+  def clearProducerMemo(name: String): Unit = name match {
+    // q50 must measure the clustering COMPUTATION on every repeat:
+    // it populates the session ClusterMemo, which would otherwise
+    // hand repeats 2..n the cached labels. Consumers (q61/q63) keep
+    // the memo — their number is the marginal cost a pipeline pays
+    // after the producer ran, which is the point of the memo.
+    case "q50_neardup_clusters" => graft.queries.ClusterMemo.clear()
+    // q46 is the embedding pair-table producer — same clearing rule;
+    // q118 produces the trained-quantizer artifact q119 consumes
+    case "q46_embedding_neardup" => graft.queries.EmbMemo.clear()
+    case "q118_kmeans_lloyd" => graft.queries.EmbMemo.clearKmeans()
+    // q122 produces the winnow-selection artifact q126/q127 consume
+    case "q122_winnow_fingerprints" => graft.queries.GramMemo.clearWinnow()
+    // q80 produces the decontamination gram-key artifact that
+    // q125/q126 consume
+    case "q80_contamination_fraction" => graft.queries.GramMemo.clearLeak()
+    // q93 produces the session BM25 score table q109/q111/q129 consume
+    case "q93_bm25_topk" => graft.queries.RetrievalMemo.clear()
+    // q38 produces the per-doc curation-feature table
+    // (quality/lang-id/token counts/fingerprint) the feature
+    // consumers ride
+    case "q38_text_quality" => graft.queries.FeatureMemo.clear()
+    // q43 produces the SimHash pair artifact q136 consumes
+    case "q43_simhash_hamming_pairs" =>
+      graft.queries.ClusterMemo.clearSimhash()
+    // q94 produces the exact ground-truth pair artifact q148 audits
+    case "q94_prefix_jaccard_pairs" =>
+      graft.queries.ClusterMemo.clearExactPairs()
+    case _ => ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -62,36 +100,7 @@ object Bench {
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeats).map { r =>
-        // q50 must measure the clustering COMPUTATION on every repeat:
-        // it populates the session ClusterMemo, which would otherwise
-        // hand repeats 2..n the cached labels. Consumers (q61/q63) keep
-        // the memo — their number is the marginal cost a pipeline pays
-        // after the producer ran, which is the point of the memo.
-        if (name == "q50_neardup_clusters") graft.queries.ClusterMemo.clear()
-        // q46 is the embedding pair-table producer — same clearing rule;
-        // q118 produces the trained-quantizer artifact q119 consumes
-        if (name == "q46_embedding_neardup") graft.queries.EmbMemo.clear()
-        if (name == "q118_kmeans_lloyd") graft.queries.EmbMemo.clearKmeans()
-        // q122 produces the winnow-selection artifact q126/q127 consume
-        if (name == "q122_winnow_fingerprints")
-          graft.queries.GramMemo.clearWinnow()
-        // q80 produces the decontamination gram-key artifact that
-        // q125/q126 consume
-        if (name == "q80_contamination_fraction")
-          graft.queries.GramMemo.clearLeak()
-        // q93 produces the session BM25 score table q109/q111/q129
-        // consume
-        if (name == "q93_bm25_topk") graft.queries.RetrievalMemo.clear()
-        // q38 produces the per-doc curation-feature table
-        // (quality/lang-id/token counts/fingerprint) the feature
-        // consumers ride
-        if (name == "q38_text_quality") graft.queries.FeatureMemo.clear()
-        // q43 produces the SimHash pair artifact q136 consumes
-        if (name == "q43_simhash_hamming_pairs")
-          graft.queries.ClusterMemo.clearSimhash()
-        // q94 produces the exact ground-truth pair artifact q148 audits
-        if (name == "q94_prefix_jaccard_pairs")
-          graft.queries.ClusterMemo.clearExactPairs()
+        clearProducerMemo(name)
         System.err.println(s"[bench] running $name ($r/$repeats)")
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
