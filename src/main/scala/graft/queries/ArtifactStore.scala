@@ -74,9 +74,17 @@ object ArtifactStore {
     * unreadable/mistyped corpus path would otherwise pin the first
     * artifact ever written as permanently fresh.
     */
-  def corpusSig(d: String): String = {
+  def corpusSig(d: String): String = corpusSig(d, hconf)
+
+  /** As [[corpusSig]] but resolving the filesystem with a SPECIFIC
+    * Hadoop configuration — callers that hold a session must pass its
+    * `sessionState.newHadoopConf()` so the session's own
+    * `spark.hadoop.*` settings (s3a credentials, fs.defaultFS) apply
+    * even when it is not the ACTIVE session of the JVM.
+    */
+  def corpusSig(d: String, conf: Configuration): String = {
     val p = new Path(d)
-    val fs = p.getFileSystem(hconf)
+    val fs = p.getFileSystem(conf)
     val it = fs.listFiles(p, true)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
@@ -101,9 +109,9 @@ object ArtifactStore {
     * URI keeps pruning scoped to versions of the SAME corpus (and keeps
     * `hdfs://ns/x` distinct from `s3a://bucket/x`).
     */
-  private def corpusKey(d: String): String = {
+  private def corpusKey(d: String, conf: Configuration): String = {
     val p = new Path(d)
-    val qualified = p.getFileSystem(hconf).makeQualified(p).toString
+    val qualified = p.getFileSystem(conf).makeQualified(p).toString
     java.security.MessageDigest.getInstance("MD5")
       .digest(qualified.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
@@ -119,15 +127,24 @@ object ArtifactStore {
     * same signature dir cannot interleave an `overwrite` delete/commit
     * (which could leave one writer's partial part-files beside the
     * other's `_SUCCESS`). The loser of the rename race discards its
-    * temp dir and reads the winner's identical data.
+    * temp dir and reads the winner's identical data. On stores whose
+    * rename is NOT atomic (s3a rename is copy+delete) a writer killed
+    * mid-rename can leave the final dir with part-files and no
+    * `_SUCCESS`; that state is REPAIRED (deleted and rebuilt) on the
+    * next access, never served, and a commit that somehow leaves no
+    * `_SUCCESS`-bearing copy fails loudly instead of returning a
+    * partial artifact. Crashed writers' orphaned `.inprogress-*` temp
+    * dirs are swept once they are older than [[OrphanTempMaxAgeMs]]
+    * (young ones may be a live writer's).
     */
   def loadOrBuild(s: SparkSession, d: String, name: String)
                  (build: => DataFrame): DataFrame =
     dirOf(s) match {
       case None => build.localCheckpoint()
       case Some(root) =>
-        val path = pathFor(root, d, name)
-        val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+        val conf = s.sessionState.newHadoopConf()
+        val path = pathFor(root, d, name, conf)
+        val fs = path.getFileSystem(conf)
         val base = path.getParent
         // striped in-JVM lock: two sessions in one JVM (parallel test
         // suites, notebook + job) building the same artifact must not
@@ -136,6 +153,9 @@ object ArtifactStore {
           fs.makeQualified(path).toString, new Object)
         lock.synchronized {
           if (!fs.exists(new Path(path, "_SUCCESS"))) {
+            // a crashed writer on a non-atomic-rename store can leave
+            // the final dir WITHOUT _SUCCESS — repair it, never serve it
+            if (fs.exists(path)) fs.delete(path, true)
             // unique temp sibling: hidden (leading dot) so a concurrent
             // reader's partition discovery and the prune below skip it
             val tmp = new Path(base,
@@ -143,22 +163,48 @@ object ArtifactStore {
             build.write.mode("overwrite").parquet(tmp.toString)
             val committed = !fs.exists(path) && fs.rename(tmp, path)
             if (!committed) fs.delete(tmp, true) // lost the race; winner's data is identical
-            // prune artifacts of superseded corpus versions (best-effort;
-            // concurrent readers of an old sig just rebuild next session)
-            fs.listStatus(base)
-              .filter(st => st.isDirectory && st.getPath.getName != path.getName
-                && !st.getPath.getName.startsWith("."))
-              .foreach(st => fs.delete(st.getPath, true))
+            require(fs.exists(new Path(path, "_SUCCESS")),
+              s"artifact store: commit of '$name' left no _SUCCESS at " +
+                s"$path — refusing to serve a partial artifact")
+            val now = System.currentTimeMillis()
+            fs.listStatus(base).foreach { st =>
+              val n = st.getPath.getName
+              if (st.isDirectory && n != path.getName) {
+                // prune superseded corpus versions (best-effort;
+                // concurrent readers of an old sig rebuild next session)
+                if (!n.startsWith(".")) fs.delete(st.getPath, true)
+                // sweep crashed writers' orphaned temp dirs: a live
+                // writer's temp is younger than the age bound
+                else if (n.startsWith(".inprogress-") &&
+                    now - st.getModificationTime > OrphanTempMaxAgeMs)
+                  fs.delete(st.getPath, true)
+              }
+            }
           }
         }
         s.read.parquet(path.toString)
     }
 
+  /** Orphaned `.inprogress-*` temp dirs older than this are swept on
+    * the next commit to the same artifact/corpus (a crashed writer's
+    * corpus-sized garbage must not accumulate unboundedly on the
+    * store); younger ones are presumed to belong to a live writer.
+    */
+  val OrphanTempMaxAgeMs: Long = 60L * 60 * 1000
+
   /** The store path of artifact `name` for corpus `d`:
     * `<root>/<name>/<corpus key>/<corpus signature>`.
     */
   def pathFor(root: String, d: String, name: String): Path =
-    new Path(new Path(new Path(root, name), corpusKey(d)), corpusSig(d))
+    pathFor(root, d, name, hconf)
+
+  /** As the 3-arg [[pathFor]] with an explicit Hadoop configuration
+    * (see the [[corpusSig]] overload note).
+    */
+  def pathFor(root: String, d: String, name: String,
+              conf: Configuration): Path =
+    new Path(new Path(new Path(root, name), corpusKey(d, conf)),
+      corpusSig(d, conf))
 
   /** True iff a committed (`_SUCCESS`-bearing) copy of `name` for
     * corpus `d` exists in the store rooted at `root`.
@@ -171,9 +217,15 @@ object ArtifactStore {
   private val writeLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
-  /** Best-effort recursive delete (test cleanup). */
+  /** Best-effort recursive delete (test/tool cleanup). NEVER follows a
+    * symlink: `listFiles` on a link-to-directory returns the TARGET's
+    * children, and the Scale10 corpus dir links straight into the
+    * read-only testdata — the link itself is deleted, its target left
+    * untouched.
+    */
   def deleteTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
     f.delete()
     ()
   }

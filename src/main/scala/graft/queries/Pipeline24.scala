@@ -328,18 +328,25 @@ object Pipeline24 {
         sum(expr("qp * (1 - lp)")).as("n_q_only"),
         sum(expr("(1 - qp) * lp")).as("n_lm_only"),
         sum(expr("(1 - qp) * (1 - lp)")).as("n_neither"))
-      .withColumn("pp", expr("(n_both + n_q_only) * (n_both + n_lm_only)" +
-        " + (n_lm_only + n_neither) * (n_q_only + n_neither)"))
+      // pe/kappa chains carry ~n²·10^6 — plain BIGINT wraps silently in
+      // Spark above ~3M docs (and DuckDB would raise, so the engines
+      // would also diverge); the whole chain rides DECIMAL(38)/HUGEINT
+      // like sibling q163, per the batch's header rule
+      .withColumn("pp",
+        expr("CAST(n_both + n_q_only AS DECIMAL(38,0)) * (n_both + n_lm_only)" +
+          " + CAST(n_lm_only + n_neither AS DECIMAL(38,0)) * (n_q_only + n_neither)"))
       .select(col("n"), col("n_both"), col("n_q_only"),
         col("n_lm_only"), col("n_neither"),
-        (expr("(2 * (n_both + n_neither) * 1000000 + n) div (2 * n)")
-          / 1e6).as("po"),
-        (expr("(2 * pp * 1000000 + n * n) div (2 * n * n)") / 1e6)
+        (expr("CAST((2 * CAST(n_both + n_neither AS DECIMAL(38,0)) * 1000000 + n)" +
+          " div (2 * n) AS BIGINT)") / 1e6).as("po"),
+        (expr("CAST((2 * pp * 1000000 + CAST(n AS DECIMAL(38,0)) * n)" +
+          " div (2 * CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)") / 1e6)
           .as("pe"),
-        (expr("CASE WHEN n * n - pp > 0 THEN " +
-          "(CASE WHEN n * (n_both + n_neither) - pp < 0 THEN -1 ELSE 1 END)" +
-          " * ((2 * abs(n * (n_both + n_neither) - pp) * 1000000" +
-          " + (n * n - pp)) div (2 * (n * n - pp))) END") / 1e6)
+        (expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * n - pp > 0 THEN " +
+          "(CASE WHEN CAST(n AS DECIMAL(38,0)) * (n_both + n_neither) - pp < 0 THEN -1 ELSE 1 END)" +
+          " * CAST((2 * abs(CAST(n AS DECIMAL(38,0)) * (n_both + n_neither) - pp) * 1000000" +
+          " + (CAST(n AS DECIMAL(38,0)) * n - pp))" +
+          " div (2 * (CAST(n AS DECIMAL(38,0)) * n - pp)) AS BIGINT) END") / 1e6)
           .as("kappa"))
   }
 
@@ -374,18 +381,21 @@ object Pipeline24 {
              CAST(sum((1 - qp) * lp) AS BIGINT) AS n_lm_only,
              CAST(sum((1 - qp) * (1 - lp)) AS BIGINT) AS n_neither
            FROM fl),
-    px AS (SELECT *, (n_both + n_q_only) * (n_both + n_lm_only)
-             + (n_lm_only + n_neither) * (n_q_only + n_neither) AS pp
+    px AS (SELECT *, CAST(n_both + n_q_only AS HUGEINT) * (n_both + n_lm_only)
+             + CAST(n_lm_only + n_neither AS HUGEINT) * (n_q_only + n_neither) AS pp
            FROM ag)
     SELECT n, n_both, n_q_only, n_lm_only, n_neither,
-           ((2 * (n_both + n_neither) * 1000000 + n) // (2 * n)) / 1e6
+           CAST((2 * CAST(n_both + n_neither AS HUGEINT) * 1000000 + n)
+               // (2 * n) AS BIGINT) / 1e6
              AS po,
-           ((2 * pp * 1000000 + n * n) // (2 * n * n)) / 1e6 AS pe,
-           (CASE WHEN n * n - pp > 0 THEN
-              (CASE WHEN n * (n_both + n_neither) - pp < 0
+           CAST((2 * pp * 1000000 + CAST(n AS HUGEINT) * n)
+               // (2 * CAST(n AS HUGEINT) * n) AS BIGINT) / 1e6 AS pe,
+           (CASE WHEN CAST(n AS HUGEINT) * n - pp > 0 THEN
+              (CASE WHEN CAST(n AS HUGEINT) * (n_both + n_neither) - pp < 0
                 THEN -1 ELSE 1 END)
-              * ((2 * abs(n * (n_both + n_neither) - pp) * 1000000
-                  + (n * n - pp)) // (2 * (n * n - pp))) END) / 1e6
+              * CAST((2 * abs(CAST(n AS HUGEINT) * (n_both + n_neither) - pp) * 1000000
+                  + (CAST(n AS HUGEINT) * n - pp))
+                // (2 * (CAST(n AS HUGEINT) * n - pp)) AS BIGINT) END) / 1e6
              AS kappa
     FROM px"""
 

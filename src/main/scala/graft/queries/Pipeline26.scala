@@ -46,12 +46,19 @@ object Pipeline26 {
         min(col("total_tokens")).as("min_tokens"),
         max(col("total_tokens")).as("max_tokens"))
       .crossJoin(broadcast(pairs))
+      // sdiff·10^6 and n_shards·total_tokens·10^6 overflow BIGINT once
+      // the corpus carries ~10^12 tokens — DECIMAL(38)/HUGEINT per the
+      // house rule (Spark would wrap silently where DuckDB raises)
       .select(col("n_shards"), col("total_tokens"),
         col("min_tokens"), col("max_tokens"),
-        (expr("(2 * sdiff * 1000000 + 2 * n_shards * total_tokens) div " +
-          "(2 * (2 * n_shards * total_tokens))") / 1e6).as("gini"),
-        (expr("(2 * n_shards * max_tokens * 1000000 + total_tokens) div " +
-          "(2 * total_tokens)") / 1e6).as("straggler_ratio"))
+        (expr("CAST((2 * CAST(sdiff AS DECIMAL(38,0)) * 1000000" +
+          " + 2 * CAST(n_shards AS DECIMAL(38,0)) * total_tokens) div " +
+          "(2 * (2 * CAST(n_shards AS DECIMAL(38,0)) * total_tokens)) AS BIGINT)")
+          / 1e6).as("gini"),
+        (expr("CAST((2 * CAST(n_shards AS DECIMAL(38,0)) * max_tokens * 1000000" +
+          " + total_tokens) div " +
+          "(2 * CAST(total_tokens AS DECIMAL(38,0))) AS BIGINT)") / 1e6)
+          .as("straggler_ratio"))
   }
 
   private lazy val q167Sql = {
@@ -73,10 +80,14 @@ object Pipeline26 {
              CAST(max(total_tokens) AS BIGINT) AS max_tokens
            FROM t)
     SELECT n_shards, total_tokens, min_tokens, max_tokens,
-           ((2 * sdiff * 1000000 + 2 * n_shards * total_tokens) //
-            (2 * (2 * n_shards * total_tokens))) / 1e6 AS gini,
-           ((2 * n_shards * max_tokens * 1000000 + total_tokens) //
-            (2 * total_tokens)) / 1e6 AS straggler_ratio
+           CAST((2 * CAST(sdiff AS HUGEINT) * 1000000
+               + 2 * CAST(n_shards AS HUGEINT) * total_tokens) //
+            (2 * (2 * CAST(n_shards AS HUGEINT) * total_tokens)) AS BIGINT)
+             / 1e6 AS gini,
+           CAST((2 * CAST(n_shards AS HUGEINT) * max_tokens * 1000000
+               + total_tokens) //
+            (2 * CAST(total_tokens AS HUGEINT)) AS BIGINT) / 1e6
+             AS straggler_ratio
     FROM ag, pd"""
   }
 

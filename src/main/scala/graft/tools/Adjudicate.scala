@@ -82,30 +82,48 @@ object Adjudicate {
       BenchStore.clearMemos()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
-      val samples = (1 to repeats).map { r =>
+      // a FAILED repeat must not contribute its (near-zero) elapsed time
+      // as a sample — a query BROKEN by a code change would otherwise
+      // adjudicate as "jitter", writing exoneration into the evidence
+      // file for exactly the failure the tool exists to catch
+      val attempts = (1 to repeats).map { r =>
         Bench.clearProducerMemo(name)
         System.err.println(s"[adjudicate] $name ($r/$repeats)")
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[adjudicate] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[adjudicate] $name failed: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         System.gc()
-        dt
+        (dt, ok)
       }
-      val isoMin = samples.min
-      val ratio = isoMin / rec
-      val verdict =
-        if (ratio <= 1.2) "jitter (host-window inflation in the close run)"
-        else if (ratio <= threshold) "borderline — watch next round"
-        else "REGRESSION — reproduces in isolation; find the code change"
-      System.err.println(f"[adjudicate] $name isolated_min=$isoMin%.3f " +
-        f"record=$rec%.3f ratio=$ratio%.2f → $verdict")
-      s""""$name":{"samples":${samples.map(num).mkString("[", ",", "]")},""" +
-        s""""isolated_min":${num(isoMin)},"record_prior":${num(rec)},""" +
-        s""""close_min":${num(closeMin)},"ratio_vs_record":${num(ratio)},""" +
-        s""""verdict":"$verdict"}"""
+      val samples = attempts.filter(_._2).map(_._1)
+      val failures = attempts.count(!_._2)
+      if (samples.isEmpty) {
+        System.err.println(s"[adjudicate] $name FAILED on all $repeats repeats")
+        s""""$name":{"samples":[],"failures":$failures,""" +
+          s""""record_prior":${num(rec)},"close_min":${num(closeMin)},""" +
+          s""""verdict":"FAILED — the query throws in isolation; this is a code regression, not jitter"}"""
+      } else {
+        val isoMin = samples.min
+        val ratio = isoMin / rec
+        val verdict =
+          if (failures > 0)
+            s"UNSTABLE — $failures of $repeats repeats threw; treat as a regression"
+          else if (ratio <= 1.2) "jitter (host-window inflation in the close run)"
+          else if (ratio <= threshold) "borderline — watch next round"
+          else "REGRESSION — reproduces in isolation; find the code change"
+        System.err.println(f"[adjudicate] $name isolated_min=$isoMin%.3f " +
+          f"record=$rec%.3f ratio=$ratio%.2f → $verdict")
+        s""""$name":{"samples":${samples.map(num).mkString("[", ",", "]")},""" +
+          s""""failures":$failures,""" +
+          s""""isolated_min":${num(isoMin)},"record_prior":${num(rec)},""" +
+          s""""close_min":${num(closeMin)},"ratio_vs_record":${num(ratio)},""" +
+          s""""verdict":"$verdict"}"""
+      }
     }
 
     val line = s"""{"protocol":"tools/Adjudicate: shared JVM, per query full""" +

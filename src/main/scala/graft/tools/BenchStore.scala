@@ -93,15 +93,10 @@ object BenchStore {
           case "default" =>
             // official Bench semantics: memos persist across queries;
             // PRODUCERS are cleared per repeat so they measure
-            // computation (exactly Bench's clear rules — without them
-            // min-of-3 picks a memo-hit repeat and "default" reads as
-            // a cache probe instead of the board number)
-            if (q == "q94_prefix_jaccard_pairs")
-              graft.queries.ClusterMemo.clearExactPairs()
-            if (q == "q122_winnow_fingerprints")
-              graft.queries.GramMemo.clearWinnow()
-            if (q == "q38_text_quality")
-              graft.queries.FeatureMemo.clear()
+            // computation — delegated to Bench's single rulebook so a
+            // producer added there can never silently degrade this
+            // mode's min-of-N into a memo-cache probe
+            graft.Bench.clearProducerMemo(q)
           case "store_cold" =>
             clearMemos()
             ArtifactStore.deleteTree(new java.io.File(store))

@@ -54,7 +54,16 @@ object Scale10 {
 
   def inflate(spark: SparkSession, src: String, dst: String): Unit = {
     val dstDir = Paths.get(dst)
-    if (Files.exists(dstDir.resolve("_SCALE10_OK"))) return
+    // the marker must encode WHICH corpus (path + content signature) was
+    // inflated: a bare "ok" would silently reuse the previous corpus's
+    // inflation after SPARK_GRAFT_SF_DIR changes, and every exponent
+    // would compare a t1 on the new corpus against a t10 of the old one
+    val marker = dstDir.resolve("_SCALE10_OK")
+    val stamp = s"$src|${graft.queries.ArtifactStore.corpusSig(src)}\n"
+    if (Files.exists(marker) && Files.readString(marker) == stamp) return
+    if (Files.exists(dstDir)) {
+      graft.queries.ArtifactStore.deleteTree(dstDir.toFile)
+    }
     Files.createDirectories(dstDir)
 
     val copies = spark.range(0, Copies).select(col("id").cast("int").as("k"))
@@ -99,7 +108,7 @@ object Scale10 {
       if (!Files.exists(link))
         Files.createSymbolicLink(link, Paths.get(s"$src/$t.parquet"))
     }
-    Files.writeString(dstDir.resolve("_SCALE10_OK"), "ok\n")
+    Files.writeString(marker, stamp)
     ()
   }
 

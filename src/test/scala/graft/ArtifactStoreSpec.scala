@@ -235,4 +235,57 @@ class ArtifactStoreSpec extends AnyFunSuite {
       ArtifactStore.deleteTree(corpusDir)
     }
   }
+
+  test("a partial commit (no _SUCCESS) is repaired, and stale temp dirs swept") {
+    import org.apache.spark.sql.functions._
+    import org.apache.hadoop.fs.Path
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-artifacts-repair").toFile.getAbsolutePath
+    val root = s"file:$tmp"
+    spark.conf.set(ArtifactStore.DirConf, root)
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val path = ArtifactStore.pathFor(root, d, "repair_t", conf)
+      val fs = path.getFileSystem(conf)
+      // a crashed writer on a non-atomic-rename store (s3a) leaves the
+      // FINAL dir with part-files and no _SUCCESS — the store must
+      // rebuild over it, never serve it
+      fs.mkdirs(path)
+      val junk = new Path(path, "part-00000-junk.parquet")
+      val out = fs.create(junk); out.write(Array[Byte](1, 2, 3)); out.close()
+      // and a crashed writer's orphaned temp dir, old enough to sweep
+      val orphan = new Path(path.getParent, ".inprogress-crashed-1-1")
+      fs.mkdirs(orphan)
+      fs.setTimes(orphan,
+        System.currentTimeMillis() - ArtifactStore.OrphanTempMaxAgeMs - 1000, -1)
+
+      val served = ArtifactStore.loadOrBuild(spark, d, "repair_t")(
+        spark.range(3).select(col("id")))
+      assert(served.count() == 3,
+        "the partial dir must be repaired by a rebuild, not served")
+      assert(fs.exists(new Path(path, "_SUCCESS")),
+        "the repaired artifact must carry _SUCCESS")
+      assert(!fs.exists(junk), "the partial part-file must be gone")
+      assert(!fs.exists(orphan),
+        "a stale .inprogress temp dir must be swept on the next commit")
+    } finally {
+      spark.conf.set(ArtifactStore.DirConf, "")
+      ArtifactStore.deleteTree(new File(tmp))
+    }
+  }
+
+  test("deleteTree deletes a symlink itself, never its target's contents") {
+    val target = java.nio.file.Files.createTempDirectory("graft-linktarget")
+    val keep = target.resolve("keep.txt")
+    java.nio.file.Files.writeString(keep, "must survive")
+    val treeRoot = java.nio.file.Files.createTempDirectory("graft-tree")
+    java.nio.file.Files.createSymbolicLink(
+      treeRoot.resolve("link.parquet"), target)
+    try {
+      ArtifactStore.deleteTree(treeRoot.toFile)
+      assert(!java.nio.file.Files.exists(treeRoot), "tree root deleted")
+      assert(java.nio.file.Files.exists(keep),
+        "the symlink TARGET's contents must be untouched")
+    } finally ArtifactStore.deleteTree(target.toFile)
+  }
 }
