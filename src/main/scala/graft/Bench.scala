@@ -135,14 +135,19 @@ object Bench {
     // the r5 artifact arrived truncated MID-JSON (the driver captures a
     // bounded output tail): flush the line immediately, mirror it on
     // stderr, and persist it to a file so the artifact survives any
-    // capture window
+    // capture window. A SPARK_GRAFT_ONLY partial run writes a SEPARATE
+    // file — a targeted re-run must not clobber the full board's
+    // artifact (that overwrite once fed a 1-query "board" to the
+    // adjudication tool)
     println(line)
     System.out.flush()
     System.err.println(line)
+    val outFile =
+      if (only.isDefined) "BENCH_ONLY_LAST.json" else "BENCH_LAST.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+      java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_LAST.json: $e")
+      System.err.println(s"[bench] could not write $outFile: $e")
     }
     spark.stop()
   }

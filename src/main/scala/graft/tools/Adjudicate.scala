@@ -72,6 +72,18 @@ object Adjudicate {
     require(graft.queries.ArtifactStore.dirOf(spark).isEmpty,
       "Adjudicate measures production computation; the artifact store must be unset")
 
+    // Bench-style global warmup (q50's clustering lineage generates the
+    // bulk of the shared whole-stage-codegen classes). NOTE the residual
+    // bias this cannot remove: an in-board record reflects a JVM warmed
+    // by hundreds of prior query executions, so a short query's isolated
+    // floor approaches its record only asymptotically (measured: q121
+    // monotone 3.24 -> 0.68 s over 12 repeats vs its 0.44 in-board
+    // record) — the convergence annotation below flags that state.
+    SparkEntry.queries.get("q50_neardup_clusters").foreach { fn =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
+
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
@@ -110,10 +122,21 @@ object Adjudicate {
       } else {
         val isoMin = samples.min
         val ratio = isoMin / rec
+        // the min landing on the LAST repeat with the first half well
+        // above it = the JVM was still warming (JIT/codegen) when
+        // sampling stopped; the isolated number is an UPPER bound on
+        // the steady state, not evidence of a regression
+        val stillWarming = samples.size >= 3 &&
+          samples.last == isoMin &&
+          samples.take(samples.size / 2).min > 1.15 * isoMin
         val verdict =
           if (failures > 0)
             s"UNSTABLE — $failures of $repeats repeats threw; treat as a regression"
           else if (ratio <= 1.2) "jitter (host-window inflation in the close run)"
+          else if (stillWarming)
+            "not converged — samples still descending at the last repeat; " +
+              "the isolated min is an upper bound (in-board records ride a " +
+              "deeply warmed JVM); re-run with more repeats before calling it"
           else if (ratio <= threshold) "borderline — watch next round"
           else "REGRESSION — reproduces in isolation; find the code change"
         System.err.println(f"[adjudicate] $name isolated_min=$isoMin%.3f " +
