@@ -135,16 +135,16 @@ object DedupOps {
   }
 
   /** All doc pairs whose `width`-bit SimHash signatures lie within
-    * Hamming distance `maxDist` (<= 2), with NO all-pairs join and NO
+    * Hamming distance `maxDist` (<= 3), with NO all-pairs join and NO
     * banding: Hamming-ball enumeration over the signature space.
     *
     * Why not LSH banding here: a 16-bit signature has at most 2^5..2^6
     * distinct values per band, so band buckets grow with the corpus and a
     * band equi-join degrades to ~O(n^2/64). Instead the DISTINCT present
     * signatures (<= 2^width rows regardless of corpus size) are exploded
-    * by the C(w,0)+C(w,1)+C(w,2) XOR masks of weight <= 2 (137 at width
-    * 16, 529 at width 32), semi-joined against the present set to give
-    * the exact (s1, s2) signature pairs within distance 2, and docs join
+    * by the XOR masks of weight <= maxDist (137 at width 16 / radius 2;
+    * 529 at 32/2; 5,489 at 32/3), semi-joined against the present set to
+    * give the exact (s1, s2) signature pairs within the ball, and docs join
     * that small pair table by exact signature — three linear scans +
     * equi-joins. Each unordered doc pair emerges exactly once ((s1,s2)
     * and (s2,s1) are both present; id_a < id_b keeps one), so no
@@ -157,18 +157,29 @@ object DedupOps {
     * one (`tools/ProbeQ43Scale`); the 100 TB setting of the SAME plan is
     * width 32 (distinct-signature table <= 4.3e9 rows only in the
     * adversarial limit; in practice ~n until n approaches 2^32, and the
-    * mask explode stays 529 rows per distinct signature).
+    * mask explode stays 529 rows per distinct signature). Widening at a
+    * FIXED maxDist is a precision/recall trade, not a free lunch: the
+    * wide pair set is a strict subset of the narrow one (each wide bit
+    * is independent md5-nibble evidence), so background collisions
+    * collapse but marginal true near-dups can drop too — at scale one
+    * raises maxDist with the width (C(w,<=r) masks stay enumerable:
+    * 5,489 at width 32 / radius 3), the (b, r) design trade the q166
+    * banding curve charts for MinHash.
     */
   def simhashHammingPairs(sig: DataFrame, idCol: String, shCol: String,
                           maxDist: Int = 2, width: Int = 16): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 2, s"maxDist $maxDist not in [0,2]")
+    require(maxDist >= 0 && maxDist <= 3, s"maxDist $maxDist not in [0,3]")
     require(width >= 1 && width <= 32, s"width $width not in [1,32]")
     val singles = (0 until width).map(1 << _)
     val doubles = for { i <- 0 until width; j <- (i + 1) until width }
       yield (1 << i) | (1 << j)
+    val triples = for { i <- 0 until width; j <- (i + 1) until width
+                        k <- (j + 1) until width }
+      yield (1 << i) | (1 << j) | (1 << k)
     val masks: Seq[Int] = (Seq(0) ++
       (if (maxDist >= 1) singles else Nil) ++
-      (if (maxDist >= 2) doubles else Nil))
+      (if (maxDist >= 2) doubles else Nil) ++
+      (if (maxDist >= 3) triples else Nil))
     // the (id, signature) table feeds three branches (distinct sigs,
     // pair side a, pair side b) that don't canonicalize to a shared
     // exchange — without materialization each branch re-scans the
@@ -177,8 +188,13 @@ object DedupOps {
     // is the stored sketch column, not a recomputation.
     val sigM = sig.select(col(idCol), col(shCol)).localCheckpoint()
     val d1 = sigM.select(col(shCol).as("s1")).distinct()
+    // explode a LITERAL mask array and XOR once — one expression
+    // regardless of |masks| (an array() of per-mask XOR expressions
+    // stops being codegen-friendly at the 5,489 masks of width 32 /
+    // radius 3)
     val variants = d1.select(col("s1"),
-      explode(array(masks.map(m => col("s1").bitwiseXOR(lit(m))): _*)).as("s2"))
+        explode(typedLit(masks.toArray)).as("m"))
+      .select(col("s1"), col("s1").bitwiseXOR(col("m")).as("s2"))
     val sigPairs = variants.join(d1.select(col("s1").as("s2")), Seq("s2"))
     val a = sigM.select(col(idCol).as("id_a"), col(shCol).as("s1"))
     val b = sigM.select(col(idCol).as("id_b"), col(shCol).as("s2"))

@@ -316,12 +316,29 @@ class DedupParitySpec extends AnyFunSuite {
     assert(brute.exceptAll(ball).isEmpty && ball.exceptAll(brute).isEmpty)
 
     // a 32-bit Hamming <= 2 match differs in <= 2 of its low 16 bits, so
-    // the wide pair set is a SUBSET of the 16-bit one — widening is the
-    // scale lever that drops background collisions without losing any
-    // pair the narrow signature would have verified
+    // the wide pair set is a SUBSET of the 16-bit one. NOTE what this is
+    // and is not: widening at a FIXED ball radius only REMOVES pairs —
+    // mostly background collisions, but possibly true near-dups whose
+    // extra 16 bits disagree (precision up, recall down). At scale one
+    // tunes (width, maxDist) jointly — the mask count C(w,<=r) stays
+    // enumerable (5,489 at width 32, radius 3) — the same (b, r) design
+    // trade q166 charts for MinHash banding.
     val ball16 = DedupOps.simhashHammingPairs(sig16, "doc_id", "sh16", 2)
     assert(ball.select("id_a", "id_b")
       .exceptAll(ball16.select("id_a", "id_b")).isEmpty)
+
+    // radius 3 (the recall knob one raises WITH the width): ball ==
+    // brute force there too, and it strictly contains the radius-2 ball
+    val brute3 = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+    val ball3 = DedupOps.simhashHammingPairs(
+      sig32, "doc_id", "sh32", maxDist = 3, width = 32)
+    assert(brute3.exceptAll(ball3).isEmpty && ball3.exceptAll(brute3).isEmpty)
+    assert(ball.select("id_a", "id_b")
+      .exceptAll(ball3.select("id_a", "id_b")).isEmpty,
+      "the radius-3 ball must contain the radius-2 ball")
   }
 
   test("prefix-filtered Jaccard join is COMPLETE vs brute force") {
