@@ -135,7 +135,13 @@ object ArtifactStore {
     * `_SUCCESS`-bearing copy fails loudly instead of returning a
     * partial artifact. Crashed writers' orphaned `.inprogress-*` temp
     * dirs are swept once they are older than [[OrphanTempMaxAgeMs]]
-    * (young ones may be a live writer's).
+    * (young ones may be a live writer's). One more race shape is
+    * handled explicitly: a loser whose rename lands AFTER the winner's
+    * commit has its temp moved INSIDE the committed dir (Hadoop rename
+    * onto an existing directory nests the source and reports success)
+    * — the nested temp is detected right after the rename and
+    * reclaimed, and commits additionally sweep nested `.inprogress-*`
+    * dirs left by a loser that crashed before its own reclaim.
     */
   def loadOrBuild(s: SparkSession, d: String, name: String)
                  (build: => DataFrame): DataFrame =
@@ -161,7 +167,22 @@ object ArtifactStore {
             val tmp = new Path(base,
               s".inprogress-${path.getName}-${ProcessHandle.current.pid}-${System.nanoTime}")
             build.write.mode("overwrite").parquet(tmp.toString)
-            val committed = !fs.exists(path) && fs.rename(tmp, path)
+            var committed = !fs.exists(path) && fs.rename(tmp, path)
+            if (committed) {
+              // cross-JVM race window between the exists check and the
+              // rename: if another writer committed in between, Hadoop
+              // rename moves tmp INSIDE the now-existing path and still
+              // returns true — this "winner" actually lost, and its
+              // corpus-sized temp sits nested where readers skip it but
+              // the base-level orphan sweep never looks. Detect the
+              // nested shape, reclaim it, and serve the real winner's
+              // data like any other race loser.
+              val nested = new Path(path, tmp.getName)
+              if (fs.exists(nested)) {
+                fs.delete(nested, true)
+                committed = false
+              }
+            }
             if (!committed) fs.delete(tmp, true) // lost the race; winner's data is identical
             require(fs.exists(new Path(path, "_SUCCESS")),
               s"artifact store: commit of '$name' left no _SUCCESS at " +
@@ -179,6 +200,16 @@ object ArtifactStore {
                     now - st.getModificationTime > OrphanTempMaxAgeMs)
                   fs.delete(st.getPath, true)
               }
+            }
+            // a race loser that crashed between its nested rename and
+            // the reclaim above leaves its temp INSIDE the committed
+            // dir; only a COMPLETED rename creates that shape, so
+            // nested `.inprogress-*` dirs are definitionally dead —
+            // sweep them without an age bound
+            fs.listStatus(path).foreach { st =>
+              if (st.isDirectory &&
+                  st.getPath.getName.startsWith(".inprogress-"))
+                fs.delete(st.getPath, true)
             }
           }
         }

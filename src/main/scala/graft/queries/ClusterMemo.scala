@@ -85,16 +85,32 @@ object ClusterMemo {
 
   /** SimHash Hamming ≤ 2 pair table (id_a, id_b, hamming) — the q43
     * RESULT, materialized once per (session, sfDir): the Hamming-ball
-    * enumeration over distinct 16-bit signatures is the expensive half
-    * shared by q43 (the pair report) and q136 (the agreement matrix).
+    * enumeration over distinct signatures is the expensive half shared
+    * by q43 (the pair report) and q136 (the agreement matrix).
+    *
+    * The signature width is CORPUS-ADAPTIVE
+    * ([[DedupOps.adaptiveSimhashWidth]]: clamp(16, ceil(log2 n) + 8,
+    * 31)) so the pair table's n²/2^width background-collision term
+    * stays ~n/256 — linear — at any corpus size, instead of the
+    * measured 10.4× pair blow-up the fixed 16-bit width paid at ×10
+    * sf0.1 (`tools/ProbeQ43Scale`, SCALE10's 0.86 exponent). The count
+    * that picks the width is one metadata-cheap scan of doc_ids; the
+    * DuckDB oracle computes the identical width from `count(*)` with
+    * integer-exact ceil-log2 (`length(bin(n-1))`), so engine and
+    * oracle mask the same nibble-nested signature to the same width.
+    * Recall at the fixed radius 2 narrows as width grows — the honest
+    * (width, maxDist) trade `simhashHammingPairs`' scaladoc states.
     */
   def simhashPairs(s: SparkSession, d: String): DataFrame =
     simhashPairCache.getOrElseUpdate((System.identityHashCode(s), d),
       ArtifactStore.loadOrBuild(s, d, "simhash_pairs") {
-        val sig = DedupOps.withSimhash16(
-          Tables.documents(s, d).select(col("doc_id"), col("text")),
-          "text", "simhash").drop("text")
-        DedupOps.simhashHammingPairs(sig, "doc_id", "simhash", maxDist = 2)
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val w = DedupOps.adaptiveSimhashWidth(
+          Tables.documents(s, d).select(col("doc_id")).count())
+        val sig = DedupOps.withSimhash(docs, "text", "simhash", w)
+          .drop("text")
+        DedupOps.simhashHammingPairs(sig, "doc_id", "simhash",
+          maxDist = 2, width = w)
       })
 
   /** "Yesterday's" clustering for the incremental-maintenance query

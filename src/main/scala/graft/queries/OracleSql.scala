@@ -214,24 +214,57 @@ private[queries] object OracleSql {
                 AS DOUBLE)
          ELSE 0.0 END, 6)"""
 
-  /** The 16 simhash bit terms over word-hash list `hs` and word list `ws`
-    * (bit j set when the count of words whose j-th md5 hex digit has its
-    * high bit set exceeds half the words) — shared by q33 and q43.
+  /** The `width` simhash bit terms over word-hash list `hs` and word
+    * list `ws` (bit j set when the count of words whose j-th md5 hex
+    * digit has its high bit set exceeds half the words) — bit j depends
+    * only on nibble j, so the width-w signature is the low w bits of
+    * any wider one (the engine's nibble-nesting property).
     */
-  val simhashBitsSql: String = (0 until 16).map { j =>
+  def simhashBitsSqlW(width: Int): String = (0 until width).map { j =>
     s"""(CASE WHEN 2 * len(list_filter(hs,
            h -> substr(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f')))
          > len(ws) THEN ${1 << j} ELSE 0 END)"""
   }.mkString(" + ")
 
-  /** The `sig` CTE producing (doc_id, simhash) from `documents` — the full
-    * shared prefix of the q33/q43 oracles.
+  /** The 16 simhash bit terms — the q33 signature (fixed width 16). */
+  val simhashBitsSql: String = simhashBitsSqlW(16)
+
+  /** The `sig` CTE producing (doc_id, simhash) from `documents` — the
+    * fixed-width-16 chain of the q33 oracle.
     */
   val simhashSigCtes: String = s"""
     WITH nd AS (SELECT doc_id, $normSql AS n FROM documents),
     t AS (SELECT doc_id, list_distinct(string_split(n, ' ')) AS ws FROM nd),
     h AS (SELECT doc_id, ws, list_transform(ws, w -> md5(w)) AS hs FROM t),
     sig AS (SELECT doc_id, CAST($simhashBitsSql AS INTEGER) AS simhash FROM h)"""
+
+  /** The corpus-size-derived simhash width, as SQL: the exact mirror of
+    * [[graft.dedup.DedupOps.adaptiveSimhashWidth]] — clamp(16,
+    * ceil(log2 n) + 8, 31) with ceil-log2 computed INTEGER-exactly as
+    * `length(bin(n - 1))` (a float `ceil(log2(n))` could disagree with
+    * the engine by one ulp at exact powers of two).
+    */
+  val simhashWidthSql: String =
+    """least(31, greatest(16,
+       CAST(length(bin(count(*) - 1)) AS INTEGER) + 8))"""
+
+  /** The `sig` CTE chain producing (doc_id, simhash) at the
+    * CORPUS-ADAPTIVE width — the q43/q136 signature: the full 31-bit
+    * nibble-nested signature masked down to the width the corpus count
+    * selects, exactly what the engine's `SimHashSig(width = w)`
+    * computes directly.
+    */
+  val simhashSigCtesAdaptive: String = s"""
+    WITH nd AS (SELECT doc_id, $normSql AS n FROM documents),
+    t AS (SELECT doc_id, list_distinct(string_split(n, ' ')) AS ws FROM nd),
+    h AS (SELECT doc_id, ws, list_transform(ws, w -> md5(w)) AS hs FROM t),
+    wsel AS (SELECT $simhashWidthSql AS w FROM documents),
+    sigf AS (SELECT doc_id,
+               CAST(${simhashBitsSqlW(31)} AS BIGINT) AS sf FROM h),
+    sig AS (SELECT doc_id,
+              CAST(sf & ((CAST(1 AS BIGINT) << w) - 1) AS INTEGER)
+                AS simhash
+            FROM sigf, wsel)"""
 
   /** The full text near-dup clustering CTE chain (MinHash signatures →
     * banded LSH candidates → exact 3-gram Jaccard verify → recursive

@@ -258,8 +258,8 @@ object Pipeline18 {
   // expensive one at 100 TB (e.g. SimHash-only recall of the MinHash
   // verdicts). Scale shape: each verdict family is its own already-
   // bounded board query (fp groupBy on 16-byte keys; the memoized
-  // verified pair table; banded 16-bit sketch buckets) and the final
-  // join is doc-keyed; output is ≤ 8 rows.
+  // verified pair table; the Hamming ball over adaptive-width
+  // signatures) and the final join is doc-keyed; output is ≤ 8 rows.
   private val AgreeJaccard = 0.5
   private val AgreeHamming = 2
 
@@ -310,9 +310,14 @@ object Pipeline18 {
                 UNION ALL SELECT id_b FROM edges)),
     st AS (SELECT doc_id, list_distinct(string_split(n, ' ')) AS ws FROM nd),
     sh AS (SELECT doc_id, ws, list_transform(ws, w -> md5(w)) AS hs FROM st),
+    swsel AS (SELECT ${OracleSql.simhashWidthSql} AS w FROM documents),
+    ssigf AS (SELECT doc_id,
+                CAST(${OracleSql.simhashBitsSqlW(31)} AS BIGINT) AS sf
+              FROM sh),
     ssig AS (SELECT doc_id,
-               CAST(${OracleSql.simhashBitsSql} AS INTEGER) AS simhash
-             FROM sh),
+               CAST(sf & ((CAST(1 AS BIGINT) << w) - 1) AS INTEGER)
+                 AS simhash
+             FROM ssigf, swsel),
     spairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib
                FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
                WHERE bit_count(xor(a.simhash, b.simhash)) <= $AgreeHamming),

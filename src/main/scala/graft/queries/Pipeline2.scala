@@ -12,13 +12,18 @@ object Pipeline2 {
   type Q = (SparkSession, String) => DataFrame
   import Tables._
 
-  // q43 — simhash near-dup candidate pairs: 16-bit signatures within
+  // q43 — simhash near-dup candidate pairs: corpus-adaptive-width
+  // signatures (clamp(16, ceil(log2 n) + 8, 31) bits — see
+  // DedupOps.adaptiveSimhashWidth; 18 at sf0.01, 21 at sf0.1) within
   // Hamming distance <= 2 (bit_count(xor) in both engines).
   //
   // Scale plan: Hamming-ball enumeration over DISTINCT signatures — see
-  // DedupOps.simhashHammingPairs. No all-pairs join, no nested-loop join;
-  // candidate generation is bounded by the 2^16 signature space, not the
-  // corpus size.
+  // DedupOps.simhashHammingPairs. No all-pairs join, no nested-loop
+  // join; candidate generation is bounded by the distinct-signature
+  // table, and the adaptive width pins the background-collision term
+  // n²/2^width to ~n/256 — LINEAR — at every corpus size (the fixed
+  // 16-bit width's quadratic densification was SCALE10's measured 0.86
+  // exponent).
   // The pair set is emitted UNSORTED by design: on this low-entropy
   // corpus near-dup pairs are quasi-quadratic in the cluster sizes (4.9M
   // rows at sf0.1), and a global sort of a pair-set output is exactly the
@@ -29,7 +34,7 @@ object Pipeline2 {
   // it before each q43 repeat).
   private val q43: Q = (s, d) => ClusterMemo.simhashPairs(s, d)
 
-  private lazy val q43Sql = s"""${OracleSql.simhashSigCtes}
+  private lazy val q43Sql = s"""${OracleSql.simhashSigCtesAdaptive}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id

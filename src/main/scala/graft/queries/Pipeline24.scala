@@ -93,21 +93,35 @@ object Pipeline24 {
     val bitStats = evalG
       .select(explode(Bloom.positionsArray(col("gram"))).as("pos"))
       .agg(countDistinct(col("pos")).as("n_bits_set"))
-    val m3 = BigInt(Bloom.M).pow(3)
+    // theory = fill^K, built from Bloom.K (not a literal exponent) so
+    // the audit tracks the filter's actual hash count — a K bump that
+    // left a hardcoded cube here would make the measured-vs-theory
+    // comparison silently wrong, the exact drift this query exists to
+    // catch. Capacity: the micro-exact chain peaks at 2e6 * nb^K with
+    // nb < M, so K <= 5 keeps it inside DECIMAL(38)/HUGEINT (M=2e5:
+    // 2e6 * (2e5)^5 ~ 6.4e32); fail loudly before a silent wrap.
+    require(BigInt(2000000) * BigInt(Bloom.M).pow(Bloom.K) <
+      BigInt(10).pow(38),
+      s"q159 theory_fpp: 2e6 * M^K overflows DECIMAL(38) at K=${Bloom.K}")
+    val mK = BigInt(Bloom.M).pow(Bloom.K)
+    val nbPow = ("CAST(n_bits_set AS DECIMAL(38,0))" +:
+      Seq.fill(Bloom.K - 1)("n_bits_set")).mkString(" * ")
     stats.crossJoin(broadcast(evalStats)).crossJoin(broadcast(bitStats))
       .select(col("n_eval_grams"), col("n_bits_set"),
         col("n_corpus_grams"), col("n_neg"), col("n_false_pos"),
         round(col("n_false_pos").cast("double") / col("n_neg"), 6)
           .as("fpr"),
         round(col("n_bits_set").cast("double") / Bloom.M, 6).as("fill"),
-        (expr(s"(2 * CAST(n_bits_set AS DECIMAL(38,0)) * n_bits_set * " +
-          s"n_bits_set * 1000000 + ${m3}L) div (2 * ${m3}L)") / 1e6)
+        (expr(s"(2 * $nbPow * 1000000 + ${mK}L) div (2 * ${mK}L)") / 1e6)
           .as("theory_fpp"))
   }
 
   private lazy val q159Sql = {
     import graft.dedup.Bloom.{positionSql, positionsArraySql, K, M}
-    val m3 = BigInt(M).pow(3)
+    val mK = BigInt(M).pow(K)
+    // fill^K from Bloom.K, mirroring the engine-side derivation
+    val nbPow = ("CAST(n_bits_set AS HUGEINT)" +:
+      Seq.fill(K - 1)("n_bits_set")).mkString(" * ")
     s"""
     WITH nd AS (SELECT doc_id, string_split(${OracleSql.normSql}, ' ') AS w
                 FROM documents),
@@ -141,8 +155,8 @@ object Pipeline24 {
     SELECT n_eval_grams, n_bits_set, n_corpus_grams, n_neg, n_false_pos,
            round(CAST(n_false_pos AS DOUBLE) / n_neg, 6) AS fpr,
            round(CAST(n_bits_set AS DOUBLE) / $M, 6) AS fill,
-           CAST((2 * CAST(n_bits_set AS HUGEINT) * n_bits_set * n_bits_set
-                   * 1000000 + $m3) // (2 * $m3) AS BIGINT) / 1e6
+           CAST((2 * $nbPow
+                   * 1000000 + $mK) // (2 * $mK) AS BIGINT) / 1e6
              AS theory_fpp
     FROM st, es, bs"""
   }
@@ -405,7 +419,18 @@ object Pipeline24 {
   // snapshots): for the top-|DriftTop| terms by total token count, the
   // 2×2 chi-square of (term occurrence × half) in exact integer
   // micro-units — N(ad−bc)²·10^6 over the four margins, DECIMAL(38)/
-  // HUGEINT so the ~10^32-digit numerators agree to the last unit.
+  // HUGEINT so the huge-integer numerators agree to the last unit.
+  // The exactness has a REAL capacity ceiling, stated honestly (advice
+  // r9): the numerator 2e6·N·(ad−bc)² and the denominator
+  // 2·n0·n1·(c0+c1)·(N−c0−c1) must fit 38 digits. With balanced
+  // halves and a top term holding ~5% of N tokens that binds around
+  // N ≈ 10^7 tokens — far below a 100 TB corpus (~10^13). Rather than
+  // let Spark null a DECIMAL overflow while DuckDB raises (silent
+  // engine divergence in the worst place), BOTH engines carry the
+  // same double-precision magnitude guard and raise loudly past the
+  // ceiling; the production-scale shape is the same query with the
+  // ·10^6 micro scaling dropped and the chi-square folded in IEEE
+  // doubles (identical fold order both engines, the q166 discipline).
   // q113 reports one KL number per source; this table names the TERMS
   // whose usage shifted (a scraper change shows up as markup tokens
   // surging, a topic shift as content words). Scale shape: one token
@@ -427,14 +452,29 @@ object Pipeline24 {
       .orderBy((col("c0") + col("c1")).desc, col("w"))
       .limit(DriftTop)
       .crossJoin(broadcast(tot))
+      // (ad−bc) forms in DECIMAL(38) — with BIGINT operands
+      // c0*(n1−c1) wraps silently in Spark at ~9.2e18 (token totals
+      // ~1e12 × common-term counts ~1e10 cross that well below
+      // 100 TB) while DuckDB raises, so the engines would diverge
+      // exactly where this drift audit matters
+      .withColumn("adbc", expr(
+        "CAST(c0 AS DECIMAL(38,0)) * (n1 - c1)" +
+          " - CAST(c1 AS DECIMAL(38,0)) * (n0 - c0)"))
       .withColumn("chi2_micro", expr(
-        "CAST((2 * CAST(n0 + n1 AS DECIMAL(38,0))" +
-          " * (c0 * (n1 - c1) - c1 * (n0 - c0))" +
-          " * (c0 * (n1 - c1) - c1 * (n0 - c0)) * 1000000" +
+        "CASE WHEN CAST(n0 + n1 AS DOUBLE) * CAST(adbc AS DOUBLE)" +
+          " * CAST(adbc AS DOUBLE) * 2e6 > 9e37" +
+          " OR CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)" +
+          " * CAST(c0 + c1 AS DOUBLE)" +
+          " * CAST(n0 + n1 - c0 - c1 AS DOUBLE) * 2e0 > 9e37" +
+          " THEN CAST(raise_error('q163: micro-exact chi-square" +
+          " exceeds DECIMAL(38) at this corpus size - drop the 1e6" +
+          " scaling and use the IEEE-double fold') AS BIGINT)" +
+          " ELSE CAST((2 * CAST(n0 + n1 AS DECIMAL(38,0))" +
+          " * adbc * adbc * 1000000" +
           " + CAST(n0 AS DECIMAL(38,0)) * n1 * (c0 + c1)" +
           " * (n0 + n1 - c0 - c1))" +
           " div (2 * CAST(n0 AS DECIMAL(38,0)) * n1 * (c0 + c1)" +
-          " * (n0 + n1 - c0 - c1)) AS BIGINT)"))
+          " * (n0 + n1 - c0 - c1)) AS BIGINT) END"))
       .select(col("w").as("term"), col("c0"), col("c1"),
         (col("chi2_micro") / 1e6).as("chi2"))
       .orderBy(col("chi2").desc, col("term"))
@@ -453,16 +493,26 @@ object Pipeline24 {
     tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
                    CAST(sum(c1) AS BIGINT) AS n1 FROM tf),
     top AS (SELECT w, c0, c1 FROM tf
-            ORDER BY (c0 + c1) DESC, w LIMIT $DriftTop)
+            ORDER BY (c0 + c1) DESC, w LIMIT $DriftTop),
+    ab AS (SELECT w, c0, c1, n0, n1,
+             CAST(c0 AS HUGEINT) * (n1 - c1)
+               - CAST(c1 AS HUGEINT) * (n0 - c0) AS adbc
+           FROM top, tot)
     SELECT w AS term, c0, c1,
-           CAST((2 * CAST(n0 + n1 AS HUGEINT)
-               * (c0 * (n1 - c1) - c1 * (n0 - c0))
-               * (c0 * (n1 - c1) - c1 * (n0 - c0)) * 1000000
-               + CAST(n0 AS HUGEINT) * n1 * (c0 + c1)
-               * (n0 + n1 - c0 - c1))
-             // (2 * CAST(n0 AS HUGEINT) * n1 * (c0 + c1)
-               * (n0 + n1 - c0 - c1)) AS BIGINT) / 1e6 AS chi2
-    FROM top, tot ORDER BY chi2 DESC, term"""
+           CASE WHEN CAST(n0 + n1 AS DOUBLE) * CAST(adbc AS DOUBLE)
+                  * CAST(adbc AS DOUBLE) * 2e6 > 9e37
+                  OR CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                  * CAST(c0 + c1 AS DOUBLE)
+                  * CAST(n0 + n1 - c0 - c1 AS DOUBLE) * 2e0 > 9e37
+             THEN CAST(error('q163: micro-exact chi-square exceeds
+                 HUGEINT capacity at this corpus size') AS BIGINT)
+             ELSE CAST((2 * CAST(n0 + n1 AS HUGEINT)
+                 * adbc * adbc * 1000000
+                 + CAST(n0 AS HUGEINT) * n1 * (c0 + c1)
+                 * (n0 + n1 - c0 - c1))
+               // (2 * CAST(n0 AS HUGEINT) * n1 * (c0 + c1)
+                 * (n0 + n1 - c0 - c1)) AS BIGINT) END / 1e6 AS chi2
+    FROM ab ORDER BY chi2 DESC, term"""
 
   val queries: Map[String, Q] = Map(
     "q159_bloom_fpr_audit" -> q159,

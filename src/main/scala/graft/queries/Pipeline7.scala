@@ -182,9 +182,15 @@ object Pipeline7 {
   // ALREADY verified for every candidate (scoredPairs' SortedArrays
   // merge-count) — flooring on it costs nothing and pins the DP's
   // input to the linearly-growing genuinely-similar population. The
-  // floor sits far below the near-dup decision (rel_dist <= 0.2
-  // implies word-3-gram overlap way above 0.2), so no pair the DP
-  // would certify near is ever dropped.
+  // floor is a HEURISTIC precision/scale trade, not a lossless gate:
+  // rel edit distance and word-3-gram Jaccard are not monotonically
+  // coupled (texts with one-char edits spread across every ~3rd word
+  // sit near rel_dist 0.07 yet gram-Jaccard near 0), so a chance
+  // 4-of-8 MinHash candidate of that adversarial shape is dropped
+  // without its DP hearing. The trade is deliberate: that shape is
+  // vanishingly rare in scraped-corpus near-dups (which share long
+  // verbatim runs), and the alternative — est-only gating — feeds the
+  // O(len^2) DP an n^2-growing chance-collision stream.
   private val EditExactFloor = 0.2
 
   /** q81's un-checkpointed DP lineage — public so PlanShapeSpec can

@@ -20,8 +20,10 @@ import graft.{SparkEntry, Verify}
   * by 10, EMPTYING the rare-gram families (df ∈ [2,5] finds nothing)
   * and exploding every LSH bucket with 10-way mutual near-dups — an
   * adversarial skew test, not a scale test. Copy k > 0 applies a
-  * per-copy Caesar rotation to the LETTERS of every doc (translate()
-  * over a-z/A-Z rotated by k): the mapping is injective, so every
+  * per-copy letter permutation from the affine-cipher family
+  * ([[permutation]]; Caesar rotation is its a = 1 slice, and the full
+  * family keeps copies pairwise distinct past the 26 rotations a ×30
+  * run needs): the mapping is injective, so every
   * per-copy structure — token lengths, word frequencies, gram dfs,
   * shingle sets, near-dup pairs, exact-dup groups — matches the
   * original EXACTLY, while every character 5-shingle containing a
@@ -40,6 +42,29 @@ import graft.{SparkEntry, Verify}
 object Scale10 {
 
   val Copies = 10
+
+  /** The letter permutation of copy `k` — an AFFINE cipher i → a·i + b
+    * (mod 26) on letter indices, case-preserving. Copy 0 is (a,b) =
+    * (1,0), the identity; Caesar rotation is the a = 1 slice. The full
+    * affine family (12 units × 26 shifts = 312 distinct permutations)
+    * exists because rotations alone ALIAS past k = 25 (rot(26) = rot(0)
+    * — a ×30 inflation on rotations would duplicate four corpora
+    * verbatim, the exact adversarial-duplicate artifact the rotation
+    * scheme was built to avoid). Distinct (a,b) ⇒ distinct
+    * permutations, injective per copy, length-preserving; an affine map
+    * fixes at most gcd(a−1, 26) ≤ 2 letters, so 5-char shingles stay
+    * copy-disjoint for real words (the same argument as rotation).
+    */
+  def permutation(k: Int): (String, String) = {
+    require(k >= 0 && k < 312, s"affine family supports 312 copies, got $k")
+    val units = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    // k = 0 must be the identity: walk (b, a-index) lexicographically
+    val a = units(k % 12)
+    val b = k / 12
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val mapped = (0 until 26).map(i => lower((a * i + b) % 26)).mkString
+    (lower + lower.toUpperCase, mapped + mapped.toUpperCase)
+  }
   val Queries: Seq[String] = Seq(
     "q158_value_ci", "q50_neardup_clusters", "q86_containment_pairs",
     "q92_nb_lang_confusion", "q81_editdist_neardup",
@@ -52,34 +77,33 @@ object Scale10 {
     "q43_simhash_hamming_pairs", "q122_winnow_fingerprints",
     "q127_winnow_families", "q111_rm3_expansion", "q169_bpe_tokenize")
 
-  def inflate(spark: SparkSession, src: String, dst: String): Unit = {
+  def inflate(spark: SparkSession, src: String, dst: String,
+              nCopies: Int = Copies): Unit = {
     val dstDir = Paths.get(dst)
     // the marker must encode WHICH corpus (path + content signature) was
     // inflated: a bare "ok" would silently reuse the previous corpus's
     // inflation after SPARK_GRAFT_SF_DIR changes, and every exponent
     // would compare a t1 on the new corpus against a t10 of the old one
     val marker = dstDir.resolve("_SCALE10_OK")
-    val stamp = s"$src|${graft.queries.ArtifactStore.corpusSig(src)}\n"
+    val stamp =
+      s"$src|x$nCopies|${graft.queries.ArtifactStore.corpusSig(src)}\n"
     if (Files.exists(marker) && Files.readString(marker) == stamp) return
     if (Files.exists(dstDir)) {
       graft.queries.ArtifactStore.deleteTree(dstDir.toFile)
     }
     Files.createDirectories(dstDir)
 
-    val copies = spark.range(0, Copies).select(col("id").cast("int").as("k"))
+    val copies = spark.range(0, nCopies).select(col("id").cast("int").as("k"))
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docMax = 10000000L
-    val lower = "abcdefghijklmnopqrstuvwxyz"
-    val upper = lower.toUpperCase
-    def rot(k: Int): Column = {
-      val lo = lower.drop(k % 26) + lower.take(k % 26)
-      val up = upper.drop(k % 26) + upper.take(k % 26)
-      translate(col("text"), lower + upper, lo + up)
+    def perm(k: Int): Column = {
+      val (from, to) = permutation(k)
+      translate(col("text"), from, to)
     }
-    val textOut = (1 until Copies).foldLeft(
+    val textOut = (1 until nCopies).foldLeft(
       when(col("k") === 0, col("text"))) { (acc, k) =>
-      acc.when(col("k") === k, rot(k))
+      acc.when(col("k") === k, perm(k))
     }
     docs.crossJoin(broadcast(copies))
       .select(
@@ -114,7 +138,14 @@ object Scale10 {
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val dst = "target/scale10/data"
+    // SPARK_GRAFT_COPIES=30 + SPARK_GRAFT_SCALE_QUERIES=q50,...: the
+    // ×30 point of judge directive r9-#5 rides the same harness (and
+    // writes SCALE30.json); default is the standing ×10 board
+    val nCopies = sys.env.getOrElse("SPARK_GRAFT_COPIES", Copies.toString).toInt
+    val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Queries)
+    val dst = s"target/scale$nCopies/data"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "2").toInt
     val spark = SparkSession.builder()
@@ -128,7 +159,7 @@ object Scale10 {
     spark.sparkContext.setLogLevel("WARN")
     Verify.silenceIntendedGlobalWindowWarn()
 
-    inflate(spark, src, dst)
+    inflate(spark, src, dst, nCopies)
 
     // every query pays its FULL lineage at both scales (memos cleared
     // per run): the exponent compares computation, not cache luck
@@ -143,31 +174,33 @@ object Scale10 {
     }
 
     // warmup (codegen/JIT) on the small side
-    Queries.foreach(q => try runOnce(q, src) catch { case _: Throwable => })
+    queries.foreach(q => try runOnce(q, src) catch { case _: Throwable => })
 
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-    val rows = Queries.map { q =>
+    val rows = queries.map { q =>
       val t1 = (1 to repeats).map { r =>
         System.err.println(s"[scale10] $q @1x ($r/$repeats)")
         runOnce(q, src)
       }.min
-      val t10 = (1 to repeats).map { r =>
-        System.err.println(s"[scale10] $q @10x ($r/$repeats)")
+      val tn = (1 to repeats).map { r =>
+        System.err.println(s"[scale10] $q @${nCopies}x ($r/$repeats)")
         runOnce(q, dst)
       }.min
-      val exp = math.log(t10 / t1) / math.log(Copies.toDouble)
-      System.err.println(s"[scale10] $q t1=${num(t1)} t10=${num(t10)} exp=${num(exp)}")
-      s""""$q":{"t1_sec":${num(t1)},"t10_sec":${num(t10)},"exponent":${num(exp)}}"""
+      val exp = math.log(tn / t1) / math.log(nCopies.toDouble)
+      System.err.println(
+        s"[scale10] $q t1=${num(t1)} t$nCopies=${num(tn)} exp=${num(exp)}")
+      s""""$q":{"t1_sec":${num(t1)},"t${nCopies}_sec":${num(tn)},"exponent":${num(exp)}}"""
     }
+    val out = s"SCALE$nCopies.json"
     val line =
-      s"""{"metric":"scale10","unit":"sec","copies":$Copies,"sf":"$src","repeats":$repeats,"queries":${rows.mkString("{", ",", "}")}}"""
+      s"""{"metric":"scale$nCopies","unit":"sec","copies":$nCopies,"sf":"$src","repeats":$repeats,"queries":${rows.mkString("{", ",", "}")}}"""
     println(line)
     System.out.flush()
-    try Files.writeString(Paths.get("SCALE10.json"), line + "\n")
+    try Files.writeString(Paths.get(out), line + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[scale10] could not write SCALE10.json: $e")
+      System.err.println(s"[scale10] could not write $out: $e")
     }
     spark.stop()
   }

@@ -295,6 +295,19 @@ class DedupParitySpec extends AnyFunSuite {
       .filter(col("count") > 1).isEmpty)
   }
 
+  test("adaptive simhash width: clamp(16, ceil(log2 n) + 8, 31), integer-exact") {
+    // values cross-checked against the oracle's SQL mirror
+    // (least(31, greatest(16, length(bin(n-1)) + 8)) in DuckDB) on the
+    // same boundary points — both ceil-log2 forms are integer-exact,
+    // including AT powers of two where a float log2 could ulp-diverge
+    val cases = Seq(1L -> 16, 2L -> 16, 256L -> 16, 257L -> 17,
+      512L -> 17, 513L -> 18, 600L -> 18, 1024L -> 18, 6000L -> 21,
+      60000L -> 24, (1L << 40) -> 31)
+    for ((n, w) <- cases)
+      assert(DedupOps.adaptiveSimhashWidth(n) == w,
+        s"width($n) should be $w, got ${DedupOps.adaptiveSimhashWidth(n)}")
+  }
+
   test("32-bit SimHash: ball == brute force; widening refines the 16-bit form") {
     val sig16 = DedupOps.withSimhash16(docs, "text", "sh16").drop("text")
     val sig32 = DedupOps.withSimhash(docs, "text", "sh32", 32).drop("text")

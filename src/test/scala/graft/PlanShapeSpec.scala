@@ -847,4 +847,42 @@ class PlanShapeSpec extends AnyFunSuite {
       !p166.contains("Scan parquet"),
       "q166 rides the memoized pair artifact in one pass")
   }
+
+  test("spread gates its exchange on observed scan parallelism") {
+    // the sandbox's single-row-group files scan as ONE task and NEED
+    // the round-robin exchange; a production multi-file corpus already
+    // scans wide and the same exchange is a corpus-bytes shuffle that
+    // buys nothing — Tables.spread must keep the first and skip the
+    // second (judge directive r9-#4)
+    val tmp = java.nio.file.Files.createTempDirectory("spreadgate").toFile
+    try {
+      graft.queries.Tables.documents(spark, d).repartition(8)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      try {
+        // production-scan-width stand-in: make the 8 small files plan
+        // as >= 2 scan partitions instead of bin-packing into one
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+        spark.conf.set("spark.sql.files.openCostInBytes", "16384")
+        val wide = spark.read.parquet(tmp.getAbsolutePath)
+        assert(wide.rdd.getNumPartitions >= 2,
+          "precondition: the multi-file input must plan a parallel scan")
+        val p = graft.queries.Tables.spread(spark, wide)
+          .queryExecution.optimizedPlan.toString
+        assert(!p.contains("Repartition"),
+          "spread must not exchange an already-parallel scan")
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+      }
+      // the driver testdata itself: one row group, one task — the
+      // exchange must stay (and with it every board plan downstream)
+      val narrow = graft.queries.Tables.documents(spark, d)
+      assert(narrow.rdd.getNumPartitions < 2, "precondition: single task")
+      val p2 = graft.queries.Tables.spread(spark, narrow)
+        .queryExecution.optimizedPlan.toString
+      assert(p2.contains("Repartition"),
+        "spread must still unlock the single-row-group scan")
+    } finally graft.queries.ArtifactStore.deleteTree(tmp)
+  }
 }
