@@ -57,8 +57,9 @@ object Pipeline24 {
   // eval-set size, bits set, the distinct-corpus-gram probe counts,
   // measured FPR over TRUE NEGATIVES, the fill ratio, and the
   // theoretical FPP fill^K computed in exact integer micro-units
-  // (nb^3·10^6 / M^3 under DECIMAL(38)/HUGEINT — no libm pow in either
-  // engine). Read like q142/q148: measured >> theory means correlated
+  // (nb^K·10^6 / M^K under DECIMAL(38)/HUGEINT, the exponent derived
+  // from Bloom.K — no libm pow in either engine). Read like q142/q148:
+  // measured >> theory means correlated
   // positions (hash pathology); fill near 1 means resize M before the
   // second-pass verify drowns (the Bloom.scala sizing note, now with
   // its evidence row). Scale shape: two distinct-gram aggregates and a
