@@ -158,9 +158,20 @@ object ArtifactStore {
         val lock = writeLocks.getOrElseUpdate(
           fs.makeQualified(path).toString, new Object)
         lock.synchronized {
-          if (!fs.exists(new Path(path, "_SUCCESS"))) {
-            // a crashed writer on a non-atomic-rename store can leave
-            // the final dir WITHOUT _SUCCESS — repair it, never serve it
+          val success = new Path(path, "_SUCCESS")
+          // a crashed writer on a non-atomic-rename store can leave the
+          // final dir WITHOUT _SUCCESS — repair (delete) it, never
+          // serve it. The _SUCCESS probe is RE-TAKEN right before the
+          // destructive delete: a concurrent JVM can commit between the
+          // outer check and here, and an unconditional delete would
+          // destroy that fresh commit — failing the winner's own
+          // post-rename require and yanking the dir from under any
+          // third-session reader. A commit observed on re-probe skips
+          // the build entirely and serves the winner's data; the
+          // residual TOCTOU is the probe→delete gap, the best a
+          // non-transactional FileSystem offers.
+          val committedMeanwhile = fs.exists(path) && fs.exists(success)
+          if (!fs.exists(success) && !committedMeanwhile) {
             if (fs.exists(path)) fs.delete(path, true)
             // unique temp sibling: hidden (leading dot) so a concurrent
             // reader's partition discovery and the prune below skip it

@@ -102,16 +102,28 @@ object ClusterMemo {
     * (width, maxDist) trade `simhashHammingPairs`' scaladoc states.
     */
   def simhashPairs(s: SparkSession, d: String): DataFrame =
-    simhashPairCache.getOrElseUpdate((System.identityHashCode(s), d),
-      ArtifactStore.loadOrBuild(s, d, "simhash_pairs") {
+    simhashPairCache.getOrElseUpdate((System.identityHashCode(s), d), {
+      // the width is part of the ARTIFACT KEY, not just the build
+      // closure: the store's path is (name, corpus signature), and the
+      // r10 fixed-16→adaptive width change altered the table's
+      // semantics without changing either — a store populated before
+      // the change would serve stale 16-bit pairs (10.4× the
+      // background collisions) forever on an unchanged corpus. Naming
+      // the width makes any future (width-rule, corpus-size) change
+      // self-invalidating. A pre-bump store's old `simhash_pairs/`
+      // name dir is NOT pruned (the store prunes superseded corpus
+      // sigs under one name, not foreign names) — it sits orphaned,
+      // never served; operators reclaim disk by deleting the name dir.
+      val w = DedupOps.adaptiveSimhashWidth(
+        Tables.documents(s, d).select(col("doc_id")).count())
+      ArtifactStore.loadOrBuild(s, d, s"simhash_pairs_w$w") {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        val w = DedupOps.adaptiveSimhashWidth(
-          Tables.documents(s, d).select(col("doc_id")).count())
         val sig = DedupOps.withSimhash(docs, "text", "simhash", w)
           .drop("text")
         DedupOps.simhashHammingPairs(sig, "doc_id", "simhash",
           maxDist = 2, width = w)
-      })
+      }
+    })
 
   /** "Yesterday's" clustering for the incremental-maintenance query
     * (q108): labels of the corpus-only slice (docs with id % batchMod

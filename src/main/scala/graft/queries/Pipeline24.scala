@@ -104,7 +104,13 @@ object Pipeline24 {
     require(BigInt(2000000) * BigInt(Bloom.M).pow(Bloom.K) <
       BigInt(10).pow(38),
       s"q159 theory_fpp: 2e6 * M^K overflows DECIMAL(38) at K=${Bloom.K}")
+    // M^K is emitted as a DECIMAL(38,0) literal, not a Long suffix:
+    // M=2e5 puts M^4 (~1.6e21) past Long.MaxValue, so `${mK}L` would
+    // fail Spark's parser at K=4 with an out-of-range error while the
+    // capacity require above still claims K <= 5 is safe — the DECIMAL
+    // cast makes the Spark side's real ceiling the require's ceiling
     val mK = BigInt(Bloom.M).pow(Bloom.K)
+    val mKLit = s"CAST('$mK' AS DECIMAL(38,0))"
     val nbPow = ("CAST(n_bits_set AS DECIMAL(38,0))" +:
       Seq.fill(Bloom.K - 1)("n_bits_set")).mkString(" * ")
     stats.crossJoin(broadcast(evalStats)).crossJoin(broadcast(bitStats))
@@ -113,7 +119,7 @@ object Pipeline24 {
         round(col("n_false_pos").cast("double") / col("n_neg"), 6)
           .as("fpr"),
         round(col("n_bits_set").cast("double") / Bloom.M, 6).as("fill"),
-        (expr(s"(2 * $nbPow * 1000000 + ${mK}L) div (2 * ${mK}L)") / 1e6)
+        (expr(s"(2 * $nbPow * 1000000 + $mKLit) div (2 * $mKLit)") / 1e6)
           .as("theory_fpp"))
   }
 
@@ -461,9 +467,18 @@ object Pipeline24 {
       .withColumn("adbc", expr(
         "CAST(c0 AS DECIMAL(38,0)) * (n1 - c1)" +
           " - CAST(c1 AS DECIMAL(38,0)) * (n0 - c0)"))
+      // the guard bounds the numerator as the SUM it actually is
+      // (2e6·N·adbc² + half-denominator): bounding the two terms
+      // separately leaves a band just below the ceiling where the sum
+      // reaches ~1.35e38 — past DECIMAL(38) (Spark nulls silently) but
+      // inside HUGEINT (~1.7e38, DuckDB computes) — the exact
+      // cross-engine divergence this guard exists to close
       .withColumn("chi2_micro", expr(
         "CASE WHEN CAST(n0 + n1 AS DOUBLE) * CAST(adbc AS DOUBLE)" +
-          " * CAST(adbc AS DOUBLE) * 2e6 > 9e37" +
+          " * CAST(adbc AS DOUBLE) * 2e6" +
+          " + CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)" +
+          " * CAST(c0 + c1 AS DOUBLE)" +
+          " * CAST(n0 + n1 - c0 - c1 AS DOUBLE) > 9e37" +
           " OR CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)" +
           " * CAST(c0 + c1 AS DOUBLE)" +
           " * CAST(n0 + n1 - c0 - c1 AS DOUBLE) * 2e0 > 9e37" +
@@ -501,7 +516,10 @@ object Pipeline24 {
            FROM top, tot)
     SELECT w AS term, c0, c1,
            CASE WHEN CAST(n0 + n1 AS DOUBLE) * CAST(adbc AS DOUBLE)
-                  * CAST(adbc AS DOUBLE) * 2e6 > 9e37
+                  * CAST(adbc AS DOUBLE) * 2e6
+                  + CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                  * CAST(c0 + c1 AS DOUBLE)
+                  * CAST(n0 + n1 - c0 - c1 AS DOUBLE) > 9e37
                   OR CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
                   * CAST(c0 + c1 AS DOUBLE)
                   * CAST(n0 + n1 - c0 - c1 AS DOUBLE) * 2e0 > 9e37

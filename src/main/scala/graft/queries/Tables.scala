@@ -90,13 +90,39 @@ object Tables {
     * cores, the exchange is skipped and the frame returned unchanged
     * (PlanShapeSpec pins both shapes: Repartition present for the
     * driver's single-row-group files, absent for a multi-file input).
-    * The probe reads plan metadata only — `rdd.getNumPartitions`
-    * plans, it does not execute.
+    *
+    * Planned byte-range splits OVERCOUNT real parquet parallelism: a
+    * row group executes entirely in the split holding its start
+    * offset, so a large single-row-group file plans many splits but
+    * scans as ONE row-bearing task — the exact starvation spread
+    * exists to fix, silently reintroduced if the gate trusts
+    * `rdd.getNumPartitions` alone. When the planned count passes but
+    * the input is parquet with fewer files than the threshold, the
+    * gate confirms against the files' actual ROW-GROUP count (footer
+    * metadata only, early-exit at the threshold; many-files inputs
+    * short-circuit on the file count — ≥1 row group per file).
+    * Non-parquet or in-memory lineage trusts the plan, matching the
+    * pre-r10 behavior.
     */
   def spread(s: SparkSession, df: DataFrame): DataFrame = {
     val cores = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= (cores + 1) / 2) df
-    else df.repartition(cores)
+    val need = (cores + 1) / 2
+    if (df.rdd.getNumPartitions < need) return df.repartition(cores)
+    val files = df.inputFiles
+    if (files.isEmpty || !files.forall(_.endsWith(".parquet"))) return df
+    if (files.length >= need) return df
+    val conf = s.sessionState.newHadoopConf()
+    var groups = 0
+    var i = 0
+    while (i < files.length && groups < need) {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(files(i)), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try groups += r.getFooter.getBlocks.size
+      finally r.close()
+      i += 1
+    }
+    if (groups >= need) df else df.repartition(cores)
   }
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -100,6 +100,29 @@ object Demo {
       .orderBy("event_type")
     dd.show(8)
     dd.explain("formatted")
+
+    // r10 self-review fixes, driven live: the spread gate's row-group
+    // probe (single-row-group testdata must keep its exchange) and the
+    // width-keyed simhash pair artifact (store dir must carry the
+    // adaptive width in its name)
+    val spreadPlan = graft.queries.Tables.spread(spark, docs)
+      .queryExecution.optimizedPlan.toString
+    println(s"[demo] spread keeps the exchange on 1-row-group input: " +
+      spreadPlan.contains("Repartition"))
+    val storeTmp = java.nio.file.Files
+      .createTempDirectory("demo-store").toFile.getAbsolutePath
+    spark.conf.set(graft.queries.ArtifactStore.DirConf, s"file:$storeTmp")
+    try {
+      val pairs = graft.queries.ClusterMemo.simhashPairs(spark, sfDir)
+      println(s"[demo] simhash pairs rows=${pairs.count()}")
+      println("[demo] store artifact names: " +
+        new java.io.File(storeTmp).listFiles().map(_.getName)
+          .sorted.mkString(", "))
+    } finally {
+      spark.conf.unset(graft.queries.ArtifactStore.DirConf)
+      graft.queries.ClusterMemo.clear()
+      graft.queries.ArtifactStore.deleteTree(new java.io.File(storeTmp))
+    }
     spark.stop()
   }
 }

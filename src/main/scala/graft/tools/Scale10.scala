@@ -54,13 +54,25 @@ object Scale10 {
     * permutations, injective per copy, length-preserving; an affine map
     * fixes at most gcd(a−1, 26) ≤ 2 letters, so 5-char shingles stay
     * copy-disjoint for real words (the same argument as rotation).
+    *
+    * Enumeration order matters: copies 0–25 are the PURE ROTATIONS
+    * (a = 1, b = k), whose pairwise composed maps fix ZERO letters —
+    * full copy-disjointness down to single-character tokens. The
+    * multiplier-first order this replaced gave every copy k < 12 shift
+    * b = 0, and all pure-multiplier maps fix 'a' (i = 0) and 'n'
+    * (i = 13), so the common words "a"/"an" were verbatim-shared
+    * across ALL copies of a ×10 run — their unigram df multiplied ×10
+    * instead of staying copy-disjoint, skewing term-stat structures
+    * (RM3 expansion, BPE vocab counts) in the scale measurement.
+    * Rotation-first pays the ≤2-fixed-letter weakening only past copy
+    * 26, where the rotation family is exhausted anyway.
     */
   def permutation(k: Int): (String, String) = {
     require(k >= 0 && k < 312, s"affine family supports 312 copies, got $k")
     val units = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-    // k = 0 must be the identity: walk (b, a-index) lexicographically
-    val a = units(k % 12)
-    val b = k / 12
+    // k = 0 must be the identity: a = 1 (units(0)) and b = 0
+    val a = units(k / 26)
+    val b = k % 26
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val mapped = (0 until 26).map(i => lower((a * i + b) % 26)).mkString
     (lower + lower.toUpperCase, mapped + mapped.toUpperCase)
@@ -85,8 +97,13 @@ object Scale10 {
     // inflation after SPARK_GRAFT_SF_DIR changes, and every exponent
     // would compare a t1 on the new corpus against a t10 of the old one
     val marker = dstDir.resolve("_SCALE10_OK")
+    // "affine-rot1st" versions the PERMUTATION SCHEME into the stamp:
+    // the enumeration-order fix changed what each copy k contains, and
+    // an unversioned stamp would silently serve a corpus inflated
+    // under the old ordering
     val stamp =
-      s"$src|x$nCopies|${graft.queries.ArtifactStore.corpusSig(src)}\n"
+      s"$src|x$nCopies|affine-rot1st|" +
+        s"${graft.queries.ArtifactStore.corpusSig(src)}\n"
     if (Files.exists(marker) && Files.readString(marker) == stamp) return
     if (Files.exists(dstDir)) {
       graft.queries.ArtifactStore.deleteTree(dstDir.toFile)

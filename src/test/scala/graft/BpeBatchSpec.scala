@@ -40,9 +40,19 @@ class BpeBatchSpec extends AnyFunSuite {
       (3L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
     val words = docs.select(
       split(graft.text.TextOps.normalize(col("text")), " ").as("w"))
+    // the anchor is a HAND-COMPUTED literal, not Bpe.learn's output:
+    // learn delegates to learnBatched(batch=1), so comparing the two
+    // would put the code under test on both sides of the assert and a
+    // batch=1 regression (e.g. a ranking-path tie-break change) would
+    // move both identically. Pair counts: (e,s)=(s,t)=(t,</w>)=9 from
+    // newest×6+widest×3, (l,o)=(o,w)=7 from low×5+lower×2 — three
+    // 9-count ties resolved lexicographically.
+    val expected = Seq(("e", "s"), ("es", "t"), ("est", "</w>"))
     val (seqMerges, _) = Bpe.learn(docs, "text", 3)
+    assert(seqMerges == expected,
+      "sequential learner must walk the hand-computed Sennrich path")
     val batched = Bpe.learnBatched(words, "w", 3, batch = 1)
-    assert(batched.merges == seqMerges)
+    assert(batched.merges == expected)
     assert(batched.batches.forall(_.size == 1),
       "batch=1 must learn exactly one merge per round")
   }

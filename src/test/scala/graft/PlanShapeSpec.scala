@@ -885,4 +885,51 @@ class PlanShapeSpec extends AnyFunSuite {
         "spread must still unlock the single-row-group scan")
     } finally graft.queries.ArtifactStore.deleteTree(tmp)
   }
+
+  test("spread sees through byte-range splits to row-bearing tasks") {
+    // a LARGE single-row-group file defeats a planned-partition gate:
+    // Spark plans ~file/maxSplitBytes byte-range splits, but parquet
+    // assigns a row group to the one split containing its start
+    // offset, so every row lands in ONE task and the compute-amplified
+    // pass runs serially with no error — spread must confirm the plan
+    // against actual row groups and keep the exchange
+    val tmp = java.nio.file.Files.createTempDirectory("spreadrg").toFile
+    try {
+      val oneRg = s"${tmp.getAbsolutePath}/one_rg"
+      graft.queries.Tables.documents(spark, d).coalesce(1)
+        .write.mode("overwrite").parquet(oneRg)
+      val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        val planned = spark.read.parquet(oneRg)
+        assert(planned.rdd.getNumPartitions >= 2,
+          "precondition: the single file must PLAN as a parallel scan")
+        val p = graft.queries.Tables.spread(spark, planned)
+          .queryExecution.optimizedPlan.toString
+        assert(p.contains("Repartition"),
+          "spread must not trust byte-range splits over row groups")
+
+        // the converse: one FILE, many ROW GROUPS — genuinely parallel,
+        // the exchange must be skipped on row-group evidence
+        val manyRg = s"${tmp.getAbsolutePath}/many_rg"
+        graft.queries.Tables.documents(spark, d).coalesce(1)
+          .write.mode("overwrite")
+          .option("parquet.block.size", "1024")
+          .option("parquet.page.size.row.check.min", "10")
+          .parquet(manyRg)
+        val multi = spark.read.parquet(manyRg)
+        val cores = spark.sparkContext.defaultParallelism
+        assert(multi.rdd.getNumPartitions >= (cores + 1) / 2,
+          "precondition: the multi-row-group file must plan wide")
+        val p2 = graft.queries.Tables.spread(spark, multi)
+          .queryExecution.optimizedPlan.toString
+        assert(!p2.contains("Repartition"),
+          "spread must pass a genuinely row-group-parallel scan through")
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+      }
+    } finally graft.queries.ArtifactStore.deleteTree(tmp)
+  }
 }
