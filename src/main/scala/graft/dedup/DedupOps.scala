@@ -1137,27 +1137,68 @@ object DedupOps {
       .withColumn("is_rep", col(idCol) === col("cluster_id"))
   }
 
+  /** Verified near-dup edge list — (id_a < id_b) with exact word
+    * nGram Jaccard ≥ threshold — computed with per-BAND array
+    * shipment: the verify gram arrays ride inside the LSH band member
+    * lists and the pairwise Jaccard merge runs as bucket rows stream
+    * through the pair explode.
+    *
+    * Scale rationale (same as `ClusterMemo.scoredPairsPlan`): the
+    * candidate list is linear in the corpus but each doc sits in many
+    * chance-collision pairs, so the earlier join-the-grams-per-pair
+    * shape re-shuffled every doc's array once per pair — measured 117
+    * GB of gram payload at the ×100 ladder rung (140M pairs × 2 × 52
+    * grams, tools/ProbePairGrowth) vs ~0.8 GB for once-per-band
+    * shipment. The per-pair merge cost is identical in both shapes;
+    * only the shuffled bytes change. Bucket memory is bounded by the
+    * same m² guard as [[lshCandidatePairs]] (a maxBucket bucket holds
+    * maxBucket × (id + gram array) in one aggregation buffer). The
+    * edge set is distinct-deduped (a pair sharing two bands verifies
+    * twice, transiently) and equals the old candidates→join→filter
+    * edge set row for row: the Jaccard is a pure function of the two
+    * docs' arrays.
+    */
+  def nearDupEdges(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, k: Int = 5, numHashes: Int = 8,
+                   rowsPerBand: Int = 2, nGram: Int = 3,
+                   maxBucket: Int = MaxBucketIds): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val base = docs.select(col(idCol), col(textCol))
+    val sig = withMinhashSignature(base, textCol, k, numHashes)
+      .withColumn("_g",
+        column(NGramHashArray(expression(col(textCol)), nGram)))
+      .drop(textCol)
+    val sigRef = (0 until numHashes).map(i => col(s"m$i"))
+    val bands = (0 until numHashes / rowsPerBand).map(b =>
+      bandKey(sigRef, b, rowsPerBand))
+    sig.withColumn("band", explode(array(bands: _*)))
+      .filter(col("band").isNotNull)
+      .groupBy(col("band"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("_g").as("g")))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
+      .filter(assert_true(size(col("ms")) <= lit(maxBucket),
+        concat(lit("LSH band bucket exceeds maxBucket="), lit(maxBucket),
+          lit(" ids (got "), size(col("ms")),
+          lit("): run EXACT dedup before MinHash-LSH — see " +
+            "DedupOps.lshCandidatePairs scaladoc"))).isNull)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .filter(round(column(SortedArraysJaccard(
+        expression(col("a.g")), expression(col("b.g")))), 6) >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, k: Int = 5, numHashes: Int = 8,
                       rowsPerBand: Int = 2, nGram: Int = 3,
                       maxBucket: Int = MaxBucketIds): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val base = docs.select(col(idCol), col(textCol))
-    val sig = withMinhashSignature(base, textCol, k, numHashes).drop(textCol)
-    val cand = lshCandidatePairs(sig, idCol, numHashes, rowsPerBand, maxBucket)
-    // verify join carries PRECOMPUTED sorted gram arrays (one NGramArray
-    // pass per document, scan-local) and the per-pair check is a linear
-    // merge — a doc in a near-dup corpus sits in many candidate pairs,
-    // so the earlier per-pair normalize→split→gram-set (NGramJaccard on
-    // raw texts) made the verify stage the pipeline's dominant cost
-    val grams = base.select(col(idCol),
-      column(NGramHashArray(expression(col(textCol)), nGram)).as("_g"))
-    val edges = cand
-      .join(grams.select(col(idCol).as("id_a"), col("_g").as("_ga")), Seq("id_a"))
-      .join(grams.select(col(idCol).as("id_b"), col("_g").as("_gb")), Seq("id_b"))
-      .filter(round(column(SortedArraysJaccard(
-        expression(col("_ga")), expression(col("_gb")))), 6) >= threshold)
+    val edges = nearDupEdges(docs, idCol, textCol, threshold, k, numHashes,
+        rowsPerBand, nGram, maxBucket)
       .select(col("id_a").as("a"), col("id_b").as("b"))
     val cc = connectedComponents(base.select(col(idCol).as("id")), edges)
     cc.select(col("id").as(idCol), col("cluster_id"))

@@ -197,25 +197,52 @@ object ClusterMemo {
 
   /** The un-memoized scored-pair lineage (public so PlanShapeSpec can
     * gate the PLAN — one MinHash pass, one exact-Jaccard evaluation —
-    * which the memoized checkpoint would hide). Signature arrays ride
-    * through the band member lists so MinHash runs once inside the scan;
-    * same band → member-list shape as [[DedupOps.lshCandidatePairs]],
-    * including the null-band filter and the m² bucket guard.
+    * which the memoized checkpoint would hide). Signature AND verify
+    * gram arrays ride through the band member lists, so one scan
+    * computes everything and BOTH scores evaluate at pair-explode
+    * time, inside the bucket.
+    *
+    * Scale design — ship arrays per BAND, never per PAIR: the earlier
+    * shape deduped (id, sig)-carrying pair rows and then joined each
+    * doc's verify grams onto the pair list twice, which re-shuffles
+    * every doc's gram array ONCE PER PAIR IT APPEARS IN. Candidate
+    * volume grows linearly with the corpus but each doc sits in
+    * hundreds of chance-collision pairs (tools/ProbePairGrowth at the
+    * ×100 ladder rung: 140M distinct pairs over 500k docs, avg 52
+    * grams/doc → the per-pair form moves ~117 GB of gram payload
+    * through two shuffles, which is a non-event spread over a cluster
+    * but killed the single-box ladder run at 80 GB of spill). Carrying
+    * grams inside the band member lists ships each doc's array once
+    * per band (4 × corpus grams ≈ 0.8 GB at the same rung, 150× less),
+    * the pairwise Jaccard merge runs CPU-side as bucket rows stream
+    * through the explode (bounded by the m² bucket guard), and the
+    * dedup sorts only the NARROW verified rows (id_a, id_b, est,
+    * jaccard — ~40 B). Both scores are pure functions of the two
+    * member payloads, so distinct-after-scoring equals the old
+    * score-after-distinct row for row; the only repeated work is the
+    * ~5% of band pairs that surface in a second band re-running a
+    * 52-element merge. Same band → member-list shape as
+    * [[DedupOps.lshCandidatePairs]], including the null-band filter
+    * and the m² bucket guard.
     */
   def scoredPairsPlan(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     import graft.dedup.{MinHashSig, NGramHashArray, SortedArraysJaccard}
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val sigArr = column(MinHashSig(expression(col("text")), ShingleK, NumHashes))
-    val sig = base.select(col("doc_id"), sigArr.as("_sig"))
+    val sig = base.select(col("doc_id"), sigArr.as("_sig"),
+      column(NGramHashArray(expression(col("text")), NGram)).as("_g"))
     val sigRef = (0 until NumHashes).map(i => element_at(col("_sig"), i + 1))
     val bands = (0 until NumHashes / RowsPerBand).map(b =>
       DedupOps.bandKey(sigRef, b, RowsPerBand))
-    val pairs = sig.withColumn("band", explode(array(bands: _*)))
+    val agree = (0 until NumHashes).map(i =>
+      when(element_at(col("a.sig"), i + 1) === element_at(col("b.sig"), i + 1),
+        1).otherwise(0)).reduce(_ + _)
+    sig.withColumn("band", explode(array(bands: _*)))
       .filter(col("band").isNotNull)
       .groupBy(col("band"))
-      .agg(collect_list(struct(col("doc_id").as("id"), col("_sig").as("sig")))
-        .as("ms"))
+      .agg(collect_list(struct(col("doc_id").as("id"), col("_sig").as("sig"),
+        col("_g").as("g"))).as("ms"))
       .filter(size(col("ms")) > 1)
       .filter(assert_true(size(col("ms")) <= lit(DedupOps.MaxBucketIds),
         concat(lit("LSH band bucket exceeds maxBucket="),
@@ -226,22 +253,10 @@ object ClusterMemo {
       .select(col("a"), explode(col("ms")).as("b"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("_sa"), col("b.sig").as("_sb"))
-      .distinct()
-    val grams = base.select(col("doc_id"),
-      column(NGramHashArray(expression(col("text")), NGram)).as("_g"))
-    val agree = (0 until NumHashes).map(i =>
-      when(element_at(col("_sa"), i + 1) === element_at(col("_sb"), i + 1), 1)
-        .otherwise(0)).reduce(_ + _)
-    pairs
-      .join(grams.select(col("doc_id").as("id_a"), col("_g").as("_ga")),
-        Seq("id_a"))
-      .join(grams.select(col("doc_id").as("id_b"), col("_g").as("_gb")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
         round(agree / lit(NumHashes.toDouble), 6).as("est_jaccard"),
         round(column(SortedArraysJaccard(
-          expression(col("_ga")), expression(col("_gb")))), 6).as("jaccard"))
+          expression(col("a.g")), expression(col("b.g")))), 6).as("jaccard"))
+      .distinct()
   }
 
   /** Scored candidate pairs, materialized once per (session, sfDir). */

@@ -123,6 +123,25 @@ object Demo {
       graft.queries.ClusterMemo.clear()
       graft.queries.ArtifactStore.deleteTree(new java.io.File(storeTmp))
     }
+
+    // r10 in-bucket verify, driven live: near-dup edges must ship gram
+    // arrays per BAND (no per-pair gram join — the ×100 ladder's 117 GB
+    // shuffle), so the verified-edge plan has NO join at all: one scan,
+    // band explode, bucket aggregate, pair explode with the Jaccard
+    // merge inline
+    val edges = graft.dedup.DedupOps.nearDupEdges(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text", 0.5)
+    println(s"[demo] near-dup verified edges rows=${edges.count()}")
+    val edgePlan = edges.queryExecution.executedPlan.toString
+    println("[demo] edge plan join-free (per-band array shipment): " +
+      !(edgePlan.contains("SortMergeJoin") ||
+        edgePlan.contains("ShuffledHashJoin") ||
+        edgePlan.contains("BroadcastHashJoin")))
+    println("[demo] exact Jaccard runs inline in the pair explode: " +
+      ("sorted_arrays_jaccard".r.findAllIn(edgePlan).size == 1))
+    val clusters = graft.dedup.DedupOps.nearDupClusters(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text", 0.5)
+    clusters.orderBy(col("cluster_id").desc, col("doc_id")).show(6)
     spark.stop()
   }
 }

@@ -75,7 +75,47 @@ object Scale10 {
     val b = k % 26
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val mapped = (0 until 26).map(i => lower((a * i + b) % 26)).mkString
-    (lower + lower.toUpperCase, mapped + mapped.toUpperCase)
+    val (digFrom, digTo) = digitPermutation(k)
+    (lower + lower.toUpperCase + digFrom,
+      mapped + mapped.toUpperCase + digTo)
+  }
+
+  /** The DIGIT permutation of copy `k` — an affine cipher on 0–9
+    * (units mod 10 = {1,3,7,9}, 40 distinct maps, k = 0 the identity).
+    *
+    * Closes the one verbatim-duplication hole the letter family leaves:
+    * a LETTER-FREE text (all digits/punctuation) is fixed by every
+    * letter permutation, so its copies would be exact cross-copy
+    * duplicates — the adversarial-duplicate artifact the scheme exists
+    * to avoid. Rotating digits per copy (shift-first enumeration,
+    * mirroring the letter family's rotation-first order) makes
+    * digit-bearing texts copy-disjoint too; the family has 40 members,
+    * so past ×40 letter-free docs duplicate only across ⌈n/40⌉-copy
+    * groups. Punctuation/whitespace-only texts remain verbatim-shared
+    * (no remap preserves their character classes) — exact duplicates a
+    * production pipeline removes before LSH.
+    *
+    * Measured honesty note: this is HARDENING, not the explanation of
+    * the fat LSH buckets in the scale runs. The >1000-member buckets
+    * ProbePairGrowth found at ×10 (max 2049) were unchanged by the
+    * digit fix — member inspection showed each sits WITHIN one copy:
+    * every permuted copy is an independent MinHash draw over the
+    * testdata's ~40-word synthetic vocabulary, and a draw whose
+    * globally-minimal shingles are common puts a large fraction of
+    * that copy's docs in one bucket (the base corpus's own draw was a
+    * lucky-small one, max bucket 138). Bucket size is bounded by the
+    * PER-COPY doc count, so band-pair volume still grows linearly with
+    * copies — intrinsic low-text-entropy LSH behavior, not an
+    * inflation artifact.
+    */
+  def digitPermutation(k: Int): (String, String) = {
+    val units = Array(1, 3, 7, 9)
+    val m = k % 40
+    val a = units(m / 10)
+    val b = m % 10
+    val digits = "0123456789"
+    val mapped = (0 until 10).map(i => digits((a * i + b) % 10)).mkString
+    (digits, mapped)
   }
   val Queries: Seq[String] = Seq(
     "q158_value_ci", "q50_neardup_clusters", "q86_containment_pairs",
@@ -102,7 +142,7 @@ object Scale10 {
     // an unversioned stamp would silently serve a corpus inflated
     // under the old ordering
     val stamp =
-      s"$src|x$nCopies|affine-rot1st|" +
+      s"$src|x$nCopies|affine-rot1st-digrot|" +
         s"${graft.queries.ArtifactStore.corpusSig(src)}\n"
     if (Files.exists(marker) && Files.readString(marker) == stamp) return
     if (Files.exists(dstDir)) {

@@ -50,4 +50,38 @@ class Scale10PermSpec extends AnyFunSuite {
       assert(shared <= 2, s"copies $j,$k share $shared letter images")
     }
   }
+
+  private def digitMap(k: Int): String = Scale10.digitPermutation(k)._2
+
+  test("digit family: identity at 0, all 40 members distinct bijections") {
+    assert(digitMap(0) == "0123456789")
+    val all = (0 until 40).map(digitMap)
+    assert(all.distinct.size == 40)
+    all.foreach(m =>
+      assert(m.toSeq.distinct.size == 10, s"not a bijection: $m"))
+  }
+
+  test("digit family: first 10 copies are rotations, disjoint pairwise") {
+    // the cross-copy letter-free-doc artifact (67% of the ×10 pair
+    // table, ProbePairGrowth) needs the SMALL copy counts to be fully
+    // digit-disjoint; shift-first enumeration gives rotations for
+    // k <= 9, which disagree at every digit position
+    val maps = (0 to 9).map(digitMap)
+    for (j <- 0 to 9; k <- 0 until j)
+      assert((0 until 10).forall(i => maps(j)(i) != maps(k)(i)),
+        s"copies $j and $k share a digit image")
+  }
+
+  test("digit family wraps at 40: k and k+40 share the digit map") {
+    // documented residual: past x40, letter-free docs duplicate across
+    // ceil(n/40)-copy groups — bounded, stated in the scaladoc
+    assert(digitMap(3) == digitMap(43))
+  }
+
+  test("full translate source covers letters then digits, same length") {
+    val (from, to) = Scale10.permutation(7)
+    assert(from.length == to.length)
+    assert(from.endsWith("0123456789"))
+    assert(from.startsWith("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"))
+  }
 }
