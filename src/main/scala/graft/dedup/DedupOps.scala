@@ -92,6 +92,45 @@ object DedupOps {
     md5(to_binary(joined, lit("utf-8")))
   }
 
+  /** First-match-band guard for band→member-list LSH pair plans: true
+    * iff no band EARLIER than the bucket's band index `biCol` has equal
+    * raw signature slices for the two members `aSig`/`bSig` — i.e. this
+    * bucket is the pair's first match and the one place it is emitted.
+    *
+    * This is what lets a per-band-shipment plan score each candidate
+    * pair EXACTLY ONCE with no trailing `distinct()`: a pair sharing j
+    * bands surfaces in j buckets, but only the lowest-index one passes
+    * the guard, and the check is pair-local (both members' signature
+    * arrays are already in the bucket row) — no shuffle, a handful of
+    * integer compares vs re-running the gram-merge verify per extra
+    * band and then sort-deduping the pair table.
+    *
+    * Null semantics follow BUCKET semantics: [[bandKey]] nulls out when
+    * any slice component is null, so two docs with null components in
+    * band b' never co-occur in b's bucket — an earlier band therefore
+    * counts as "matched" only when its slices are NON-NULL equal
+    * (`===` wrapped in `coalesce(…, false)`; a null-safe `<=>` would
+    * call two null slices a match and wrongly suppress the pair from
+    * the band where it really first met). For non-null slices the raw
+    * compare coincides with key equality: components are fixed-width
+    * hex, so the `|`-concat the key hashes is injective.
+    * Bucket membership itself hashes the slice ([[bandKey]] md5), so a
+    * hash collision between unequal slices could in principle emit a
+    * duplicate pair (two colliding buckets, neither seeing an earlier
+    * RAW match) — at 128-bit md5 that is ~2^-128 per bucket pair,
+    * below any practical concern and absent on every test corpus.
+    */
+  def firstBandMatch(biCol: Column, aSig: Column, bSig: Column,
+                     rowsPerBand: Int, numBands: Int): Column = {
+    val earlier = (0 until numBands - 1).map { b =>
+      val sliceEq = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => element_at(aSig, j + 1) === element_at(bSig, j + 1))
+        .reduce(_ && _)
+      (lit(b) < biCol) && coalesce(sliceEq, lit(false))
+    }.foldLeft(lit(false))(_ || _)
+    !earlier
+  }
+
   /** Adds a 16-bit SimHash column from word unigrams: bit j is set when
     * the count of words whose j-th md5 hex digit has its high bit set
     * exceeds half the words. Engine-portable (hex-digit test instead of
@@ -595,8 +634,10 @@ object DedupOps {
     * Plan shape: the signature frame is scanned ONCE — bands explode, and
     * candidates come from a band -> member-list pre-aggregation (one
     * shuffle on the short band key) instead of a self-join that would
-    * compute the signature on both sides. The pair output is identical to
-    * the band equi-self-join's.
+    * compute the signature on both sides. Each pair is emitted exactly
+    * once, at its first matching band ([[firstBandMatch]]), so no
+    * trailing distinct is needed; the pair output SET is identical to
+    * the band equi-self-join's after dedup.
     *
     * SCALE PRECONDITION: run EXACT dedup first (exactDedup / the q48
     * pipeline), as production MinHash-LSH always does. An exact-duplicate
@@ -624,22 +665,29 @@ object DedupOps {
                         numHashes: Int, rowsPerBand: Int,
                         maxBucket: Int = MaxBucketIds): DataFrame = {
     val sigRef = (0 until numHashes).map(i => col(s"m$i"))
-    val bands = (0 until numHashes / rowsPerBand).map(b =>
-      bandKey(sigRef, b, rowsPerBand))
-    sig.withColumn("band", explode(array(bands: _*)))
-      .select(col(idCol), col("band"))
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map(b => bandKey(sigRef, b, rowsPerBand))
+    // members carry their signature arrays so the [[firstBandMatch]]
+    // guard below can emit each pair exactly once (at its first
+    // matching band) with NO trailing distinct: the dedup of the full
+    // candidate table — a shuffle+sort linear in the pair volume, the
+    // dominant output at corpus scale — becomes a pair-local integer
+    // check, for one small sig array per member in the band shuffle.
+    sig.select(col(idCol), array(sigRef: _*).as("_sig"),
+        posexplode(array(bands: _*)).as(Seq("_bi", "band")))
       // null bands (null-text docs) never match in the oracle's SQL join;
       // the groupBy would collect them into one bucket
       .filter(col("band").isNotNull)
-      .groupBy(col("band"))
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .groupBy(col("band"), col("_bi"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("_sig").as("sig")))
+        .as("ms"))
+      .filter(size(col("ms")) > 1)
       // assert_true returns NULL when the predicate holds and throws
       // otherwise, so the isNull filter keeps every valid row while
       // failing the job loudly on a pathological bucket.
-      .filter(assert_true(size(col("ids")) <= lit(maxBucket),
+      .filter(assert_true(size(col("ms")) <= lit(maxBucket),
         concat(lit("LSH band bucket exceeds maxBucket="), lit(maxBucket),
-          lit(" ids (got "), size(col("ids")),
+          lit(" ids (got "), size(col("ms")),
           lit("): run EXACT dedup before MinHash-LSH — an exact-duplicate " +
             "class of m docs shares every band and its m^2 candidate " +
             "output cannot be computed by any plan. If the bucket is " +
@@ -647,10 +695,12 @@ object DedupOps {
             "exact-deduped), raise the maxBucket parameter of " +
             "lshCandidatePairs/nearDupClusters; see " +
             "DedupOps.lshCandidatePairs scaladoc"))).isNull)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
+      .select(col("_bi"), explode(col("ms")).as("a"), col("ms"))
+      .select(col("_bi"), col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .filter(firstBandMatch(col("_bi"), col("a.sig"), col("b.sig"),
+        rowsPerBand, numBands))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
 
   /** Connected components by min-label propagation WITH pointer jumping:
@@ -1149,14 +1199,24 @@ object DedupOps {
     * shape re-shuffled every doc's array once per pair — measured 117
     * GB of gram payload at the ×100 ladder rung (140M pairs × 2 × 52
     * grams, tools/ProbePairGrowth) vs ~0.8 GB for once-per-band
-    * shipment. The per-pair merge cost is identical in both shapes;
-    * only the shuffled bytes change. Bucket memory is bounded by the
-    * same m² guard as [[lshCandidatePairs]] (a maxBucket bucket holds
-    * maxBucket × (id + gram array) in one aggregation buffer). The
-    * edge set is distinct-deduped (a pair sharing two bands verifies
-    * twice, transiently) and equals the old candidates→join→filter
-    * edge set row for row: the Jaccard is a pure function of the two
-    * docs' arrays.
+    * shipment. Bucket memory is bounded by the same m² guard as
+    * [[lshCandidatePairs]] (a maxBucket bucket holds maxBucket ×
+    * (id + sig + gram array) in one aggregation buffer).
+    *
+    * Exactly-once verify ([[firstBandMatch]]): genuine near-dups share
+    * MOST bands by construction (that is what high Jaccard means), so
+    * verifying at every band occurrence re-runs the gram merge up to
+    * numBands× per pair and then needs a pair-table distinct —
+    * measured 3× q50 wall-time at the ×10 ladder rung when this plan
+    * first shipped with verify-every-occurrence + distinct. Instead
+    * each bucket carries its band index (via `posexplode`; [[bandKey]]
+    * embeds the index, so one bucket = one index) and members carry
+    * their signature arrays; a pair is verified/emitted ONLY in its
+    * first raw-matching band — a pair-local integer check, no extra
+    * shuffle — so the gram merge runs once per distinct pair and the
+    * trailing distinct disappears. The emitted edge set equals the old
+    * candidates→join→filter set row for row: the Jaccard is a pure
+    * function of the two docs' arrays.
     */
   def nearDupEdges(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, k: Int = 5, numHashes: Int = 8,
@@ -1169,26 +1229,28 @@ object DedupOps {
         column(NGramHashArray(expression(col(textCol)), nGram)))
       .drop(textCol)
     val sigRef = (0 until numHashes).map(i => col(s"m$i"))
-    val bands = (0 until numHashes / rowsPerBand).map(b =>
-      bandKey(sigRef, b, rowsPerBand))
-    sig.withColumn("band", explode(array(bands: _*)))
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map(b => bandKey(sigRef, b, rowsPerBand))
+    sig.select(col(idCol), col("_g"), array(sigRef: _*).as("_sig"),
+        posexplode(array(bands: _*)).as(Seq("_bi", "band")))
       .filter(col("band").isNotNull)
-      .groupBy(col("band"))
-      .agg(collect_list(struct(col(idCol).as("id"), col("_g").as("g")))
-        .as("ms"))
+      .groupBy(col("band"), col("_bi"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("_sig").as("sig"),
+        col("_g").as("g"))).as("ms"))
       .filter(size(col("ms")) > 1)
       .filter(assert_true(size(col("ms")) <= lit(maxBucket),
         concat(lit("LSH band bucket exceeds maxBucket="), lit(maxBucket),
           lit(" ids (got "), size(col("ms")),
           lit("): run EXACT dedup before MinHash-LSH — see " +
             "DedupOps.lshCandidatePairs scaladoc"))).isNull)
-      .select(explode(col("ms")).as("a"), col("ms"))
-      .select(col("a"), explode(col("ms")).as("b"))
+      .select(col("_bi"), explode(col("ms")).as("a"), col("ms"))
+      .select(col("_bi"), col("a"), explode(col("ms")).as("b"))
       .filter(col("a.id") < col("b.id"))
+      .filter(firstBandMatch(col("_bi"), col("a.sig"), col("b.sig"),
+        rowsPerBand, numBands))
       .filter(round(column(SortedArraysJaccard(
         expression(col("a.g")), expression(col("b.g")))), 6) >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
   }
 
   def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,

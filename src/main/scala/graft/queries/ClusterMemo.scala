@@ -213,16 +213,26 @@ object ClusterMemo {
     * through two shuffles, which is a non-event spread over a cluster
     * but killed the single-box ladder run at 80 GB of spill). Carrying
     * grams inside the band member lists ships each doc's array once
-    * per band (4 × corpus grams ≈ 0.8 GB at the same rung, 150× less),
-    * the pairwise Jaccard merge runs CPU-side as bucket rows stream
-    * through the explode (bounded by the m² bucket guard), and the
-    * dedup sorts only the NARROW verified rows (id_a, id_b, est,
-    * jaccard — ~40 B). Both scores are pure functions of the two
-    * member payloads, so distinct-after-scoring equals the old
-    * score-after-distinct row for row; the only repeated work is the
-    * ~5% of band pairs that surface in a second band re-running a
-    * 52-element merge. Same band → member-list shape as
-    * [[DedupOps.lshCandidatePairs]], including the null-band filter
+    * per band (4 × corpus grams ≈ 0.8 GB at the same rung, 150× less)
+    * and the pairwise Jaccard merge runs CPU-side as bucket rows
+    * stream through the explode (bounded by the m² bucket guard).
+    *
+    * Exactly-once scoring ([[DedupOps.firstBandMatch]]): genuine
+    * near-dups share MOST bands by construction (that is what high
+    * Jaccard means), so scoring at every band occurrence re-runs the
+    * gram merge up to numBands× per pair and then needs a pair-table
+    * distinct — measured 3× q50 wall-time at the ×10 ladder rung when
+    * this plan first shipped with score-every-occurrence + distinct.
+    * Instead each bucket carries its band index (via `posexplode`;
+    * [[DedupOps.bandKey]] embeds the index, so one bucket = one index)
+    * and a pair is scored/emitted ONLY in its first raw-matching band —
+    * a pair-local integer check on the signature arrays already in the
+    * member structs, no extra shuffle. Both scores then evaluate once
+    * per distinct pair and the trailing distinct (a full shuffle+sort
+    * of the pair table) disappears; the emitted rows equal the old
+    * distinct-then-score table row for row (both scores are pure
+    * functions of the member payloads). Same band → member-list shape
+    * as [[DedupOps.lshCandidatePairs]], including the null-band filter
     * and the m² bucket guard.
     */
   def scoredPairsPlan(s: SparkSession, d: String): DataFrame = {
@@ -233,14 +243,16 @@ object ClusterMemo {
     val sig = base.select(col("doc_id"), sigArr.as("_sig"),
       column(NGramHashArray(expression(col("text")), NGram)).as("_g"))
     val sigRef = (0 until NumHashes).map(i => element_at(col("_sig"), i + 1))
-    val bands = (0 until NumHashes / RowsPerBand).map(b =>
+    val numBands = NumHashes / RowsPerBand
+    val bands = (0 until numBands).map(b =>
       DedupOps.bandKey(sigRef, b, RowsPerBand))
     val agree = (0 until NumHashes).map(i =>
       when(element_at(col("a.sig"), i + 1) === element_at(col("b.sig"), i + 1),
         1).otherwise(0)).reduce(_ + _)
-    sig.withColumn("band", explode(array(bands: _*)))
+    sig.select(col("doc_id"), col("_sig"), col("_g"),
+        posexplode(array(bands: _*)).as(Seq("_bi", "band")))
       .filter(col("band").isNotNull)
-      .groupBy(col("band"))
+      .groupBy(col("band"), col("_bi"))
       .agg(collect_list(struct(col("doc_id").as("id"), col("_sig").as("sig"),
         col("_g").as("g"))).as("ms"))
       .filter(size(col("ms")) > 1)
@@ -249,14 +261,15 @@ object ClusterMemo {
           lit(DedupOps.MaxBucketIds), lit(" ids (got "), size(col("ms")),
           lit("): run EXACT dedup before MinHash-LSH — see " +
             "DedupOps.lshCandidatePairs scaladoc"))).isNull)
-      .select(explode(col("ms")).as("a"), col("ms"))
-      .select(col("a"), explode(col("ms")).as("b"))
+      .select(col("_bi"), explode(col("ms")).as("a"), col("ms"))
+      .select(col("_bi"), col("a"), explode(col("ms")).as("b"))
       .filter(col("a.id") < col("b.id"))
+      .filter(DedupOps.firstBandMatch(col("_bi"), col("a.sig"), col("b.sig"),
+        RowsPerBand, numBands))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(agree / lit(NumHashes.toDouble), 6).as("est_jaccard"),
         round(column(SortedArraysJaccard(
           expression(col("a.g")), expression(col("b.g")))), 6).as("jaccard"))
-      .distinct()
   }
 
   /** Scored candidate pairs, materialized once per (session, sfDir). */

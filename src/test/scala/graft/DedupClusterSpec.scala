@@ -104,6 +104,67 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 1), "expected at least one non-singleton cluster")
   }
 
+  test("first-band-match emits each pair exactly once, no distinct needed") {
+    val sp = spark
+    import sp.implicits._
+    // two near-identical docs agree on (at least) several MinHash
+    // components, so they co-occur in MORE than one band bucket; the
+    // first-match guard must still emit the verified edge exactly once
+    // (the plan has no trailing distinct to hide a double emission),
+    // and identical singletons must emit nothing.
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "the quick brown fox jumps over the lazy dog again and again!"
+    val docs = Seq((1L, t1), (2L, t2), (3L, "completely unrelated words " +
+      "about parquet shuffles and broadcast joins")).toDF("doc_id", "text")
+    // precondition of the pin: the pair really does share >1 band
+    val sig = DedupOps.withMinhashSignature(
+      docs.filter(col("doc_id") <= 2), "text", 5, 8)
+    val sigs = sig.orderBy("doc_id").collect()
+      .map(r => (0 until 8).map(i => r.getAs[String](s"m$i")))
+    val sharedBands = (0 until 4).count(b =>
+      sigs(0)(2 * b) == sigs(1)(2 * b) && sigs(0)(2 * b + 1) == sigs(1)(2 * b + 1))
+    assert(sharedBands > 1,
+      s"fixture must collide in >1 band to exercise the guard (got $sharedBands)")
+    val edges = DedupOps.nearDupEdges(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.toSeq == Seq((1L, 2L)),
+      s"expected the near-dup edge exactly once, got ${edges.toSeq}")
+  }
+
+  test("scoredPairsPlan: no duplicate pairs; scores match per-pair recompute") {
+    val d = "/root/testdata/sf0.001"
+    val sp = spark
+    import sp.implicits._
+    val plan = graft.queries.ClusterMemo.scoredPairsPlan(sp, d)
+    val rows = plan.collect()
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.length == keys.distinct.length,
+      "first-band-match must emit each candidate pair exactly once")
+    // pair set == the sig-only candidate operator's (identical banding
+    // params), and both scores equal a direct per-pair recompute
+    val docs = sp.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sig = DedupOps.withMinhashSignature(docs, "text",
+      graft.queries.ClusterMemo.ShingleK, graft.queries.ClusterMemo.NumHashes)
+    val cand = DedupOps.lshCandidatePairs(sig, "doc_id",
+      graft.queries.ClusterMemo.NumHashes, graft.queries.ClusterMemo.RowsPerBand)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.toSet == cand.toSet,
+      "scored pair set must equal the candidate operator's pair set")
+    val scored = cand.toSeq.toDF("id_a", "id_b")
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("_ta")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("_tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(DedupOps.jaccardOfTexts(col("_ta"), col("_tb"),
+          graft.queries.ClusterMemo.NGram), 6).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(r.getDouble(3) == scored(k),
+        s"exact jaccard mismatch for $k: plan ${r.getDouble(3)} vs recompute ${scored(k)}")
+    }
+  }
+
   test("memoized clustering == direct nearDupClusters (q50/q63 reuse path)") {
     // q50/q63 read the session ClusterMemo (edges = threshold filter over
     // the shared scored-pair table) — the memoized composition must stay
