@@ -25,7 +25,11 @@ import graft.{Bench, SparkEntry, Verify}
   */
 object Adjudicate {
 
-  private val QueryTime = """"(q[0-9]+[a-z0-9_]*)":([0-9.]+)""".r
+  // \s* after the colon: hand-pooled boards (python json.dumps) write
+  // `"q01": 0.425` while Bench writes `"q01":0.425` — the r10-close
+  // adjudication silently found ZERO movers because the record file's
+  // spaced colons matched nothing and every record lookup missed
+  private val QueryTime = """"(q[0-9]+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r
 
   /** Per-query min map of a Bench artifact: the FIRST occurrence of each
     * name wins, which is the `"queries"` object (the `"samples"` object

@@ -30,6 +30,19 @@ class AdjudicateSpec extends AnyFunSuite {
     } finally Files.deleteIfExists(f)
   }
 
+  test("parse accepts spaced colons (hand-pooled boards via json.dumps)") {
+    // BENCH_R*_BOARD.json artifacts are pooled with python json.dumps,
+    // which writes `"q01": 0.425` — the r10-close adjudication found
+    // ZERO movers because the no-space regex parsed the record as empty
+    val f = Files.createTempFile("bench", ".json")
+    Files.writeString(f,
+      """{"metric": "total", "value": 97.872, "queries": {"q01_pricing_summary": 0.425, "q48_curation_pipeline": 0.134}}""")
+    try assert(Adjudicate.parse(f.toString) == Map(
+      "q01_pricing_summary" -> 0.425,
+      "q48_curation_pipeline" -> 0.134))
+    finally Files.deleteIfExists(f)
+  }
+
   test("parse ignores non-query numeric fields (value, sf)") {
     val f = Files.createTempFile("bench", ".json")
     Files.writeString(f,
