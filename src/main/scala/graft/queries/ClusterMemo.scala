@@ -116,12 +116,17 @@ object ClusterMemo {
       // never served; operators reclaim disk by deleting the name dir.
       val w = DedupOps.adaptiveSimhashWidth(
         Tables.documents(s, d).select(col("doc_id")).count())
-      ArtifactStore.loadOrBuild(s, d, s"simhash_pairs_w$w") {
+      // the RADIUS rides the width (adaptiveSimhashDist, measured in
+      // SIMHASH_RECALL.json — fixed radius 2 above the 16-bit floor
+      // loses 7-23% of single-word-edit near-dups); both parameters are
+      // in the key so either rule changing self-invalidates the store
+      val dist = DedupOps.adaptiveSimhashDist(w)
+      ArtifactStore.loadOrBuild(s, d, s"simhash_pairs_w${w}d$dist") {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
         val sig = DedupOps.withSimhash(docs, "text", "simhash", w)
           .drop("text")
         DedupOps.simhashHammingPairs(sig, "doc_id", "simhash",
-          maxDist = 2, width = w)
+          maxDist = dist, width = w)
       }
     })
 

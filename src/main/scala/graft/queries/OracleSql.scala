@@ -248,6 +248,16 @@ private[queries] object OracleSql {
     """least(31, greatest(16,
        CAST(length(bin(count(*) - 1)) AS INTEGER) + 8))"""
 
+  /** The Hamming radius paired with the adaptive width — the SQL mirror
+    * of [[graft.dedup.DedupOps.adaptiveSimhashDist]] (3 above the
+    * 16-bit floor, 2 at it; the rule SIMHASH_RECALL.json's measured
+    * recall curve picks). `w` is the integer width column of the
+    * width-selecting CTE (`wsel`/`swsel`), so both engines branch on
+    * the SAME integer-exact width.
+    */
+  def simhashDistSql(wRef: String): String =
+    s"(CASE WHEN $wRef > 16 THEN 3 ELSE 2 END)"
+
   /** The `sig` CTE chain producing (doc_id, simhash) at the
     * CORPUS-ADAPTIVE width — the q43/q136 signature: the full 31-bit
     * nibble-nested signature masked down to the width the corpus count

@@ -252,7 +252,7 @@ object Pipeline18 {
   // Dedup-method agreement matrix: per doc, three independent dup
   // verdicts — exact (shared normalized-text fingerprint), MinHash+LSH
   // verified at J ≥ 0.5 (the q50 edge set, off the session scoredPairs
-  // artifact), SimHash hamming ≤ 2 (the q43 pair rule) — grouped into
+  // artifact), SimHash within the adaptive Hamming ball (the q43 pair rule) — grouped into
   // the 2³ agreement table. This is the calibration readout a dedup
   // stack uses to decide which cheap method safely stands in for which
   // expensive one at 100 TB (e.g. SimHash-only recall of the MinHash
@@ -261,7 +261,10 @@ object Pipeline18 {
   // verified pair table; the Hamming ball over adaptive-width
   // signatures) and the final join is doc-keyed; output is ≤ 8 rows.
   private val AgreeJaccard = 0.5
-  private val AgreeHamming = 2
+  // the SimHash verdict follows the q43 pair rule — adaptive width AND
+  // the radius that rides it (adaptiveSimhashDist; SIMHASH_RECALL.json)
+  // — via the shared ClusterMemo.simhashPairs artifact; the oracle
+  // mirrors both through the same width CTE
 
   /** Per-doc verdict flags of the three dedup methods — the shared base
     * of q136's agreement matrix and q149's per-source burden report.
@@ -276,7 +279,7 @@ object Pipeline18 {
       .filter(col("jaccard") >= AgreeJaccard)
     val mids = mh.select(col("id_a").as("doc_id"))
       .unionByName(mh.select(col("id_b").as("doc_id"))).distinct()
-    val sp = ClusterMemo.simhashPairs(s, d) // hamming <= AgreeHamming
+    val sp = ClusterMemo.simhashPairs(s, d) // the adaptive (w, dist) rule
     val sids = sp.select(col("id_a").as("doc_id"))
       .unionByName(sp.select(col("id_b").as("doc_id"))).distinct()
     def flag(ids: DataFrame, name: String): DataFrame =
@@ -320,7 +323,9 @@ object Pipeline18 {
              FROM ssigf, swsel),
     spairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib
                FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
-               WHERE bit_count(xor(a.simhash, b.simhash)) <= $AgreeHamming),
+               CROSS JOIN swsel
+               WHERE bit_count(xor(a.simhash, b.simhash))
+                       <= ${OracleSql.simhashDistSql("swsel.w")}),
     sids AS (SELECT DISTINCT doc_id FROM
                (SELECT ia AS doc_id FROM spairs
                 UNION ALL SELECT ib FROM spairs)),

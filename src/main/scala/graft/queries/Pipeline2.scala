@@ -23,7 +23,11 @@ object Pipeline2 {
   // table, and the adaptive width pins the background-collision term
   // n²/2^width to ~n/256 — LINEAR — at every corpus size (the fixed
   // 16-bit width's quadratic densification was SCALE10's measured 0.86
-  // exponent).
+  // exponent). The Hamming radius rides the width (2 at the 16-bit
+  // floor, 3 above — adaptiveSimhashDist): SIMHASH_RECALL.json measured
+  // fixed radius 2 losing 7-29% of single-word-edit near-dups at the
+  // adaptive widths, while width+radius together still cut background
+  // collisions ~5x vs the 16/2 baseline.
   // The pair set is emitted UNSORTED by design: on this low-entropy
   // corpus near-dup pairs are quasi-quadratic in the cluster sizes (4.9M
   // rows at sf0.1), and a global sort of a pair-set output is exactly the
@@ -38,7 +42,9 @@ object Pipeline2 {
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    CROSS JOIN wsel
+    WHERE bit_count(xor(a.simhash, b.simhash))
+            <= ${OracleSql.simhashDistSql("wsel.w")}
     ORDER BY id_a, id_b"""
 
   // q44 — hopping windows: 10-minute windows sliding every 5 minutes

@@ -84,12 +84,14 @@ class ArtifactStoreSpec extends AnyFunSuite {
     try {
       def families = Seq[(String, () => org.apache.spark.sql.DataFrame)](
         "scored_pairs" -> (() => ClusterMemo.scoredPairs(spark, d)),
-        // the simhash pair family is keyed by its adaptive width (the
-        // r10 semantics-versioning fix) — derive the name the memo
-        // itself will use for this corpus
-        s"simhash_pairs_w${graft.dedup.DedupOps.adaptiveSimhashWidth(
-          graft.queries.Tables.documents(spark, d).count())}" ->
-          (() => ClusterMemo.simhashPairs(spark, d)),
+        // the simhash pair family is keyed by its adaptive width AND the
+        // radius that rides it (the r10/r11 semantics-versioning fixes)
+        // — derive the name the memo itself will use for this corpus
+        {
+          val w = graft.dedup.DedupOps.adaptiveSimhashWidth(
+            graft.queries.Tables.documents(spark, d).count())
+          s"simhash_pairs_w${w}d${graft.dedup.DedupOps.adaptiveSimhashDist(w)}"
+        } -> (() => ClusterMemo.simhashPairs(spark, d)),
         "exact_pairs" -> (() => ClusterMemo.exactPairs(spark, d)),
         "bm25_scores" -> (() => RetrievalMemo.bm25(spark, d)),
         "trigram_counts" -> (() => LmMemo.trigramCounts(spark, d)))
