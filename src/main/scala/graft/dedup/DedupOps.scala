@@ -20,6 +20,23 @@ import graft.text.TextOps
   */
 object DedupOps {
 
+  /** Eager SERIALIZED pin for corpus-sized intermediates (per-doc gram
+    * arrays, pair tables): `localCheckpoint()`'s default deserialized
+    * storage keeps one live UnsafeRow OBJECT per pinned row in
+    * block-manager arrays, which at the ×100 scale rung turned the
+    * scored-pair artifact into 57M live rows / 18.8 GB of byte[] that
+    * no full GC could reclaim (jmap-diagnosed GC wall, then OOM at
+    * 24 GB — round 11). MEMORY_AND_DISK_SER stores a partition as one
+    * serialized chunk: no per-row objects, GC-invisible, spills
+    * cleanly; reads pay one deserialization, noise for pins consumed a
+    * handful of times. Same reasoning as ArtifactStore.loadOrBuild's
+    * no-store pin; small bounded frames (labels, batches, ≤k-row stat
+    * frames) keep the plain default.
+    */
+  def pinSerialized(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** MinHash signature component `seed` over a MATERIALIZED shingle-array
     * column: lexicographic min of an 8-hex-char slice of
     * md5(digest|shingle), digest = seed/4, slice = seed%4 — a valid
@@ -484,10 +501,9 @@ object DedupOps {
     // width); element-wise transform preserves NGramArray's per-doc
     // distinct set, so df, n_a/n_b and the array_intersect counts are
     // unchanged (modulo the accepted md5-prefix identity).
-    val g = g0.select(col(idCol),
-        transform(col("_g"), x =>
-          substring(md5(to_binary(x, lit("utf-8"))), 1, 16)).as("_gk"))
-      .localCheckpoint()
+    val g = pinSerialized(g0.select(col(idCol),
+      transform(col("_g"), x =>
+        substring(md5(to_binary(x, lit("utf-8"))), 1, 16)).as("_gk")))
     val dg = g.select(col(idCol), explode(col("_gk")).as("gk"))
     val rare = dg.groupBy(col("gk")).agg(count(lit(1)).as("_df"))
       .filter(col("_df").between(dfMin, dfMax)).select(col("gk"))
@@ -602,7 +618,7 @@ object DedupOps {
         sort_array(collect_list(struct(col("_df"), col("_gk")))),
         x => x.getField("_gk")).as("_rare"))
     val ranked =
-      if (materialize) ranked0.localCheckpoint() else ranked0
+      if (materialize) pinSerialized(ranked0) else ranked0
     // postings carry (id, set size, 1-based prefix position) so the
     // PPJoin positional filter can prune before the verify join: a pair
     // meeting at prefix positions (pa, pb) can share at most

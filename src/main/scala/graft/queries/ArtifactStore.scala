@@ -121,7 +121,18 @@ object ArtifactStore {
     * `build`, persist it, and read the persisted copy back (so the
     * returned frame's lineage IS the store — consumers replay from
     * parquet, never from the producer plan). With no store configured,
-    * pin with localCheckpoint exactly as the r7 memos did.
+    * pin with a SERIALIZED localCheckpoint: the default
+    * (MEMORY_AND_DISK, deserialized) holds every pinned row as a live
+    * UnsafeRow OBJECT in block-manager object arrays — at the ×100
+    * scale rung the 140M-row scored-pair artifact became 57M live
+    * UnsafeRows / 18.8 GB of byte[] that no full GC could reclaim, and
+    * q50 measured a GC WALL then OOMed a 24 GB heap (jmap-diagnosed,
+    * round 11; the band-shipping rewrite had fixed the SHUFFLE cost,
+    * this was the remaining memoization cost). MEMORY_AND_DISK_SER
+    * stores each partition as one serialized byte chunk — no per-row
+    * objects, GC-invisible, spills cleanly — for a pin that is read a
+    * handful of times per session the extra deserialization on read is
+    * noise (board delta within run noise at sf0.1).
     *
     * Commit is write-to-temp + atomic rename: two JVMs racing on the
     * same signature dir cannot interleave an `overwrite` delete/commit
@@ -146,7 +157,9 @@ object ArtifactStore {
   def loadOrBuild(s: SparkSession, d: String, name: String)
                  (build: => DataFrame): DataFrame =
     dirOf(s) match {
-      case None => build.localCheckpoint()
+      case None =>
+        build.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       case Some(root) =>
         val conf = s.sessionState.newHadoopConf()
         val path = pathFor(root, d, name, conf)

@@ -222,6 +222,10 @@ object Scale10 {
     // per run): the exponent compares computation, not cache luck
     def runOnce(name: String, dir: String): Double = {
       BenchStore.clearMemos()
+      // drop the orphaned localCheckpoint blocks the memo clear strands
+      // (ScaleLadder note: at big rungs they pin old-gen into a GC wall)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()

@@ -67,6 +67,18 @@ object ScaleLadder {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // one JVM plays driver + all 32 executors here, and the ×100
+      // rung's serialized artifact pin (GBs of evictable bytes) will
+      // happily fill the unified pool's whole allowance (0.6 of heap,
+      // storage half-protected) — measured: old gen pinned at 99.9%
+      // live and full-GC walls, because plain JVM allocation (task
+      // deserialization, codegen buffers) does not go through the
+      // memory manager and finds no headroom. 0.45 leaves ~half the
+      // heap unmanaged. On a real cluster each executor sizes its own
+      // pool and the artifact would ride the store, not session memory;
+      // this is a single-box measurement-harness setting, not engine
+      // guidance (Bench at sf0.1 keeps Spark defaults).
+      .config("spark.memory.fraction", "0.45")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Verify.silenceIntendedGlobalWindowWarn()
@@ -83,6 +95,17 @@ object ScaleLadder {
 
     def runOnce(name: String, dir: String): Double = {
       BenchStore.clearMemos()
+      // clearing the memo maps drops REFERENCES, but the localCheckpoint
+      // blocks behind them stay in the block manager until the
+      // ContextCleaner's weak refs process — at the ×100 rung the
+      // accumulated ×10/×30 blocks pinned old-gen at 96%+ and the rung
+      // measured a GC WALL (236 full GCs / 655 of 900 s), not the plan.
+      // Nothing references these RDDs after the memo clear, so drop
+      // them eagerly (untimed) — BLOCKING, so a ×100 repeat never
+      // starts while the previous repeat's gigabytes are still async-
+      // draining from the store pool.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
@@ -132,9 +155,10 @@ object ScaleLadder {
         s""""pred_x${nTop}_sec":${num(predTop)},"measured_x${nTop}_sec":${num(tTop)},""" +
         s""""measured_over_predicted":${num(ratio)},"verdict":"$verdict"}"""
     }
+    val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
     val line =
       s"""{"metric":"scale_ladder","unit":"sec","rungs":[${rungs.mkString(",")}],""" +
-        s""""sf":"$src","repeats":$repeats,""" +
+        s""""sf":"$src","repeats":$repeats,"heap_gb":$heapGb,""" +
         s""""protocol":"one session, full memo clear per run, min of $repeats; fit t=c+a*n on rungs ${fitPts_desc(rungs)}; verdict from measured/predicted at the top rung","queries":${rows.mkString("{", ",", "}")}}"""
     println(line)
     System.out.flush()
