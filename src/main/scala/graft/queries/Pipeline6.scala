@@ -206,7 +206,13 @@ object Pipeline6 {
   private val IncrThreshold = 0.5
   private val IncrBatchMod = 5 // doc_id % 5 = 4 -> the "new batch"
 
-  private val q76: Q = (s, d) => {
+  /** The q76 plan at an arbitrary batch residue — public so the
+    * incremental scale ladder (`tools/IncrLadder`, judge directive
+    * r10-#6) can run the IDENTICAL plan at the realistic daily
+    * batch:corpus ratio (~1:100, batchMod = 100) across inflated
+    * corpora; the board query keeps its oracle-pinned mod-5 shape.
+    */
+  def incrementalDedup(s: SparkSession, d: String, batchMod: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     import graft.dedup.{DedupOps, SortedArraysJaccard}
     // Per-doc artifacts (exact fp, MinHash signature, verify gram
@@ -216,8 +222,8 @@ object Pipeline6 {
     // computes them fresh in one scan — so q76's steady cost is the
     // MARGINAL admission work, the quantity the query measures. The
     // full-recompute oracle stays the equivalence proof.
-    val isBatch = col("doc_id") % IncrBatchMod === IncrBatchMod - 1
-    val corpusArts = ClusterMemo.incrDocArtifacts(s, d, IncrBatchMod)
+    val isBatch = col("doc_id") % batchMod === batchMod - 1
+    val corpusArts = ClusterMemo.incrDocArtifacts(s, d, batchMod)
     val batch = ClusterMemo.incrDocArtifactsPlan(
       documents(s, d).select(col("doc_id"), col("text")).filter(isBatch))
       .localCheckpoint()
@@ -266,6 +272,8 @@ object Pipeline6 {
         (col("_dup").isNull && col("n_near").isNull).as("is_new"))
       .orderBy(col("doc_id"))
   }
+
+  private val q76: Q = (s, d) => incrementalDedup(s, d, IncrBatchMod)
 
   private lazy val q76Sql = s"""
     WITH nd AS (SELECT doc_id, ${OracleSql.normSql} AS n FROM documents),
