@@ -130,9 +130,11 @@ object ArtifactStore {
     * round 11; the band-shipping rewrite had fixed the SHUFFLE cost,
     * this was the remaining memoization cost). MEMORY_AND_DISK_SER
     * stores each partition as one serialized byte chunk — no per-row
-    * objects, GC-invisible, spills cleanly — for a pin that is read a
-    * handful of times per session the extra deserialization on read is
-    * noise (board delta within run noise at sf0.1).
+    * objects, GC-invisible, spills cleanly. The sf0.1 board price is
+    * real but bounded: the largest artifact producers pay the
+    * serialize+materialize pass (q43's 6.6M-row pair pin measures
+    * ~2-3 s over its ~2.5 s compute; tools/ProbeR3) — the explicit
+    * price of the ×100 rung completing at all.
     *
     * Commit is write-to-temp + atomic rename: two JVMs racing on the
     * same signature dir cannot interleave an `overwrite` delete/commit
