@@ -49,6 +49,10 @@ object IncrLadder {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // single-JVM headroom for the ×100 rung's untimed full-recompute
+      // contrast build (ScaleLadder's harness note: the first 4-rung
+      // attempt OOMed in exactly that build with Spark's default split)
+      .config("spark.memory.fraction", "0.45")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Verify.silenceIntendedGlobalWindowWarn()
