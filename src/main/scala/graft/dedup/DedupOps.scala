@@ -272,6 +272,33 @@ object DedupOps {
     */
   def simhashHammingPairs(sig: DataFrame, idCol: String, shCol: String,
                           maxDist: Int = 2, width: Int = 16): DataFrame = {
+    // the (id, signature) table feeds three branches (distinct sigs,
+    // pair side a, pair side b) that don't canonicalize to a shared
+    // exchange — without materialization each branch re-scans the
+    // source and re-runs the signature expression (measured 4 scans in
+    // q43's executed plan). Narrow doc-bounded rows; in production this
+    // is the stored sketch column, not a recomputation.
+    val sigM = sig.select(col(idCol), col(shCol)).localCheckpoint()
+    simhashDocPairs(sigM, idCol, shCol,
+      simhashSigPairs(sigM, shCol, maxDist, width))
+  }
+
+  /** The SIGNATURE-level half of [[simhashHammingPairs]]: all ordered
+    * pairs of DISTINCT PRESENT signatures within Hamming distance
+    * `maxDist` — `(s1, s2, hamming)` with both orders of each unequal
+    * pair plus the `(s, s)` diagonal, so the doc-level join emits each
+    * unordered doc pair exactly once via `id_a < id_b`.
+    *
+    * This table is bounded by the SIGNATURE space (≤ 2^width rows per
+    * side regardless of corpus size), where the doc-pair table it
+    * induces carries the intrinsic n²/2^width background-collision
+    * term — at the ×100 ladder rung the doc pairs are ~140M rows while
+    * the sig pairs stay ball-bounded. Artifact economics follow:
+    * pin/store THIS table (and the sketch column), stream the doc
+    * pairs (r11 optimization; ClusterMemo.simhashPairs).
+    */
+  def simhashSigPairs(sig: DataFrame, shCol: String,
+                      maxDist: Int, width: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3, s"maxDist $maxDist not in [0,3]")
     require(width >= 1 && width <= 32, s"width $width not in [1,32]")
     val singles = (0 until width).map(1 << _)
@@ -284,14 +311,7 @@ object DedupOps {
       (if (maxDist >= 1) singles else Nil) ++
       (if (maxDist >= 2) doubles else Nil) ++
       (if (maxDist >= 3) triples else Nil))
-    // the (id, signature) table feeds three branches (distinct sigs,
-    // pair side a, pair side b) that don't canonicalize to a shared
-    // exchange — without materialization each branch re-scans the
-    // source and re-runs the signature expression (measured 4 scans in
-    // q43's executed plan). Narrow doc-bounded rows; in production this
-    // is the stored sketch column, not a recomputation.
-    val sigM = sig.select(col(idCol), col(shCol)).localCheckpoint()
-    val d1 = sigM.select(col(shCol).as("s1")).distinct()
+    val d1 = sig.select(col(shCol).as("s1")).distinct()
     // explode a LITERAL mask array and XOR once — one expression
     // regardless of |masks| (an array() of per-mask XOR expressions
     // stops being codegen-friendly at the 5,489 masks of width 32 /
@@ -299,13 +319,23 @@ object DedupOps {
     val variants = d1.select(col("s1"),
         explode(typedLit(masks.toArray)).as("m"))
       .select(col("s1"), col("s1").bitwiseXOR(col("m")).as("s2"))
-    val sigPairs = variants.join(d1.select(col("s1").as("s2")), Seq("s2"))
-    val a = sigM.select(col(idCol).as("id_a"), col(shCol).as("s1"))
-    val b = sigM.select(col(idCol).as("id_b"), col(shCol).as("s2"))
+    variants.join(d1.select(col("s1").as("s2")), Seq("s2"))
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .select(col("s1"), col("s2"), col("hamming"))
+  }
+
+  /** The DOC-level half of [[simhashHammingPairs]]: attach docs to both
+    * sides of a sig-pair table. `hamming` rides the sig pair (it is a
+    * pure function of (s1, s2)) so the doc join carries one extra int,
+    * never recomputes.
+    */
+  def simhashDocPairs(sig: DataFrame, idCol: String, shCol: String,
+                      sigPairs: DataFrame): DataFrame = {
+    val a = sig.select(col(idCol).as("id_a"), col(shCol).as("s1"))
+    val b = sig.select(col(idCol).as("id_b"), col(shCol).as("s2"))
     a.join(sigPairs, Seq("s1"))
       .join(b, Seq("s2"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 

@@ -47,21 +47,26 @@ object ClusterMemo {
     scala.collection.concurrent.TrieMap.empty[(Int, String, Int), DataFrame]
   private val incrArtifactCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String, Int), DataFrame]
-  private val simhashPairCache =
+  private val simhashSigCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (Int, DataFrame)]
+  private val simhashSigPairCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   def clear(): Unit = {
     pairCache.clear(); clusterCache.clear(); corpusLabelCache.clear()
     bandIndexCache.clear(); incrArtifactCache.clear()
-    simhashPairCache.clear(); exactPairCache.clear()
+    simhashSigCache.clear(); simhashSigPairCache.clear()
+    exactPairCache.clear()
   }
 
   /** Bench clears only this before each repeat of the PRODUCER (q43)
-    * so q43 keeps measuring the Hamming-ball pair generation; q136's
-    * agreement matrix reads the warm artifact — the marginal cost
-    * after the sketch store is built.
+    * so q43 keeps measuring the sketch pass + Hamming-ball pair
+    * generation; q136's agreement matrix reads the warm artifacts —
+    * the marginal cost after the sketch store is built.
     */
-  def clearSimhash(): Unit = simhashPairCache.clear()
+  def clearSimhash(): Unit = {
+    simhashSigCache.clear(); simhashSigPairCache.clear()
+  }
 
   /** Bench clears only this before each repeat of the PRODUCER (q94)
     * so q94 keeps measuring the prefix-filtered join; q148's recall
@@ -83,52 +88,83 @@ object ClusterMemo {
           GramMemo.words(s, d), "doc_id", "words", 0.5)
       })
 
-  /** SimHash Hamming ≤ 2 pair table (id_a, id_b, hamming) — the q43
-    * RESULT, materialized once per (session, sfDir): the Hamming-ball
-    * enumeration over distinct signatures is the expensive half shared
-    * by q43 (the pair report) and q136 (the agreement matrix).
+  /** (width, SimHash sketch table (doc_id, simhash)) — the per-doc
+    * signature column a production pipeline STORES (the one corpus
+    * scan of the family), materialized once per (session, sfDir).
     *
     * The signature width is CORPUS-ADAPTIVE
     * ([[DedupOps.adaptiveSimhashWidth]]: clamp(16, ceil(log2 n) + 8,
-    * 31)) so the pair table's n²/2^width background-collision term
-    * stays ~n/256 — linear — at any corpus size, instead of the
+    * 31)) so the induced pair table's n²/2^width background-collision
+    * term stays ~n/256 — linear — at any corpus size, instead of the
     * measured 10.4× pair blow-up the fixed 16-bit width paid at ×10
     * sf0.1 (`tools/ProbeQ43Scale`, SCALE10's 0.86 exponent). The count
     * that picks the width is one metadata-cheap scan of doc_ids; the
     * DuckDB oracle computes the identical width from `count(*)` with
     * integer-exact ceil-log2 (`length(bin(n-1))`), so engine and
     * oracle mask the same nibble-nested signature to the same width.
-    * Recall at the fixed radius 2 narrows as width grows — the honest
-    * (width, maxDist) trade `simhashHammingPairs`' scaladoc states.
+    *
+    * The width is part of the ARTIFACT KEY, not just the build
+    * closure: the store's path is (name, corpus signature), and the
+    * r10 fixed-16→adaptive width change altered the table's semantics
+    * without changing either — a store populated before the change
+    * would serve stale 16-bit sketches forever on an unchanged corpus.
+    * Naming the width makes any future (width-rule, corpus-size)
+    * change self-invalidating. A pre-bump store's old name dir is NOT
+    * pruned (the store prunes superseded corpus sigs under one name,
+    * not foreign names) — it sits orphaned, never served; operators
+    * reclaim disk by deleting the name dir.
     */
-  def simhashPairs(s: SparkSession, d: String): DataFrame =
-    simhashPairCache.getOrElseUpdate((System.identityHashCode(s), d), {
-      // the width is part of the ARTIFACT KEY, not just the build
-      // closure: the store's path is (name, corpus signature), and the
-      // r10 fixed-16→adaptive width change altered the table's
-      // semantics without changing either — a store populated before
-      // the change would serve stale 16-bit pairs (10.4× the
-      // background collisions) forever on an unchanged corpus. Naming
-      // the width makes any future (width-rule, corpus-size) change
-      // self-invalidating. A pre-bump store's old `simhash_pairs/`
-      // name dir is NOT pruned (the store prunes superseded corpus
-      // sigs under one name, not foreign names) — it sits orphaned,
-      // never served; operators reclaim disk by deleting the name dir.
+  def simhashSigs(s: SparkSession, d: String): (Int, DataFrame) =
+    simhashSigCache.getOrElseUpdate((System.identityHashCode(s), d), {
       val w = DedupOps.adaptiveSimhashWidth(
         Tables.documents(s, d).select(col("doc_id")).count())
-      // the RADIUS rides the width (adaptiveSimhashDist, measured in
-      // SIMHASH_RECALL.json — fixed radius 2 above the 16-bit floor
-      // loses 7-23% of single-word-edit near-dups); both parameters are
-      // in the key so either rule changing self-invalidates the store
-      val dist = DedupOps.adaptiveSimhashDist(w)
-      ArtifactStore.loadOrBuild(s, d, s"simhash_pairs_w${w}d$dist") {
+      (w, ArtifactStore.loadOrBuild(s, d, s"simhash_sigs_w$w") {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        val sig = DedupOps.withSimhash(docs, "text", "simhash", w)
-          .drop("text")
-        DedupOps.simhashHammingPairs(sig, "doc_id", "simhash",
-          maxDist = dist, width = w)
-      }
+        DedupOps.withSimhash(docs, "text", "simhash", w).drop("text")
+      })
     })
+
+  /** Distinct-signature Hamming-ball pairs (s1, s2, hamming) at the
+    * adaptive (width, radius) — the ball-enumeration product, bounded
+    * by the SIGNATURE space (≤ 2^width rows/side at any corpus size),
+    * materialized once per (session, sfDir).
+    *
+    * The RADIUS rides the width (adaptiveSimhashDist, measured in
+    * SIMHASH_RECALL.json — fixed radius 2 above the 16-bit floor
+    * loses 7-23% of single-word-edit near-dups); both parameters are
+    * in the key so either rule changing self-invalidates the store.
+    *
+    * r11 artifact-granularity change (optimization round; guide §2.3
+    * "shuffle keys and metadata instead of payloads" applied to the
+    * MEMO): the r10 memo pinned the induced DOC-pair table — 6.6M rows
+    * at sf0.1, ~140M at the ×100 rung, carrying the full n²/2^width
+    * background-collision volume through serialize+deserialize on
+    * every produce/consume. The sketch table and THIS sig-pair table
+    * are the two bounded factors the doc pairs derive from by two
+    * equi-joins; pinning the factors and streaming the product keeps
+    * q43's output identical (same join, same rows) while the pinned
+    * bytes drop from O(doc pairs) to O(docs + sig pairs).
+    */
+  def simhashSigPairs(s: SparkSession, d: String): DataFrame = {
+    val (w, sigs) = simhashSigs(s, d)
+    val dist = DedupOps.adaptiveSimhashDist(w)
+    simhashSigPairCache.getOrElseUpdate((System.identityHashCode(s), d),
+      ArtifactStore.loadOrBuild(s, d, s"simhash_sigpairs_w${w}d$dist") {
+        DedupOps.simhashSigPairs(sigs, "simhash", maxDist = dist, width = w)
+      })
+  }
+
+  /** SimHash adaptive-ball pair table (id_a, id_b, hamming) — the q43
+    * RESULT: the two memoized factors joined, streamed (never pinned;
+    * see [[simhashSigPairs]]). Row-identical to
+    * [[DedupOps.simhashHammingPairs]] over the same sketch
+    * (DedupClusterSpec pins it).
+    */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val (_, sigs) = simhashSigs(s, d)
+    DedupOps.simhashDocPairs(sigs, "doc_id", "simhash",
+      simhashSigPairs(s, d))
+  }
 
   /** "Yesterday's" clustering for the incremental-maintenance query
     * (q108): labels of the corpus-only slice (docs with id % batchMod

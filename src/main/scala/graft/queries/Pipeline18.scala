@@ -263,25 +263,43 @@ object Pipeline18 {
   private val AgreeJaccard = 0.5
   // the SimHash verdict follows the q43 pair rule — adaptive width AND
   // the radius that rides it (adaptiveSimhashDist; SIMHASH_RECALL.json)
-  // — via the shared ClusterMemo.simhashPairs artifact; the oracle
-  // mirrors both through the same width CTE
+  // — via the shared ClusterMemo.simhashSigs/simhashSigPairs artifacts;
+  // the oracle mirrors both through the same width CTE
 
   /** Per-doc verdict flags of the three dedup methods — the shared base
     * of q136's agreement matrix and q149's per-source burden report.
     */
-  private[queries] def dedupFlags(s: SparkSession, d: String): DataFrame = {
+  private[graft] def dedupFlags(s: SparkSession, d: String): DataFrame = {
     // exact-dup verdicts ride the stored feature table's fingerprint
     val fp = FeatureMemo.features(s, d).select(col("doc_id"), col("fp"))
     val dupFp = fp.groupBy(col("fp")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select(col("fp"))
     val eids = fp.join(dupFp, Seq("fp")).select(col("doc_id")).distinct()
+    // one-pass member extraction (r11, guide §2.3): explode both pair
+    // endpoints from a single read of the pinned artifact instead of a
+    // two-branch union that deserializes every pinned partition twice
     val mh = ClusterMemo.scoredPairs(s, d)
       .filter(col("jaccard") >= AgreeJaccard)
-    val mids = mh.select(col("id_a").as("doc_id"))
-      .unionByName(mh.select(col("id_b").as("doc_id"))).distinct()
-    val sp = ClusterMemo.simhashPairs(s, d) // the adaptive (w, dist) rule
-    val sids = sp.select(col("id_a").as("doc_id"))
-      .unionByName(sp.select(col("id_b").as("doc_id"))).distinct()
+    val mids = mh.select(explode(array(col("id_a"), col("id_b")))
+      .as("doc_id")).distinct()
+    // the SimHash verdict needs only MEMBERSHIP (is the doc in ≥1
+    // adaptive-ball pair), which factors through the signature: a doc
+    // is flagged iff its sig has a ≠-sig ball neighbor present, or ≥ 2
+    // docs share its sig (the (s,s) diagonal needs two docs to make an
+    // id_a < id_b pair). Reading the two sig-level artifacts (≤ 2^width
+    // rows) replaces the r10 read of the DOC-pair table, which carries
+    // the n²/2^width background-collision volume (6.6M rows at sf0.1,
+    // ~140M at the ×100 rung) — pair-set membership identical
+    // (DedupClusterSpec pins it against the pair-table derivation).
+    val sigs = ClusterMemo.simhashSigs(s, d)._2
+    val nearSigs = ClusterMemo.simhashSigPairs(s, d)
+      .filter(col("s1") =!= col("s2"))
+      .select(col("s1").as("simhash")).distinct()
+    val multiSigs = sigs.groupBy(col("simhash"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+      .select(col("simhash"))
+    val dupSigs = nearSigs.unionByName(multiSigs).distinct()
+    val sids = sigs.join(dupSigs, Seq("simhash")).select(col("doc_id"))
     def flag(ids: DataFrame, name: String): DataFrame =
       ids.withColumn(name, lit(1L))
     fp.select(col("doc_id"))

@@ -84,13 +84,22 @@ class ArtifactStoreSpec extends AnyFunSuite {
     try {
       def families = Seq[(String, () => org.apache.spark.sql.DataFrame)](
         "scored_pairs" -> (() => ClusterMemo.scoredPairs(spark, d)),
-        // the simhash pair family is keyed by its adaptive width AND the
+        // the simhash family is keyed by its adaptive width AND the
         // radius that rides it (the r10/r11 semantics-versioning fixes)
-        // — derive the name the memo itself will use for this corpus
+        // — derive the names the memos themselves will use for this
+        // corpus. Since r11 the stored granularity is the two bounded
+        // FACTORS (sketch column + sig-level ball pairs); the doc-pair
+        // product (q43's result, ClusterMemo.simhashPairs) is derived,
+        // so exercising it covers both stores.
         {
           val w = graft.dedup.DedupOps.adaptiveSimhashWidth(
             graft.queries.Tables.documents(spark, d).count())
-          s"simhash_pairs_w${w}d${graft.dedup.DedupOps.adaptiveSimhashDist(w)}"
+          s"simhash_sigs_w$w"
+        } -> (() => ClusterMemo.simhashPairs(spark, d)),
+        {
+          val w = graft.dedup.DedupOps.adaptiveSimhashWidth(
+            graft.queries.Tables.documents(spark, d).count())
+          s"simhash_sigpairs_w${w}d${graft.dedup.DedupOps.adaptiveSimhashDist(w)}"
         } -> (() => ClusterMemo.simhashPairs(spark, d)),
         "exact_pairs" -> (() => ClusterMemo.exactPairs(spark, d)),
         "bm25_scores" -> (() => RetrievalMemo.bm25(spark, d)),

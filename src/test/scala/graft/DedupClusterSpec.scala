@@ -205,4 +205,69 @@ class DedupClusterSpec extends AnyFunSuite {
         s"threshold $t: incremental must equal full recompute")
     }
   }
+
+  test("factored simhash memo == direct Hamming-ball pairs (q43 r11 shape)") {
+    // r11 pins the simhash family's two bounded FACTORS (sketch column,
+    // sig-level ball pairs) and derives the doc-pair product per call —
+    // the product must stay row-identical to the one-shot operator the
+    // r10 memo pinned.
+    val d = "/root/testdata/sf0.001"
+    graft.queries.ClusterMemo.clear()
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val w = DedupOps.adaptiveSimhashWidth(docs.count())
+    val dist = DedupOps.adaptiveSimhashDist(w)
+    val sig = DedupOps.withSimhash(docs, "text", "simhash", w).drop("text")
+    val direct = DedupOps.simhashHammingPairs(sig, "doc_id", "simhash",
+      maxDist = dist, width = w)
+    val memo = graft.queries.ClusterMemo.simhashPairs(spark, d)
+    assert(memo.count() == direct.count())
+    assert(memo.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(memo).count() == 0,
+      "factored memo product must equal the direct ball-pair table")
+  }
+
+  test("sig-level simhash membership == pair-table membership (q136/q149)") {
+    // dedupFlags' is_simhash now derives membership from the sig-level
+    // artifacts (a doc is flagged iff its sig has a ≠-sig ball neighbor
+    // present, or ≥ 2 docs share its sig) instead of scanning the
+    // doc-pair product — the two derivations must agree on a corpus
+    // with real collisions AND on a synthetic frame covering every
+    // case: shared-sig duplicates, ≠-sig neighbors, isolated sigs.
+    val sp = spark
+    import sp.implicits._
+    // synthetic sketch: sigs 0b0001/0b0010 are Hamming-2 neighbors;
+    // docs 4,5 share an isolated-from-others sig; doc 6 fully isolated
+    val sig = Seq((1L, 1), (2L, 2), (3L, 2), (4L, 56), (5L, 56),
+      (6L, 999 << 4)).toDF("doc_id", "simhash")
+    val sigPairs = DedupOps.simhashSigPairs(sig, "simhash",
+      maxDist = 2, width = 16)
+    val pairTable = DedupOps.simhashDocPairs(sig, "doc_id", "simhash",
+      sigPairs)
+    val fromPairs = pairTable
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val nearSigs = sigPairs.filter(col("s1") =!= col("s2"))
+      .select(col("s1").as("simhash")).distinct()
+    val multiSigs = sig.groupBy(col("simhash"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+      .select(col("simhash"))
+    val fromSigs = sig.join(
+        nearSigs.unionByName(multiSigs).distinct(), Seq("simhash"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(fromPairs == Set(1L, 2L, 3L, 4L, 5L) && fromSigs == fromPairs,
+      s"sig-level membership $fromSigs must equal pair membership $fromPairs")
+    // and on the real sf0.001 corpus through the memoized path
+    val d = "/root/testdata/sf0.001"
+    graft.queries.ClusterMemo.clear()
+    val memoPairs = graft.queries.ClusterMemo.simhashPairs(spark, d)
+    val pairIds = memoPairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val flagIds = graft.queries.Pipeline18.dedupFlags(spark, d)
+      .filter(col("is_simhash") === 1L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(flagIds == pairIds,
+      "dedupFlags is_simhash must equal pair-table membership on sf0.001")
+  }
 }
