@@ -156,11 +156,25 @@ object ArtifactStore {
     * reclaimed, and commits additionally sweep nested `.inprogress-*`
     * dirs left by a loser that crashed before its own reclaim.
     */
-  def loadOrBuild(s: SparkSession, d: String, name: String)
+  def loadOrBuild(s: SparkSession, d: String, name: String,
+                  eager: Boolean = true)
                  (build: => DataFrame): DataFrame =
     dirOf(s) match {
       case None =>
-        build.localCheckpoint(true,
+        // eager = false (r11, guide §1.2-1 "don't compute things you
+        // throw away"): an EAGER pin runs the build as its own job
+        // (compute + serialize) and the first consumer then pays a full
+        // deserialize pass — two passes over the artifact where one
+        // suffices. A LAZY pin materializes inside the first consuming
+        // job: rows stream through serialization INTO the block store
+        // and onward into the consumer in one pass (Spark fills any
+        // partitions that first job skipped at job end, so the pin is
+        // still complete). Callers keep eager = true for artifacts the
+        // first consuming PLAN references more than once (e.g. both
+        // sides of a self-join): concurrent stages of one job would
+        // otherwise race to compute the same unpinned partitions and
+        // duplicate the build.
+        build.localCheckpoint(eager,
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       case Some(root) =>
         val conf = s.sessionState.newHadoopConf()

@@ -31,7 +31,7 @@ object BpeMemo {
 
   def vocab(s: SparkSession, d: String): DataFrame =
     cache.getOrElseUpdate((System.identityHashCode(s), d),
-      ArtifactStore.loadOrBuild(s, d, "bpe_vocab") {
+      ArtifactStore.loadOrBuild(s, d, "bpe_vocab", eager = false) {
         Bpe.learnFromWords(GramMemo.words(s, d), "words", K)._2
       })
 }

@@ -83,7 +83,7 @@ object ClusterMemo {
     */
   def exactPairs(s: SparkSession, d: String): DataFrame =
     exactPairCache.getOrElseUpdate((System.identityHashCode(s), d),
-      ArtifactStore.loadOrBuild(s, d, "exact_pairs") {
+      ArtifactStore.loadOrBuild(s, d, "exact_pairs", eager = false) {
         DedupOps.prefixJaccardPairsOfWords(
           GramMemo.words(s, d), "doc_id", "words", 0.5)
       })
@@ -118,6 +118,9 @@ object ClusterMemo {
     simhashSigCache.getOrElseUpdate((System.identityHashCode(s), d), {
       val w = DedupOps.adaptiveSimhashWidth(
         Tables.documents(s, d).select(col("doc_id")).count())
+      // eager (the loadOrBuild exception): the first consuming plan —
+      // the doc-pair derive — references the sketch on BOTH join sides,
+      // and a lazy pin would compute the corpus scan twice in that job
       (w, ArtifactStore.loadOrBuild(s, d, s"simhash_sigs_w$w") {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
         DedupOps.withSimhash(docs, "text", "simhash", w).drop("text")
@@ -149,7 +152,8 @@ object ClusterMemo {
     val (w, sigs) = simhashSigs(s, d)
     val dist = DedupOps.adaptiveSimhashDist(w)
     simhashSigPairCache.getOrElseUpdate((System.identityHashCode(s), d),
-      ArtifactStore.loadOrBuild(s, d, s"simhash_sigpairs_w${w}d$dist") {
+      ArtifactStore.loadOrBuild(s, d, s"simhash_sigpairs_w${w}d$dist",
+        eager = false) {
         DedupOps.simhashSigPairs(sigs, "simhash", maxDist = dist, width = w)
       })
   }
@@ -316,7 +320,7 @@ object ClusterMemo {
   /** Scored candidate pairs, materialized once per (session, sfDir). */
   def scoredPairs(s: SparkSession, d: String): DataFrame =
     pairCache.getOrElseUpdate((System.identityHashCode(s), d),
-      ArtifactStore.loadOrBuild(s, d, "scored_pairs")(
+      ArtifactStore.loadOrBuild(s, d, "scored_pairs", eager = false)(
         scoredPairsPlan(s, d)))
 
   /** Near-dup clustering over the memoized pairs: one row per document
@@ -325,7 +329,8 @@ object ClusterMemo {
   def clusters(s: SparkSession, d: String, threshold: Double): DataFrame =
     clusterCache.getOrElseUpdate(
       (System.identityHashCode(s), d, threshold),
-      ArtifactStore.loadOrBuild(s, d, s"clusters_t$threshold") {
+      ArtifactStore.loadOrBuild(s, d, s"clusters_t$threshold",
+        eager = false) {
         import org.apache.spark.sql.expressions.Window
         val edges = scoredPairs(s, d).filter(col("jaccard") >= threshold)
           .select(col("id_a").as("a"), col("id_b").as("b"))

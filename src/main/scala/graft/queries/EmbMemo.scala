@@ -62,5 +62,6 @@ object EmbMemo {
   /** Verified pair table, materialized once per (session, sfDir). */
   def pairs(s: SparkSession, d: String): DataFrame =
     cache.getOrElseUpdate((System.identityHashCode(s), d),
-      ArtifactStore.loadOrBuild(s, d, "emb_pairs")(pairsPlan(s, d)))
+      ArtifactStore.loadOrBuild(s, d, "emb_pairs", eager = false)(
+        pairsPlan(s, d)))
 }

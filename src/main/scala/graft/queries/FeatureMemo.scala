@@ -37,7 +37,7 @@ object FeatureMemo {
 
   def features(s: SparkSession, d: String): DataFrame =
     cache.getOrElseUpdate((System.identityHashCode(s), d),
-      ArtifactStore.loadOrBuild(s, d, "doc_features") {
+      ArtifactStore.loadOrBuild(s, d, "doc_features", eager = false) {
         Tables.spread(s, Tables.documents(s, d)
             .select(col("doc_id"), col("lang"), col("source"), col("text")))
           .select(col("doc_id"), col("lang"), col("source"),

@@ -74,7 +74,7 @@ object GramMemo {
     */
   def winnowStats(s: SparkSession, d: String): DataFrame =
     winnowStatsCache.getOrElseUpdate((System.identityHashCode(s), d),
-      ArtifactStore.loadOrBuild(s, d, "winnow_stats")(
+      ArtifactStore.loadOrBuild(s, d, "winnow_stats", eager = false)(
         Pipeline16.winnowFingerprintsFromBase(winnow(s, d))))
 
   /** The decontamination family's gram-n (q56/q80/q125/q126 all probe
@@ -109,7 +109,7 @@ object GramMemo {
     */
   def contamStats(s: SparkSession, d: String): DataFrame =
     contamCache.getOrElseUpdate((System.identityHashCode(s), d),
-      ArtifactStore.loadOrBuild(s, d, "contam_stats")(
+      ArtifactStore.loadOrBuild(s, d, "contam_stats", eager = false)(
         contamStatsPlan(s, d)))
 
   /** The un-memoized probe lineage (public so PlanShapeSpec can gate the
@@ -132,6 +132,8 @@ object GramMemo {
 
   def leak(s: SparkSession, d: String): DataFrame =
     leakCache.getOrElseUpdate((System.identityHashCode(s), d),
+      // eager (the loadOrBuild exception): contamStatsPlan references
+      // this table on both its eval and corpus branches in one job
       ArtifactStore.loadOrBuild(s, d, "leak_grams") {
         val n = LeakN
         // greatest(..., 0) clamp, NOT a when() guard: NGramArray and the
@@ -157,7 +159,7 @@ object GramMemo {
     */
   def words(s: SparkSession, d: String): DataFrame =
     wordsCache.getOrElseUpdate((System.identityHashCode(s), d),
-      ArtifactStore.loadOrBuild(s, d, "words") {
+      ArtifactStore.loadOrBuild(s, d, "words", eager = false) {
         Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("source"), col("text"))
           // spread RAW rows first: projecting before the exchange would

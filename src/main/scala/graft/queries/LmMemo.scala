@@ -34,7 +34,7 @@ object LmMemo {
     */
   def trigramCounts(s: SparkSession, d: String): DataFrame =
     countCache.getOrElseUpdate((System.identityHashCode(s), d),
-      ArtifactStore.loadOrBuild(s, d, "trigram_counts")(
+      ArtifactStore.loadOrBuild(s, d, "trigram_counts", eager = false)(
         TrigramLm.counts(
           Tables.documents(s, d).select(col("doc_id"), col("text")),
           "doc_id", "text")))

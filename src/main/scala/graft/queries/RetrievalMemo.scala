@@ -38,6 +38,6 @@ object RetrievalMemo {
     */
   def bm25(s: SparkSession, d: String): DataFrame =
     cache.getOrElseUpdate((System.identityHashCode(s), d),
-      ArtifactStore.loadOrBuild(s, d, "bm25_scores")(
+      ArtifactStore.loadOrBuild(s, d, "bm25_scores", eager = false)(
         Retrieval.bm25ScoresW(GramMemo.words(s, d), Terms, K1, B)))
 }
