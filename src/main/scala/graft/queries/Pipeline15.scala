@@ -192,14 +192,24 @@ object Pipeline15 {
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val contribBase = sym.join(deg, Seq("src"))
+    // pin the iteration-invariant structures ONCE (r11, guide §2.4):
+    // un-pinned, every one of the `iters` iterations re-derived
+    // (sym ⋈ deg) and re-scanned the node table — the before-plan
+    // carried 12 node scans, 30 SortMergeJoins and 46 exchanges for 5
+    // iterations; pinned, each iteration is one join against the
+    // checkpointed edge structure + one node-keyed sum, the Pregel
+    // step the header promises. At 100 TB the node re-scans are
+    // corpus scans — this is the difference between 5·|E| work and
+    // 5·(corpus scan + |E| join build).
+    val contribBase = sym.join(deg, Seq("src")).localCheckpoint()
     val n = nodes.count().toDouble
-    var pr = nodes.select(col("id"), lit(1.0 / n).as("pr"))
+    val nodeIds = nodes.select(col("id")).localCheckpoint()
+    var pr = nodeIds.select(col("id"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = contribBase
         .join(pr.select(col("id").as("src"), col("pr")), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("pr") / col("d")).as("m"))
-      pr = nodes
+      pr = nodeIds
         .join(contrib.select(col("dst").as("id"), col("m")), Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - damping) / n) +

@@ -131,8 +131,12 @@ object Pipeline5 {
   private val q67: Q = (s, d) => {
     val docs = documents(s, d).select(col("doc_id"),
       column(NGramArray(expression(col("text")), DecontamN)).as("_g"))
+    // pinned (r11, the q159 rule): the eval gram set feeds BOTH the
+    // plan-time bitset collect and the exact-hit broadcast — unpinned,
+    // the eval slice's gram explode + distinct ran twice per execution
     val evalG = docs.filter(col("doc_id") % 10 === 0)
       .select(explode(col("_g")).as("gram")).distinct()
+      .localCheckpoint()
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"), explode(col("_g")).as("gram"))
     val probed = Bloom.probeBitset(corpus, "gram", evalG)
