@@ -312,11 +312,22 @@ object DedupOps {
       (if (maxDist >= 2) doubles else Nil) ++
       (if (maxDist >= 3) triples else Nil))
     val d1 = sig.select(col(shCol).as("s1")).distinct()
+    // spread BEFORE the |masks|× explode (the Tables.spread rule): AQE
+    // coalesces the byte-tiny distinct-sig exchange to ONE partition,
+    // which would run the whole ball enumeration (|sigs|·|masks| rows —
+    // 187M at the ×30 ladder rung) on one core AND emit the sig-pair
+    // table as one giant partition (a ~1 GB single checkpoint block
+    // whose transfer stalled the r11 ladder in a stream-reset retry
+    // loop). An explicit round-robin repartition is exempt from AQE
+    // coalescing and keeps both the explode and any downstream pin
+    // core-wide.
+    val spreadSigs =
+      d1.repartition(sig.sparkSession.sparkContext.defaultParallelism)
     // explode a LITERAL mask array and XOR once — one expression
     // regardless of |masks| (an array() of per-mask XOR expressions
     // stops being codegen-friendly at the 5,489 masks of width 32 /
     // radius 3)
-    val variants = d1.select(col("s1"),
+    val variants = spreadSigs.select(col("s1"),
         explode(typedLit(masks.toArray)).as("m"))
       .select(col("s1"), col("s1").bitwiseXOR(col("m")).as("s2"))
     variants.join(d1.select(col("s1").as("s2")), Seq("s2"))
