@@ -149,6 +149,38 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: $e")
     }
+    // COMPACT FINAL LINE (r12, VERDICT r11 item 2): the driver stores a
+    // bounded 2000-char TAIL of the run output, so the full line above
+    // (~15 KB at 167 queries) has arrived truncated mid-JSON every round
+    // since r05 and the driver's `parsed` field has always been null —
+    // no per-query PERF data, no scaling block. Emit, LAST, a compact
+    // twin that always fits the window whole: the same total (same
+    // methodology, same numbers) plus as many of the MOST EXPENSIVE
+    // per-query mins (2 decimals) as fit ~1750 chars. Every query's full
+    // min + all repeat samples remain in the full line just above, on
+    // stderr, and in BENCH_LAST.json — nothing is dropped, this only
+    // ADDS a driver-parseable summary.
+    def num2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val skeleton =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+        s""""n_queries":${results.size},"full":"$outFile","queries":{},""" +
+        s""""sf":"$sfDir"}"""
+    var room = 1750 - skeleton.length
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    results.sortBy { case (_, v) => -v.min }.foreach { case (k, v) =>
+      val entry = "\"" + k + "\":" + num2(v.min)
+      val cost = entry.length + (if (picked.isEmpty) 0 else 1)
+      if (cost <= room) { picked += (k -> entry); room -= cost }
+    }
+    val compactQs = picked.sortBy(_._1).map(_._2).mkString("{", ",", "}")
+    val compactLine =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+        s""""n_queries":${results.size},"full":"$outFile",""" +
+        s""""queries":$compactQs,"sf":"$sfDir"}"""
+    println(compactLine)
+    System.out.flush()
+    System.err.println(compactLine)
     spark.stop()
   }
 }
