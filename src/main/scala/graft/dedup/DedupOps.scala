@@ -77,6 +77,25 @@ object DedupOps {
     }.drop(tmpSig)
   }
 
+  /** NUMERIC twin of [[withMinhashSignature]]: m0..m{numHashes-1} as
+    * LONGS (unsigned 32-bit md5-slice values, [[MinHashSigNum]]) — the
+    * internal-lineage form. Unsigned order == hex lexicographic order,
+    * so every min/equality/band decision matches the hex form exactly
+    * (MinHashNumEquivalenceSpec); use wherever the signature never
+    * reaches query output. Guide §2.3 (narrower types): halves the
+    * per-component UnsafeRow footprint and lets band keys pack into one
+    * long ([[bandKeyNum]]).
+    */
+  def withMinhashSignatureNum(df: DataFrame, textCol: String,
+                              k: Int, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val tmpSig = "_mh_sig"
+    val sig = column(MinHashSigNum(expression(col(textCol)), k, numHashes))
+    (0 until numHashes).foldLeft(df.withColumn(tmpSig, sig)) { (acc, i) =>
+      acc.withColumn(s"m$i", element_at(col(tmpSig), i + 1))
+    }.drop(tmpSig)
+  }
+
   /** Composed-expression form of [[withMinhashSignature]] (HOF lambdas;
     * ~10x slower than the native MinHashSig expression but useful as a
     * cross-check of its semantics).
@@ -107,6 +126,27 @@ object DedupOps {
     val joined = parts.foldLeft(lit(band.toString): Column)(
       (acc, p) => concat(acc, lit("|"), p))
     md5(to_binary(joined, lit("utf-8")))
+  }
+
+  /** NUMERIC band key over [[withMinhashSignatureNum]] components: the
+    * two unsigned-32-bit components of the band packed EXACTLY into one
+    * long (hi<<32 | lo) — an injective encoding, so key equality IS
+    * slice equality (the md5 form's ~2^-128 collision caveat disappears)
+    * at 8 bytes instead of the 32-hex-char md5's 40-byte UnsafeRow
+    * footprint: guide §2.3, the band exchange is the q50 family's
+    * dominant shuffle. Null-propagating like [[bandKey]] (shiftleft/OR
+    * propagate null), so null-signature docs still produce null bands.
+    *
+    * UNLIKE [[bandKey]], the band INDEX is not embedded — two different
+    * bands can carry equal slice values — so every grouping/join on this
+    * key must carry the band index as a companion column (the plans
+    * below group by (band, _bi) / join on (bi, band)).
+    */
+  def bandKeyNum(sig: Seq[Column], band: Int, rowsPerBand: Int): Column = {
+    require(rowsPerBand == 2,
+      s"bandKeyNum packs exactly two 32-bit components per band; got " +
+        s"rowsPerBand=$rowsPerBand (use bandKey for other geometries)")
+    shiftleft(sig(band * 2), 32).bitwiseOR(sig(band * 2 + 1))
   }
 
   /** First-match-band guard for band→member-list LSH pair plans: true
@@ -746,7 +786,15 @@ object DedupOps {
                         maxBucket: Int = MaxBucketIds): DataFrame = {
     val sigRef = (0 until numHashes).map(i => col(s"m$i"))
     val numBands = numHashes / rowsPerBand
-    val bands = (0 until numBands).map(b => bandKey(sigRef, b, rowsPerBand))
+    // dtype-adaptive: numeric signature frames (withMinhashSignatureNum,
+    // the internal-lineage form) get the packed-long band key, hex
+    // frames keep the md5 key — same buckets either way (the groupBy
+    // below already carries _bi, the companion bandKeyNum requires)
+    val numericSig = sig.schema(s"m0").dataType ==
+      org.apache.spark.sql.types.LongType
+    val bands = (0 until numBands).map(b =>
+      if (numericSig) bandKeyNum(sigRef, b, rowsPerBand)
+      else bandKey(sigRef, b, rowsPerBand))
     // members carry their signature arrays so the [[firstBandMatch]]
     // guard below can emit each pair exactly once (at its first
     // matching band) with NO trailing distinct: the dedup of the full
@@ -984,16 +1032,27 @@ object DedupOps {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     // gram payload as 64-bit hashes (NGramHashArray): the index is a
     // stored/broadcast artifact, so the 4x narrower payload is exactly
-    // where the width matters; every verify against it is a long-merge
+    // where the width matters; every verify against it is a long-merge.
+    // Band keys numeric ([[bandKeyNum]], 8-byte longs vs 32-hex-char
+    // md5, guide §2.3) — the key does NOT embed the band index any
+    // more, so the index row is (bi, band, cands) and every probe/merge
+    // keys on BOTH columns. The non-default geometry keeps hex keys but
+    // the same (bi, band, cands) schema.
+    val numeric = rowsPerBand == 2
+    val sigExpr =
+      if (numeric) column(MinHashSigNum(expression(col(textCol)), k, numHashes))
+      else column(MinHashSig(expression(col(textCol)), k, numHashes))
     val base = corpus.select(col(idCol).as("id"),
       column(NGramHashArray(expression(col(textCol)), nGram)).as("g"),
-      column(MinHashSig(expression(col(textCol)), k, numHashes)).as("_sig"))
+      sigExpr.as("_sig"))
     val sigRef = (0 until numHashes).map(i => element_at(col("_sig"), i + 1))
     val bands = (0 until numHashes / rowsPerBand).map(b =>
-      bandKey(sigRef, b, rowsPerBand))
-    base.withColumn("band", explode(array(bands: _*)))
+      if (numeric) bandKeyNum(sigRef, b, rowsPerBand)
+      else bandKey(sigRef, b, rowsPerBand))
+    base.select(col("id"), col("g"),
+        posexplode(array(bands: _*)).as(Seq("bi", "band")))
       .filter(col("band").isNotNull)
-      .groupBy(col("band"))
+      .groupBy(col("bi"), col("band"))
       // sort_array: collect_list order is shuffle-nondeterministic, a
       // sorted member list makes the index artifact deterministic (re-run
       // == re-run, and mergeBandIndex == full rebuild, exactly)
@@ -1020,9 +1079,10 @@ object DedupOps {
                      maxBucket: Int = MaxBucketIds): DataFrame = {
     val fresh = bandIndex(newDocs, idCol, textCol, k, numHashes,
       rowsPerBand, nGram, maxBucket)
-    index.select(col("band"), explode(col("cands")).as("c"))
-      .unionByName(fresh.select(col("band"), explode(col("cands")).as("c")))
-      .groupBy(col("band"))
+    index.select(col("bi"), col("band"), explode(col("cands")).as("c"))
+      .unionByName(fresh.select(col("bi"), col("band"),
+        explode(col("cands")).as("c")))
+      .groupBy(col("bi"), col("band"))
       .agg(sort_array(collect_list(col("c"))).as("cands"))
       .filter(assert_true(size(col("cands")) <= lit(maxBucket),
         concat(lit("band index bucket exceeds maxBucket="), lit(maxBucket),
@@ -1047,18 +1107,27 @@ object DedupOps {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     import org.apache.spark.sql.types.{ArrayType, StructType}
     val nBands = numHashes / rowsPerBand
+    val numeric = rowsPerBand == 2
     val sigged = docs
       .withColumn("_g",
         column(NGramHashArray(expression(col(textCol)), nGram)))
       .withColumn("_sig",
-        column(MinHashSig(expression(col(textCol)), k, numHashes)))
+        if (numeric)
+          column(MinHashSigNum(expression(col(textCol)), k, numHashes))
+        else column(MinHashSig(expression(col(textCol)), k, numHashes)))
     val sigRef = (0 until numHashes).map(i => element_at(col("_sig"), i + 1))
     val withBands = (0 until nBands).foldLeft(sigged) { (acc, b) =>
-      acc.withColumn(s"_band$b", bandKey(sigRef, b, rowsPerBand))
+      acc.withColumn(s"_band$b",
+        if (numeric) bandKeyNum(sigRef, b, rowsPerBand)
+        else bandKey(sigRef, b, rowsPerBand))
     }
+    // numeric band keys do not embed the band index, so probe b joins
+    // ONLY the index slice with bi = b — which also makes each per-band
+    // broadcast nBands× smaller than shipping the whole index per join
     val joined = (0 until nBands).foldLeft(withBands) { (acc, b) =>
-      acc.join(broadcast(index.select(col("band").as(s"_band$b"),
-        col("cands").as(s"_c$b"))), Seq(s"_band$b"), "left")
+      acc.join(broadcast(index.filter(col("bi") === b)
+        .select(col("band").as(s"_band$b"), col("cands").as(s"_c$b"))),
+        Seq(s"_band$b"), "left")
     }
     val idType = index.schema("cands").dataType.asInstanceOf[ArrayType]
       .elementType.asInstanceOf[StructType]("id").dataType
@@ -1151,8 +1220,12 @@ object DedupOps {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val batchF = withMinhashSignature(
-        batch.select(col(idCol), col(textCol)), textCol, k, numHashes)
+    val numeric = rowsPerBand == 2
+    val batchF = (if (numeric)
+        withMinhashSignatureNum(
+          batch.select(col(idCol), col(textCol)), textCol, k, numHashes)
+      else withMinhashSignature(
+        batch.select(col(idCol), col(textCol)), textCol, k, numHashes))
       .withColumn("_g",
         column(NGramHashArray(expression(col(textCol)), nGram)))
       .drop(textCol)
@@ -1184,19 +1257,20 @@ object DedupOps {
       .filter(round(column(SortedArraysJaccard(
         expression(col("_ga")), expression(col("_gb")))), 6) >= threshold)
       .select(col("id_a"), col("id_b"))
-    // batch (id, band) rows: 16-byte keys, numHashes/rowsPerBand per doc
-    // (band keys embed the band number, so they are distinct per doc by
-    // construction) — the cheap broadcastable probe
+    // batch (id, bi, band) rows: 8-byte packed keys plus their band
+    // index (numeric keys don't embed it; the probe joins on BOTH),
+    // numHashes/rowsPerBand per doc — the cheap broadcastable probe
     val sigRef = (0 until numHashes).map(i => col(s"m$i"))
     val bandCols = (0 until numHashes / rowsPerBand).map(b =>
-      bandKey(sigRef, b, rowsPerBand))
+      if (numeric) bandKeyNum(sigRef, b, rowsPerBand)
+      else bandKey(sigRef, b, rowsPerBand))
     val batchBands = batchF
       .select(col(idCol).as("id_a"),
-        explode(array(bandCols: _*)).as("band"))
+        posexplode(array(bandCols: _*)).as(Seq("bi", "band")))
       .filter(col("band").isNotNull)
     val bc = index
-      .select(col("band"), explode(col("cands")).as("c"))
-      .join(batchSide(batchBands), Seq("band"))
+      .select(col("bi"), col("band"), explode(col("cands")).as("c"))
+      .join(batchSide(batchBands), Seq("bi", "band"))
       .select(col("id_a"), col("c.id").as("id_b"), col("c.g").as("_gb"))
       .join(batchSide(batchGrams), Seq("id_a"))
       .filter(round(column(SortedArraysJaccard(
@@ -1304,13 +1378,23 @@ object DedupOps {
                    maxBucket: Int = MaxBucketIds): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val base = docs.select(col(idCol), col(textCol))
-    val sig = withMinhashSignature(base, textCol, k, numHashes)
+    // numeric signature + packed-long band keys (guide §2.3): the band
+    // exchange and the member structs ship 8-byte longs instead of
+    // 8-hex-char strings — same buckets, same pairs (unsigned order ==
+    // hex order; MinHashNumEquivalenceSpec), ~2.5x less key/sig payload
+    // through the family's dominant shuffle. The non-default band
+    // geometry keeps the hex path (bandKeyNum packs exactly 2).
+    val numeric = rowsPerBand == 2
+    val sig = (if (numeric) withMinhashSignatureNum(base, textCol, k, numHashes)
+               else withMinhashSignature(base, textCol, k, numHashes))
       .withColumn("_g",
         column(NGramHashArray(expression(col(textCol)), nGram)))
       .drop(textCol)
     val sigRef = (0 until numHashes).map(i => col(s"m$i"))
     val numBands = numHashes / rowsPerBand
-    val bands = (0 until numBands).map(b => bandKey(sigRef, b, rowsPerBand))
+    val bands = (0 until numBands).map(b =>
+      if (numeric) bandKeyNum(sigRef, b, rowsPerBand)
+      else bandKey(sigRef, b, rowsPerBand))
     sig.select(col(idCol), col("_g"), array(sigRef: _*).as("_sig"),
         posexplode(array(bands: _*)).as(Seq("_bi", "band")))
       .filter(col("band").isNotNull)

@@ -203,7 +203,11 @@ object ClusterMemo {
   def corpusBandIndex(s: SparkSession, d: String, batchMod: Int): DataFrame =
     bandIndexCache.getOrElseUpdate(
       (System.identityHashCode(s), d, batchMod),
-      ArtifactStore.loadOrBuild(s, d, s"corpus_band_index_m$batchMod") {
+      // v2: r12 numeric band keys changed the index schema to
+      // (bi, band:long, cands) — the new name self-invalidates any
+      // store populated with the hex-key schema (the simhash width
+      // precedent above)
+      ArtifactStore.loadOrBuild(s, d, s"corpus_band_index_v2_m$batchMod") {
         val corpus = Tables.documents(s, d)
           .select(col("doc_id"), col("text"))
           .filter(col("doc_id") % batchMod =!= 0)
@@ -223,7 +227,9 @@ object ClusterMemo {
   def incrDocArtifacts(s: SparkSession, d: String, batchMod: Int): DataFrame =
     incrArtifactCache.getOrElseUpdate(
       (System.identityHashCode(s), d, batchMod),
-      ArtifactStore.loadOrBuild(s, d, s"incr_doc_artifacts_m$batchMod")(
+      // v2: m0..m7 became longs (withMinhashSignatureNum) in r12 — new
+      // name so a hex-era store can never serve the old schema
+      ArtifactStore.loadOrBuild(s, d, s"incr_doc_artifacts_v2_m$batchMod")(
         incrDocArtifactsPlan(
           Tables.documents(s, d).select(col("doc_id"), col("text"))
             .filter(col("doc_id") % batchMod =!= batchMod - 1))))
@@ -234,7 +240,7 @@ object ClusterMemo {
   def incrDocArtifactsPlan(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     import graft.dedup.NGramHashArray
-    DedupOps.withMinhashSignature(docs, "text", ShingleK, NumHashes)
+    DedupOps.withMinhashSignatureNum(docs, "text", ShingleK, NumHashes)
       .withColumn("fp", graft.text.TextOps.fingerprint(col("text")))
       .withColumn("_g", column(NGramHashArray(expression(col("text")), NGram)))
       .drop("text")
@@ -282,15 +288,21 @@ object ClusterMemo {
     */
   def scoredPairsPlan(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    import graft.dedup.{MinHashSig, NGramHashArray, SortedArraysJaccard}
+    import graft.dedup.{MinHashSigNum, NGramHashArray, SortedArraysJaccard}
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val sigArr = column(MinHashSig(expression(col("text")), ShingleK, NumHashes))
+    // numeric signature + packed-long band keys (r12, guide §2.3): the
+    // member structs and the band exchange carry 8-byte longs instead
+    // of 8-hex-char strings — identical buckets, pairs and scores
+    // (unsigned order == hex order; MinHashNumEquivalenceSpec), with
+    // the band index already a companion group column below.
+    val sigArr =
+      column(MinHashSigNum(expression(col("text")), ShingleK, NumHashes))
     val sig = base.select(col("doc_id"), sigArr.as("_sig"),
       column(NGramHashArray(expression(col("text")), NGram)).as("_g"))
     val sigRef = (0 until NumHashes).map(i => element_at(col("_sig"), i + 1))
     val numBands = NumHashes / RowsPerBand
     val bands = (0 until numBands).map(b =>
-      DedupOps.bandKey(sigRef, b, RowsPerBand))
+      DedupOps.bandKeyNum(sigRef, b, RowsPerBand))
     val agree = (0 until NumHashes).map(i =>
       when(element_at(col("a.sig"), i + 1) === element_at(col("b.sig"), i + 1),
         1).otherwise(0)).reduce(_ + _)

@@ -58,7 +58,10 @@ object Pipeline {
   // DedupOps.lshCandidatePairs; q50 composes the same op into the full
   // cluster pipeline.
   private val q32: Q = (s, d) => {
-    val sig = DedupOps.withMinhashSignature(
+    // numeric signature (longs): the pair set only needs band-key
+    // equality, which the packed-long keys preserve exactly — q31 keeps
+    // the hex form because its OUTPUT is the signature itself
+    val sig = DedupOps.withMinhashSignatureNum(
       documents(s, d).select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism), "text",
       K, NumHashes).drop("text")

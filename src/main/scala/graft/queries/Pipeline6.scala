@@ -227,19 +227,22 @@ object Pipeline6 {
     val batch = ClusterMemo.incrDocArtifactsPlan(
       documents(s, d).select(col("doc_id"), col("text")).filter(isBatch))
       .localCheckpoint()
+    // packed-long band keys over the numeric signature artifacts (r12,
+    // guide §2.3) — 8-byte keys through the probe; the band index rides
+    // along because bandKeyNum does not embed it
     val sigRef = (0 until 8).map(i => col(s"m$i"))
-    val bands = (0 until 4).map(b => DedupOps.bandKey(sigRef, b, 2))
+    val bands = (0 until 4).map(b => DedupOps.bandKeyNum(sigRef, b, 2))
     def bandRows(df: DataFrame) = df
-      .withColumn("band", explode(array(bands: _*)))
+      .select(col("doc_id"), posexplode(array(bands: _*)).as(Seq("bi", "band")))
       .filter(col("band").isNotNull)
-      .select(col("doc_id"), col("band"))
+      .select(col("doc_id"), col("bi"), col("band"))
     val corpusBands = bandRows(corpusArts)
-      .select(col("doc_id").as("corpus_id"), col("band"))
+      .select(col("doc_id").as("corpus_id"), col("bi"), col("band"))
     val batchBands = bandRows(batch)
-      .select(col("doc_id").as("batch_id"), col("band"))
+      .select(col("doc_id").as("batch_id"), col("bi"), col("band"))
     val cand = corpusBands
       .join(graft.ops.Broadcasts.bounded(batchBands,
-        what = "q76 batch band keys"), Seq("band"))
+        what = "q76 batch band keys"), Seq("bi", "band"))
       .select(col("batch_id"), col("corpus_id")).distinct()
     val verified = cand
       .join(batch.select(col("doc_id").as("batch_id"), col("_g").as("_gb")),
