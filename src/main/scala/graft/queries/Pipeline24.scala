@@ -62,9 +62,10 @@ object Pipeline24 {
   // measured >> theory means correlated
   // positions (hash pathology); fill near 1 means resize M before the
   // second-pass verify drowns (the Bloom.scala sizing note, now with
-  // its evidence row). Scale shape: two distinct-gram aggregates and a
-  // scan-local bitset probe — the filter build is the same ~25 KiB
-  // bounded structure q67 ships.
+  // its evidence row). Scale shape: ONE gram explode into ONE
+  // gram-keyed membership aggregate (eval/corpus flags ride the same
+  // row — r12, guide §2.4) and a scan-local bitset probe — the filter
+  // build is the same ~25 KiB bounded structure q67 ships.
   private val FprN = 8
   private val FprEvalMod = 10
 
@@ -76,19 +77,32 @@ object Pipeline24 {
       // single-row-group driver file scans as ONE task
       .select(col("doc_id"),
         column(NGramArray(expression(col("text")), FprN)).as("_g"))
-    // pinned: the bitset build (plan-time collect), the exact-hit join
-    // and the eval count all read the eval gram set
-    val evalG = docs.filter(col("doc_id") % FprEvalMod === 0)
-      .select(explode(col("_g")).as("gram")).distinct()
-      .localCheckpoint()
-    val corpusG = docs.filter(col("doc_id") % FprEvalMod =!= 0)
-      .select(explode(col("_g")).as("gram")).distinct()
-    val probed = Bloom.probeBitset(corpusG, "gram", evalG)
-      .join(broadcast(evalG.withColumn("_hit", lit(1))), Seq("gram"), "left")
+    // r12 fuse (guide §2.4, VERDICT r11 item 5): the r11 shape ran TWO
+    // distinct-gram aggregates (eval slice, corpus slice) — two
+    // explode passes, two exchanges — and then BROADCAST the whole
+    // eval gram set for the exact-hit join (gigabytes at 100 TB scale,
+    // over the 8 GB broadcast cap long before that). Membership on
+    // both sides factors through ONE gram-keyed aggregate: explode
+    // once, groupBy(gram) once, carrying per-gram eval/corpus
+    // membership flags. The exact-hit join disappears (the flag IS the
+    // hit), and the eval-side reads (bitset collect, eval count, bit
+    // positions) ride the pinned flag table. Pinned serialized (the
+    // ArtifactStore storage-level rationale): the pin is now
+    // corpus-gram-sized, not eval-sized.
+    val flags = docs
+      .select((col("doc_id") % FprEvalMod === 0).as("_e"),
+        explode(col("_g")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(max(col("_e")).as("_in_eval"), max(!col("_e")).as("_in_corpus"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val evalG = flags.filter(col("_in_eval")).select(col("gram"))
+    val probed = Bloom.probeBitset(flags.filter(col("_in_corpus")), "gram",
+      evalG)
     val stats = probed.agg(
       count(lit(1)).as("n_corpus_grams"),
-      sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("n_neg"),
-      sum(when(col("_hit").isNull && col("_bloom"), 1L).otherwise(0L))
+      sum(when(!col("_in_eval"), 1L).otherwise(0L)).as("n_neg"),
+      sum(when(!col("_in_eval") && col("_bloom"), 1L).otherwise(0L))
         .as("n_false_pos"))
     val evalStats = evalG.agg(count(lit(1)).as("n_eval_grams"))
     val bitStats = evalG

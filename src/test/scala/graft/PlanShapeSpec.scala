@@ -805,9 +805,11 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("batch 24/25: bounded sides broadcast, no shuffled doc-vs-scalar joins") {
-    // q159: the bitset probe is scan-local (a literal array); the only
-    // joins are the broadcast exact-hit probe and the two 1-row stat
-    // frames — nothing may sort-merge corpus-sized gram streams
+    // q159: the bitset probe is scan-local (a literal array) and
+    // eval/corpus membership rides per-gram flags from one fused
+    // aggregate (r12 — the exact-hit join is gone); the only joins
+    // left are the two 1-row stat frames — nothing may sort-merge
+    // corpus-sized gram streams
     val p159 = planString("q159_bloom_fpr_audit")
     assert(!p159.contains("SortMergeJoin"),
       "q159 joins are broadcast-only (eval set + 1-row stats)")
