@@ -52,14 +52,32 @@ object Relational2 {
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY flag, status"""
 
-  // q28 — exact distinct counts per group
-  private val q28: Q = (s, d) =>
-    lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_part"))
+  // q28 — exact distinct counts per group. r12 shape (guide §2.2,
+  // VERDICT r11 item 6): three count-distincts in one agg plan as an
+  // Expand(3×) — every lineitem row tripled into a single exchange.
+  // The two-level rewrite runs one dedup-then-count chain per key set:
+  // three narrow scans and three exchanges of PRE-DEDUPED key rows
+  // instead of one exchange of 3× raw rows. Measured (PROBE_Q28.json,
+  // lineitem itself inflated since the ladder symlinks it): expand
+  // 1.61/2.41/6.10 s vs split 1.13/1.83/4.41 s at ×1/×10/×30 — the
+  // Expand loses at every rung and the gap widens with scale.
+  // Equivalence: countDistinct skips NULL keys, hence the isNotNull
+  // guards; TPC-H lineitem keys are non-null, so every returnflag
+  // group survives each branch and the inner joins are lossless
+  // (collect-checked at every probe rung; oracle-pinned each round).
+  private val q28: Q = (s, d) => {
+    val li = lineitem(s, d)
+    def dcount(keys: Seq[String], alias: String) =
+      li.select(("l_returnflag" +: keys).map(col): _*)
+        .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(("l_returnflag" +: keys).map(col): _*).agg(lit(1))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as(alias))
+    dcount(Seq("l_orderkey"), "n_orders")
+      .join(dcount(Seq("l_partkey"), "n_parts"), Seq("l_returnflag"))
+      .join(dcount(Seq("l_suppkey", "l_partkey"), "n_supp_part"),
+        Seq("l_returnflag"))
       .orderBy(col("l_returnflag"))
+  }
 
   private val q28Sql = """
     SELECT l_returnflag,

@@ -252,6 +252,29 @@ class PlanShapeSpec extends AnyFunSuite {
       "q169 must not shuffle-join the corpus against the vocab")
   }
 
+  test("q28 two-level distinct counts: no Expand, equals countDistinct") {
+    // r12 (guide §2.2): the three multi-key count-distincts run as one
+    // dedup-then-count chain per key set — the Expand(3×) that tripled
+    // every lineitem row into a single exchange must not come back
+    val p = planString("q28_distinct_counts")
+    assert(!p.contains("Expand"),
+      "q28 must use the two-level distinct-agg shape, not Expand(3×)")
+    // equivalence pin: row-identical to the single-agg countDistinct
+    // reference on real data (countDistinct's NULL-skipping semantics
+    // are mirrored by the isNotNull guards in the split)
+    import org.apache.spark.sql.functions._
+    val ref = graft.queries.Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_part"))
+      .orderBy(col("l_returnflag"))
+      .collect().map(_.toString)
+    val got = SparkEntry.queries("q28_distinct_counts")(spark, d)
+      .collect().map(_.toString)
+    assert(got.sameElements(ref), "q28 split diverged from countDistinct")
+  }
+
   test("filter pushdown reaches the parquet scan") {
     val p = planString("q02_filter_project")
     assert(p.contains("PushedFilters") &&
