@@ -312,6 +312,11 @@ object DedupOps {
     */
   def simhashHammingPairs(sig: DataFrame, idCol: String, shCol: String,
                           maxDist: Int = 2, width: Int = 16): DataFrame = {
+    // validate BEFORE the eager pin below: invalid arguments must fail
+    // here, not after paying a full corpus scan-and-checkpoint job
+    // (simhashSigPairs re-checks the same bounds for its other callers)
+    require(maxDist >= 0 && maxDist <= 3, s"maxDist $maxDist not in [0,3]")
+    require(width >= 1 && width <= 32, s"width $width not in [1,32]")
     // the (id, signature) table feeds three branches (distinct sigs,
     // pair side a, pair side b) that don't canonicalize to a shared
     // exchange — without materialization each branch re-scans the

@@ -181,9 +181,19 @@ object NGramHashArray {
   * per-pair set build. Returns the raw ratio (0.0 when both sides are
   * empty), identical to [[NGramJaccard]]'s — callers apply Spark's
   * round().
+  *
+  * Codegen'd (r12, guide rule 4): the r11 form was a CodegenFallback,
+  * and a fallback expression inside whole-stage codegen forces the
+  * surrounding stage to MATERIALIZE its full input row per call so
+  * `eval(row)` can run — in the q50-family verify stage that row
+  * carries both members' gram arrays (~1 KB), rebuilt once per
+  * CANDIDATE PAIR. Measured at the ×10 rung: 240 s of task GC time on
+  * a 788 s-run stage (ProbeQ50x10). The generated code now calls the
+  * allocation-free static merge directly on the already-bound
+  * [[ArrayData]] locals — no row buffer, no boxing.
   */
 case class SortedArraysJaccard(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sorted_arrays_jaccard"
@@ -213,35 +223,67 @@ case class SortedArraysJaccard(left: Expression, right: Expression)
     case _ => false
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val va = a.asInstanceOf[ArrayData]
-    val vb = b.asInstanceOf[ArrayData]
-    val na = va.numElements()
-    val nb = vb.numElements()
-    var i = 0
-    var j = 0
-    var inter = 0
-    if (longElements) {
-      while (i < na && j < nb) {
-        val x = va.getLong(i)
-        val y = vb.getLong(j)
-        if (x == y) { inter += 1; i += 1; j += 1 }
-        else if (x < y) i += 1
-        else j += 1
-      }
-    } else {
-      while (i < na && j < nb) {
-        val c = va.getUTF8String(i).compareTo(vb.getUTF8String(j))
-        if (c == 0) { inter += 1; i += 1; j += 1 }
-        else if (c < 0) i += 1
-        else j += 1
-      }
-    }
-    val union = na + nb - inter
-    if (union > 0) inter.toDouble / union else 0.0
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (longElements)
+      SortedArraysJaccard.jaccardLong(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      SortedArraysJaccard.jaccardString(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val m = if (longElements) "jaccardLong" else "jaccardString"
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.dedup.SortedArraysJaccard$$.MODULE$$.$m($a, $b)")
   }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedArraysJaccard =
     copy(left = newLeft, right = newRight)
+}
+
+object SortedArraysJaccard {
+
+  /** Allocation-free sorted-merge Jaccard over long arrays — called
+    * from generated code ([[SortedArraysJaccard.doGenCode]]) and from
+    * the interpreted eval; one implementation, both paths.
+    */
+  def jaccardLong(va: ArrayData, vb: ArrayData): Double = {
+    val na = va.numElements()
+    val nb = vb.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = va.getLong(i)
+      val y = vb.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union > 0) inter.toDouble / union else 0.0
+  }
+
+  /** As [[jaccardLong]] for sorted string arrays (binary UTF8 order —
+    * the [[NGramArray]] output order).
+    */
+  def jaccardString(va: ArrayData, vb: ArrayData): Double = {
+    val na = va.numElements()
+    val nb = vb.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val c = va.getUTF8String(i).compareTo(vb.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union > 0) inter.toDouble / union else 0.0
+  }
 }

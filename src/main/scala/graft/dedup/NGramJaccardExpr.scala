@@ -1,7 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -21,17 +21,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * quotient.
   */
 case class NGramJaccard(left: Expression, right: Expression, n: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   require(n >= 1, s"n-gram size must be >= 1, got $n")
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "ngram_jaccard"
 
-  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NGramJaccard.jaccard(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], n)
 
-  private def grams(input: Any): java.util.LinkedHashSet[String] = {
-    val raw = input.asInstanceOf[UTF8String]
+  // Codegen'd (r12, guide rule 4): the CodegenFallback form forced the
+  // surrounding stage to materialize its full input row — here BOTH
+  // raw texts — once per pair call (the SortedArraysJaccard defect).
+  // The gram-set build still allocates (it is the operator's real
+  // work), but the per-call row copy is gone.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.dedup.NGramJaccard$$.MODULE$$.jaccard($a, $b, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NGramJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object NGramJaccard {
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  private def grams(raw: UTF8String, n: Int)
+      : java.util.LinkedHashSet[String] = {
     val normalized = UTF8String.fromString(
       ws.matcher(raw.toLowerCase.toString).replaceAll(" ")).trim().toString
     val words = normalized.split(" ", -1)
@@ -53,17 +76,16 @@ case class NGramJaccard(left: Expression, right: Expression, n: Int)
     out
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val ga = grams(a)
-    val gb = grams(b)
+  /** The gram-set Jaccard shared by interpreted eval and generated
+    * code; semantics identical to the r11 instance method.
+    */
+  def jaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val ga = grams(a, n)
+    val gb = grams(b, n)
     var inter = 0
     val it = ga.iterator()
     while (it.hasNext) if (gb.contains(it.next())) inter += 1
     val union = ga.size + gb.size - inter
     if (union > 0) inter.toDouble / union else 0.0
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): NGramJaccard =
-    copy(left = newLeft, right = newRight)
 }

@@ -155,6 +155,15 @@ object ArtifactStore {
     * — the nested temp is detected right after the rename and
     * reclaimed, and commits additionally sweep nested `.inprogress-*`
     * dirs left by a loser that crashed before its own reclaim.
+    *
+    * `eager` affects ONLY the no-store (localCheckpoint) path — with a
+    * store configured the artifact is always written and read back
+    * eagerly, and the flag is ignored. `eager = false` is safe ONLY
+    * when the first consuming PLAN references the artifact once: a
+    * plan that references it twice (e.g. both sides of a self-join)
+    * would race concurrent stages into computing the same unpinned
+    * partitions and duplicate the build — re-check that invariant at
+    * every new eager = false call site.
     */
   def loadOrBuild(s: SparkSession, d: String, name: String,
                   eager: Boolean = true)

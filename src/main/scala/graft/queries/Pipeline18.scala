@@ -299,6 +299,12 @@ object Pipeline18 {
       .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
       .select(col("simhash"))
     val dupSigs = nearSigs.unionByName(multiSigs).distinct()
+    // no .distinct() here (unlike eids/mids): simhash_sigs is one row
+    // per doc_id BY CONSTRUCTION (withSimhash is a per-row projection
+    // of the documents table, whose doc_id is the primary key), so the
+    // join cannot fan out — dupSigs is distinct and the sketch side is
+    // unique. A duplicated sketch row would mean a corrupted artifact,
+    // which the store's corpus signature and DedupClusterSpec both gate.
     val sids = sigs.join(dupSigs, Seq("simhash")).select(col("doc_id"))
     def flag(ids: DataFrame, name: String): DataFrame =
       ids.withColumn(name, lit(1L))

@@ -2,7 +2,7 @@ package graft.sim
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -32,10 +32,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * exactly the production hazard this expression removes.
   */
 case class DotCosine(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_cosine"
+  // the fold can null out mid-array (null element, length mismatch,
+  // zero norm) even when both inputs are non-null
+  override def nullable: Boolean = true
 
   // Strict array<float|double> gate (ExpectsInputTypes is unusable here:
   // AbstractDataType is private[sql]): eval reads each slot at the side's
@@ -58,9 +61,42 @@ case class DotCosine(left: Expression, right: Expression)
   @transient private lazy val rightIsDouble =
     right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val va = a.asInstanceOf[ArrayData]
-    val vb = b.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotCosine.cosineBoxed(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], leftIsDouble, rightIsDouble)
+
+  // Codegen'd (r12, guide rule 4): as a CodegenFallback this forced the
+  // surrounding whole-stage-codegen stage to materialize its full input
+  // row per CALL (both embedding arrays copied per candidate pair — the
+  // SortedArraysJaccard defect, same fix). The helper returns a boxed
+  // Double because the fold can null out; one box per call replaces one
+  // row buffer per call.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cosRes")
+      s"""
+         |java.lang.Double $tmp = graft.sim.DotCosine$$.MODULE$$.cosineBoxed(
+         |  $a, $b, $leftIsDouble, $rightIsDouble);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotCosine {
+  /** The cosine fold shared by interpreted eval and generated code —
+    * boxed so the null contract (null element, length mismatch, zero
+    * norm → null) survives both paths.
+    */
+  def cosineBoxed(va: ArrayData, vb: ArrayData, leftIsDouble: Boolean,
+                  rightIsDouble: Boolean): java.lang.Double = {
     val n = va.numElements()
     if (vb.numElements() != n) return null
     var dot = 0.0
@@ -77,12 +113,8 @@ case class DotCosine(left: Expression, right: Expression)
       i += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) null else dot / denom
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): DotCosine =
-    copy(left = newLeft, right = newRight)
 }
 
 /** Raw dot product of two float- or double-array vectors as one native
@@ -96,10 +128,12 @@ case class DotCosine(left: Expression, right: Expression)
   * a legitimate 0.0 here (no normalization to divide by).
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // null element / length mismatch null the fold out (DotCosine rule)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -117,9 +151,36 @@ case class DotProduct(left: Expression, right: Expression)
   @transient private lazy val rightIsDouble =
     right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val va = a.asInstanceOf[ArrayData]
-    val vb = b.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.dotBoxed(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], leftIsDouble, rightIsDouble)
+
+  // Codegen'd (r12): same rationale and shape as [[DotCosine.doGenCode]]
+  // — this powers q117's per-row matvec, where a fallback re-built the
+  // row (64-element array copy) once per row per power iteration.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotRes")
+      s"""
+         |java.lang.Double $tmp = graft.sim.DotProduct$$.MODULE$$.dotBoxed(
+         |  $a, $b, $leftIsDouble, $rightIsDouble);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** The dot fold shared by interpreted eval and generated code. */
+  def dotBoxed(va: ArrayData, vb: ArrayData, leftIsDouble: Boolean,
+               rightIsDouble: Boolean): java.lang.Double = {
     val n = va.numElements()
     if (vb.numElements() != n) return null
     var dot = 0.0
@@ -131,10 +192,6 @@ case class DotProduct(left: Expression, right: Expression)
       dot += x * y
       i += 1
     }
-    dot
+    java.lang.Double.valueOf(dot)
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): DotProduct =
-    copy(left = newLeft, right = newRight)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.DedupOps
 object ProbeSigPairs {
   def main(args: Array[String]): Unit = {
-    val d = "/root/testdata/sf0.1"
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
